@@ -1,0 +1,288 @@
+"""Core relational operators: projection, filter, scalar expressions.
+
+These are the upstream pipeline ops every user of the reference sink
+runs before ``writeStream`` (SURVEY.md §2B: ``selectExpr`` renames at
+``HiveStreamingExample.scala:74``, CSV split+cast at ``:69-73``) plus
+the full §2C scalar-function surface. All pure DataFrame API —
+whole-stage-codegen'd, predicate-pushdown-friendly, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..io import load_table
+from ..registry import register
+from ._helpers import davg, dec, dsum, sql_davg, sql_dsum, ts_str
+
+_Q1_CUTOFF = "2000-12-01 00:00:00"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 2)} AS sum_qty,
+           {sql_dsum('l_extendedprice', 2)} AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(6,4)))), 2) AS DOUBLE) AS sum_charge,
+           {sql_davg('l_quantity', 2)} AS avg_qty,
+           {sql_davg('l_extendedprice', 2)} AS avg_price,
+           {sql_davg('l_discount', 4)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "aggregate", "flagship"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: filter → hash agg → (driver sorts).
+
+    Scale notes: predicate on l_shipdate is pushed to the parquet scan;
+    aggregation is partial+final hash agg (map-side combine) on a
+    low-cardinality key — no skew risk; decimal sums keep results
+    order-independent across any number of partitions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 6, 4))
+    charge = disc_price * (F.lit(1) + dec("l_tax", 6, 4))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
+            davg("l_quantity", 2).alias("avg_qty"),
+            davg("l_extendedprice", 2).alias("avg_price"),
+            davg("l_discount", 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "project_compute",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           p_brand || '/' || p_type AS brand_type,
+           CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+           p_size * 2 AS double_size
+    FROM part
+    """,
+    tags=("relational", "projection"),
+)
+def project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + rename + computed columns (§2B-B4 selectExpr surface)."""
+    return load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey"),
+        F.upper("p_name").alias("name_upper"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("price_cents"),
+        (F.col("p_size") * 2).alias("double_size"),
+    )
+
+
+@register(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 1000 AND 50000
+      AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+      AND o_custkey IS NOT NULL
+    """,
+    tags=("relational", "filter"),
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunction/disjunction, IN, BETWEEN, LIKE, null checks — all
+    pushed down to the parquet scan by Catalyst."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 50000)
+        & (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"))
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS up,
+           lower(c_mktsegment) AS lo,
+           length(c_name) AS name_len,
+           substr(c_name, 1, 8) AS prefix,
+           trim(concat('  ', c_name, '  ')) AS trimmed,
+           concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+           (c_name LIKE '%1%') AS has_one,
+           split_part(c_name, '#', 1) AS name_stem
+    FROM customer
+    """,
+    tags=("relational", "scalar"),
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface (§2C): upper/lower/length/substr/trim/
+    concat_ws/regexp_extract/regexp_replace/like/split."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("trimmed"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias("seg_nation"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", r"[0-9]", "#").alias("masked"),
+        F.col("c_name").like("%1%").alias("has_one"),
+        F.split("c_name", "#").getItem(0).alias("name_stem"),
+    )
+
+
+@register(
+    "scalar_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_text
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    tags=("relational", "scalar"),
+)
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time surface: year/month/day, date_trunc, interval add,
+    datediff, unix_timestamp, formatting. Timestamps leave as strings
+    (determinism rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        ts_str(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("month_start"),
+        ts_str(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+        ts_str("o_orderdate").alias("ts_text"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_retailprice - 1000) AS abs_diff,
+           CAST(ceil(p_retailprice) AS BIGINT) AS ceil_p,
+           CAST(floor(p_retailprice) AS BIGINT) AS floor_p,
+           round(p_retailprice, 1) AS round_p,
+           sqrt(CAST(p_size AS DOUBLE)) AS sqrt_size,
+           p_retailprice * p_retailprice AS price_sq,
+           CAST(p_size % 7 AS INTEGER) AS size_mod,
+           round(ln(CAST(p_size AS DOUBLE) + 1), 6) AS log_size,
+           round(exp(CAST(p_size AS DOUBLE) / 50), 6) AS exp_size
+    FROM part
+    """,
+    tags=("relational", "scalar"),
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math surface. sqrt/abs/ceil/floor/* are IEEE-exact in both
+    engines; ln/exp are rounded in both (libm vs StrictMath can differ
+    in the last ulp)."""
+    p = load_table(spark, sf_dir, "part")
+    size_d = F.col("p_size").cast("double")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000).alias("abs_diff"),
+        F.ceil("p_retailprice").alias("ceil_p"),
+        F.floor("p_retailprice").alias("floor_p"),
+        F.round("p_retailprice", 1).alias("round_p"),
+        F.sqrt(size_d).alias("sqrt_size"),
+        (F.col("p_retailprice") * F.col("p_retailprice")).alias("price_sq"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+        F.round(F.log(size_d + 1), 6).alias("log_size"),
+        F.round(F.exp(size_d / 50), 6).alias("exp_size"),
+    )
+
+
+@register(
+    "conditional_funcs",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END AS balance_band,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           greatest(c_acctbal, 0.0) AS bal_floor0,
+           least(CAST(c_nationkey AS BIGINT), c_custkey) AS min_key,
+           (CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) IS NULL AS bal_is_null
+    FROM customer
+    """,
+    tags=("relational", "scalar"),
+)
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise, coalesce, nullif, greatest, least, null predicates."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("balance_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor0"),
+        F.least(F.col("c_nationkey").cast("bigint"), F.col("c_custkey")).alias("min_key"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal"))
+        .isNull()
+        .alias("bal_is_null"),
+    )
+
+
+@register(
+    "cast_try_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+           TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
+           TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS prio_rank,
+           CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS order_date
+    FROM orders
+    """,
+    tags=("relational", "scalar"),
+)
+def cast_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cast / try_cast surface; try_cast of non-numeric text → NULL in
+    both engines (ANSI-safe path)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_str"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("prio_int"),
+        F.expr("try_cast(split(o_orderpriority, '-')[0] AS INT)").alias("prio_rank"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+    )

@@ -1,0 +1,77 @@
+"""Central query registry — the single source of truth behind
+``__spark_entry__.py``'s ``queries()`` / ``oracle_sql()`` contract.
+
+Every implemented operator from SURVEY.md §2C registers a
+:class:`QuerySpec` here via the :func:`register` decorator: a named
+PySpark builder ``(spark, sf_dir) -> DataFrame`` plus (when the
+semantics are SQL-expressible) the equivalent DuckDB oracle SQL.
+
+Cross-engine determinism rules (see SURVEY.md §7e) every spec follows:
+
+- alias every computed column identically in Spark and SQL;
+- aggregate doubles exactly: cast to DECIMAL before SUM so the result
+  is order-independent, then cast back to DOUBLE — bit-identical in
+  both engines;
+- averages as exact-SUM / COUNT in double (DuckDB's AVG(decimal)
+  rounds differently from Spark's);
+- no raw timestamps in output — format to strings (or DATE) so driver
+  hashing can't diverge on tz/precision;
+- arrays in output → join to a sorted string (engines stringify lists
+  differently);
+- any residual float op is a final scalar step on already-identical
+  doubles, or explicitly rounded in BOTH engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Builder
+    oracle: str | None  # DuckDB SQL, or None → driver's rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, tags: tuple[str, ...] = ()
+) -> Callable[[Builder], Builder]:
+    def deco(fn: Builder) -> Builder:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = QuerySpec(
+            name=name, builder=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from . import operators  # noqa: F401
+    from . import streaming  # noqa: F401
+    from . import functions  # noqa: F401
+
+
+def queries() -> dict[str, Builder]:
+    _load_all()
+    return {name: spec.builder for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+    }

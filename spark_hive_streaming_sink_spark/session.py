@@ -1,0 +1,47 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode settings mirror what we would set on a real cluster: AQE on
+(runtime shuffle coalescing, skew-join splitting, dynamic broadcast),
+Arrow for any Python exchange, UTC session time zone (matches the
+DuckDB oracle's naive timestamps), and shuffle partitions sized to the
+parallelism at hand. On a 1000-executor cluster the only knobs that
+change are ``master``, ``spark.sql.shuffle.partitions`` (or rely on
+AQE's coalescing from a high initial value), and memory sizing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spark-hive-streaming-sink-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # Adaptive execution: coalesce post-shuffle partitions, split skewed
+        # ones, convert to broadcast at runtime — required posture at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it as
+        # a long when this flag is set — io.load_table converts to micros.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
