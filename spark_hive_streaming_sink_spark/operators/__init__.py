@@ -1,3 +1,8 @@
 """Batch operator modules; importing this package registers their queries."""
 
+from . import aggregates  # noqa: F401
+from . import joins  # noqa: F401
 from . import relational  # noqa: F401
+from . import semistructured  # noqa: F401
+from . import setops  # noqa: F401
+from . import windows  # noqa: F401

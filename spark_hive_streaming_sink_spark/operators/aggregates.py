@@ -1,0 +1,262 @@
+"""Aggregation operators (SURVEY.md §2C): basic/distinct/statistical
+aggregates, rollup/cube/grouping sets, collect_list/set, approximate
+sketches.
+
+Everything is partial+final hash aggregation (map-side combine) —
+the shuffle carries one row per (group, partition), so these scale
+with group cardinality, not input rows. Statistical aggregates are
+derived from exact decimal moments so results are order-independent
+(same value no matter how many partitions / what merge order — a
+correctness requirement for the oracle and a sanity property at
+1000 executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..io import load_table
+from ..registry import register
+from ._helpers import davg, dec, dsum, sql_davg, sql_dsum
+
+
+@register(
+    "agg_basic",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           {sql_dsum('o_totalprice', 2)} AS total_value,
+           {sql_davg('o_totalprice', 2)} AS avg_value,
+           MIN(o_totalprice) AS min_value,
+           MAX(o_totalprice) AS max_value
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("aggregate",),
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count/sum/avg/min/max + countDistinct per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        dsum("o_totalprice", 2).alias("total_value"),
+        davg("o_totalprice", 2).alias("avg_value"),
+        F.min("o_totalprice").alias("min_value"),
+        F.max("o_totalprice").alias("max_value"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_uniq_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregates (expand + two-phase agg under the hood)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.sum_distinct(dec("l_quantity", 18, 2)).cast("double").alias("sum_uniq_qty"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_discount AS DECIMAL(8,4)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           sqrt((sxx - sx*sx/n) / (n-1)) AS stddev_qty,
+           (sxx - sx*sx/n) / (n-1) AS var_qty,
+           (sxy - sx*sy/n) / (n-1) AS covar_qty_disc,
+           ((sxy - sx*sy/n)/n) / (sqrt((sxx - sx*sx/n)/n) * sqrt((syy - sy*sy/n)/n)) AS corr_qty_disc
+    FROM m
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/covariance/correlation from exact decimal
+    moments: the merge-order-dependent part (sums) is exact, the final
+    formula is one deterministic double computation. This is also the
+    numerically *stable-at-scale* formulation: single pass, partial
+    aggregation, no Welford merge asymmetry across 1000 executors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qd = dec("l_quantity", 12, 2)
+    dd = dec("l_discount", 8, 4)
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(dd).cast("double").alias("sy"),
+        F.sum(dd * dd).cast("double").alias("syy"),
+        F.sum(qd * dd).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_disc"),
+        (
+            ((sxy - sx * sy / n) / n)
+            / (F.sqrt((sxx - sx * sx / n) / n) * F.sqrt((syy - sy * sy / n) / n))
+        ).alias("corr_qty_disc"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregate", "grouping"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (status, priority) → (status) → ()."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+           COALESCE(l_linestatus, 'ALL') AS lstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate", "grouping"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), dsum("l_quantity", 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("aggregate", "grouping"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           array_to_string(list_sort(list(DISTINCT CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR))), ',') AS uniq_qtys,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "collect"),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set / collect_list — emitted as sorted joined strings
+    (engines stringify arrays differently; determinism rule)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("l_linestatus"))).alias("statuses"),
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set(dec("l_quantity", 12, 2).cast("string")))
+        ).alias("uniq_qtys"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_linestatus,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("aggregate", "percentile"),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — same definition as
+    DuckDB's quantile_cont); rounded in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25_qty"),
+    )
+
+
+@register(
+    "agg_approx",
+    oracle=None,  # sketch outputs are engine-specific → driver rows-only check
+    tags=("aggregate", "approx"),
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB workhorses: HLL++ count
+    distinct and quantile sketches aggregate in O(1) memory per group
+    where exact DISTINCT would shuffle every key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.count("*").alias("n"),
+    )

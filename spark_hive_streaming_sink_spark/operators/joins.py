@@ -1,0 +1,239 @@
+"""Join operators (SURVEY.md §2C): every join type a pipeline feeding
+the sink can need, each with its 100 TB posture noted.
+
+Broadcast hints go on genuinely small sides (region/nation: O(100)
+rows at any SF). Fact-fact joins shuffle on their equi keys and rely
+on AQE for skew splitting; the as-of join uses the union+window
+single-pass pattern instead of a quadratic range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from ..io import load_table
+from ..registry import register
+from ._helpers import dec, dsum, sql_dsum, ts_str
+
+
+@register(
+    "join_inner_broadcast",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("join",),
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join with explicitly broadcast dimension tables —
+    at 100 TB the fact side never shuffles for dim joins."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal", 2).alias("total_bal"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with zero orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice", 18, 2)), F.lit(0).cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(strftime(MAX(o_orderdate), '%Y-%m-%d'), 'never') AS last_order_day
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (fact on the left, dim kept on the right)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.coalesce(ts_str(F.max("o_orderdate"), "yyyy-MM-dd"), F.lit("never")).alias("last_order_day"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH b AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+         s AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+    SELECT COALESCE(b.k, s.k) AS nationkey,
+           (b.k IS NOT NULL) AS has_customers,
+           (s.k IS NOT NULL) AS has_suppliers
+    FROM b FULL OUTER JOIN s ON b.k = s.k
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over two distinct key sets."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("bk")).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("sk")).distinct()
+    return c.join(s, c.bk == s.sk, "outer").select(
+        F.coalesce("bk", "sk").alias("nationkey"),
+        F.col("bk").isNotNull().alias("has_customers"),
+        F.col("sk").isNotNull().alias("has_suppliers"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join — EXISTS without duplicating the left side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — NOT EXISTS."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_theta_range",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_late,
+           {sql_dsum('l_extendedprice', 2)} AS late_value
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    """,
+    tags=("join",),
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range (theta) join condition: line items shipped >60 days
+    after their order date. The equi key keeps it a hash/sort-merge
+    join (the range predicate is a post-join filter, not a nested-loop
+    explosion)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late"), dsum("l_extendedprice", 2).alias("late_value"))
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, st AS status, r_name || ':' || st AS label
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders)
+    """,
+    tags=("join",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join of two tiny sets (never do this between facts)."""
+    r = load_table(spark, sf_dir, "region")
+    st = load_table(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("status")).distinct()
+    return r.crossJoin(st).select(
+        "r_name", "status", F.concat_ws(":", "r_name", "status").alias("label")
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS prior_click_ts,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+    FROM purch p ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest prior click per purchase, per user).
+
+    Spark lacks a native ASOF JOIN; the scalable pattern is a single
+    sort within user partitions (union both sides, running MAX of
+    click time over an ordered window) — one shuffle, no quadratic
+    candidate pairs, works at any skew because a user's history is one
+    partition's worth of state. Oracle uses DuckDB's native ASOF JOIN
+    (inner semantics: purchases with no prior click are dropped).
+    """
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        e.withColumn("prior_click", F.max(click_ts).over(w))
+        .filter((F.col("event_type") == "purchase") & F.col("prior_click").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            ts_str("ts").alias("purchase_ts"),
+            ts_str("prior_click").alias("prior_click_ts"),
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prior_click"))).alias("gap_us"),
+        )
+    )

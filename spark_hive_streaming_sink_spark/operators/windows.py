@@ -1,0 +1,156 @@
+"""Window-function operators (SURVEY.md §2C): ranking, analytic,
+framed running aggregates, range frames, top-k per group.
+
+Windows sort within partitions after one shuffle on the partition key.
+Scale posture: partition keys here (mktsegment, custkey, brand) bound
+per-partition state; a window over an unpartitioned ORDER BY would
+serialize onto one task and is never used.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from ..io import load_table
+from ..registry import register
+from ._helpers import dec, ts_str
+
+
+@register(
+    "window_ranking",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+           rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk,
+           ntile(4)     OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+    FROM customer
+    """,
+    tags=("window",),
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile (unique tiebreak on
+    custkey wherever full determinism is required)."""
+    c = load_table(spark, sf_dir, "customer")
+    w_tb = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w_tb).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w_tb).alias("quartile"),
+    )
+
+
+@register(
+    "window_analytic",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+           last_value(o_totalprice)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_last,
+           strftime(lag(o_orderdate) OVER w, '%Y-%m-%d') AS prev_order_day
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first/last per customer order history (explicit ROWS
+    frame — Spark and DuckDB default frames differ for last_value)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("running_last"),
+        ts_str(F.lag("o_orderdate").over(w), "yyyy-MM-dd").alias("prev_order_day"),
+    )
+
+
+@register(
+    "window_running",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum/count — decimal-exact cumulative sum."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec("o_totalprice", 18, 2)).over(w).cast("double").alias("running_spend"),
+        F.count("*").over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY p_brand ORDER BY p_size
+                      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_size_value,
+           COUNT(*) OVER (PARTITION BY p_brand ORDER BY p_size
+                          RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS near_size_count
+    FROM part
+    """,
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering (value-based, peer-inclusive
+    — deterministic regardless of tie order, unlike a ROWS frame)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_size").rangeBetween(-5, 0)
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.sum(dec("p_retailprice", 12, 2)).over(w).cast("double").alias("near_size_value"),
+        F.count("*").over(w).alias("near_size_count"),
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: row_number + filter. At scale Catalyst rewrites
+    this into a per-partition top-k (WindowGroupLimit) before the
+    shuffle, so it never materializes full per-group sorts."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select("o_orderstatus", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
