@@ -1,1 +1,5 @@
 """Streaming modules (sink + streaming operators)."""
+
+from . import ops  # noqa: F401
+from . import sink  # noqa: F401
+from . import sink_query  # noqa: F401

@@ -1,0 +1,246 @@
+"""Streaming operators (SURVEY.md §2C streaming-only set).
+
+Every query here runs a REAL Structured Streaming query (file source
+over the fixture parquet, ``availableNow`` trigger) and lands in a
+memory sink; the registered oracle is the *static* SQL equivalent on
+the same bounded data — so the driver's hash check verifies streaming
+semantics end-to-end, not a batch stand-in. This mirrors the
+reference's position as a streaming component (its examples are
+socket/rate → sink pipelines, ``HiveStreamingExample.scala:63-88``).
+
+Event-time semantics: tumbling/sliding/session windows + watermarks
+generalize the reference's epoch notion (``HiveStreamWriter.scala:39``);
+streaming dedup is the cleanup for the at-least-once duplicates the
+reference can produce (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..io import load_table
+from ..registry import register
+from ._ts_fmt import TS_FMT_SPARK, TS_FMT_DUCK
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """readStream over one fixture parquet with the same normalization
+    as io.load_table (streaming sources need an explicit schema)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/{name}.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    # the file stream source requires a directory; select just this
+    # table's file with a glob filter
+    sdf = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    if name == "events" and dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def run_to_memory(sdf: DataFrame, mode: str = "append") -> DataFrame:
+    """Execute a bounded streaming query into a memory sink; returns the
+    result table. availableNow drains all input then stops."""
+    name = "mem_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="shss_ckpt_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT strftime(make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000),
+                    '{TS_FMT_DUCK}') AS win_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour event-time window aggregation, run as a real
+    streaming query (complete mode → memory sink)."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "6 hours"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    res = run_to_memory(agg, mode="complete")
+    return res.select(
+        F.date_format(F.col("window.start"), TS_FMT_SPARK).alias("win_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle=f"""
+    SELECT strftime(make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000
+                                   - k * 21600000000), '{TS_FMT_DUCK}') AS win_start,
+           COUNT(*) AS n
+    FROM events CROSS JOIN (VALUES (0), (1)) AS shifts(k)
+    GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (12h length, 6h slide): every event lands in two
+    overlapping windows; oracle enumerates both shifted buckets."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.window("ts", "12 hours", "6 hours")).agg(F.count("*").alias("n"))
+    res = run_to_memory(agg, mode="complete")
+    return res.select(
+        F.date_format(F.col("window.start"), TS_FMT_SPARK).alias("win_start"), "n"
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id,
+           strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — Spark's native
+    session_window; the oracle rebuilds sessions with the
+    gaps-and-islands pattern. Session end = last event + gap."""
+    ev = stream_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+    )
+    res = run_to_memory(agg, mode="complete")
+    return res.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), TS_FMT_SPARK).alias("session_start"),
+        F.date_format(F.col("session_window.end"), TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+        "session_value",
+    )
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with watermark: the input is the events stream
+    UNIONed with itself (simulating the at-least-once duplicates the
+    reference's sink can produce, SURVEY.md §1.4); dropDuplicates on
+    event_id under a 1-day watermark restores exactly-once counts."""
+    a = stream_table(spark, sf_dir, "events")
+    b = stream_table(spark, sf_dir, "events")
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "1 day")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type")
+    )
+    res = run_to_memory(deduped, mode="append")
+    return res.groupBy("event_type").agg(F.countDistinct("event_id").alias("n_unique"))
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS seg_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment join (the reference's users do this
+    upstream of the sink): streaming events joined to the static
+    customer dimension, broadcast to avoid shuffling the stream."""
+    ev = stream_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
+    ).select("event_id", "c_mktsegment", "value")
+    res = run_to_memory(joined, mode="append")
+    return res.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("seg_value"),
+    )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id, COUNT(*) AS n_pairs
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+    GROUP BY p.user_id
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream inner join with watermarks + event-time range
+    condition (clicks within 2h before a purchase)."""
+    purchases = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 day")
+    )
+    clicks = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 day")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("user_id", "p_ts", "c_ts")
+    res = run_to_memory(joined, mode="append")
+    return res.groupBy("user_id").agg(F.count("*").alias("n_pairs"))

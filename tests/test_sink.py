@@ -1,0 +1,130 @@
+"""Sink-semantics tests mirroring the reference's validations
+(SURVEY.md §5, FIXTURES.md §A negative paths)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+import pyspark.sql.functions as F
+
+from spark_hive_streaming_sink_spark.streaming.sink import (
+    BatchCommitLedger,
+    HiveSinkOptions,
+    HiveStreamingSinkError,
+    make_batch_writer,
+    validate_destination,
+    write_stream_to_table,
+)
+from spark_hive_streaming_sink_spark.streaming.ops import stream_table
+
+from .conftest import SF_DIR
+
+
+def _mk_table(spark, partitioned=True):
+    run_id = uuid.uuid4().hex[:10]
+    base = tempfile.mkdtemp(prefix=f"shss_test_{run_id}_")
+    table = f"alerts_{run_id}"
+    part = "PARTITIONED BY (event_type)" if partitioned else ""
+    spark.sql(
+        f"CREATE TABLE {table} (event_id BIGINT, user_id BIGINT, value DOUBLE, "
+        f"event_type STRING) USING PARQUET {part} LOCATION '{base}/tbl'"
+    )
+    return table, base
+
+
+def test_missing_table_rejected(spark):
+    # HiveSourceProvider.scala:46-52
+    opts = HiveSinkOptions(db="default", table="does_not_exist_xyz")
+    with pytest.raises(HiveStreamingSinkError, match="does not exist"):
+        validate_destination(spark, ["a", "b"], opts)
+
+
+def test_schema_name_set_mismatch_rejected(spark):
+    # HiveSourceProvider.scala:55-58
+    table, _ = _mk_table(spark)
+    opts = HiveSinkOptions(db="default", table=table)
+    with pytest.raises(HiveStreamingSinkError, match="Schema mismatch"):
+        validate_destination(spark, ["event_id", "user_id", "value", "wrong_col"], opts)
+
+
+def test_non_append_mode_rejected(spark):
+    # HiveSourceProvider.scala:42-44
+    table, _ = _mk_table(spark)
+    opts = HiveSinkOptions(db="default", table=table)
+    with pytest.raises(HiveStreamingSinkError, match="Append"):
+        validate_destination(
+            spark, ["event_id", "user_id", "value", "event_type"], opts, "complete"
+        )
+
+
+def test_missing_required_options():
+    # HiveOptions.scala:89-96
+    with pytest.raises(HiveStreamingSinkError, match="db"):
+        HiveSinkOptions.from_options({"table": "t"})
+    with pytest.raises(HiveStreamingSinkError, match="table"):
+        HiveSinkOptions.from_options({"db": "d"})
+
+
+def test_option_defaults_and_names():
+    o = HiveSinkOptions.from_options(
+        {"db": "d", "table": "t", "batch.size": "5000", "txn.per.batch": "10",
+         "metastore": "thrift://x:9083", "auto.create.partitions": "false"}
+    )
+    assert o.batch_size == 5000
+    assert o.txn_per_batch == 10
+    assert o.auto_create_partitions is False
+    assert o.qualified_name == "d.t"
+
+
+def test_batch_replay_idempotent(spark):
+    """Same batch id applied twice must not duplicate rows — the
+    improvement over the reference's at-least-once (§1.4)."""
+    table, base = _mk_table(spark)
+    opts = HiveSinkOptions(db="default", table=table)
+    part_cols = validate_destination(
+        spark, ["event_id", "user_id", "value", "event_type"], opts
+    )
+    assert part_cols == ["event_type"]
+    ledger = BatchCommitLedger(os.path.join(base, "ledger"))
+    writer = make_batch_writer(opts, part_cols, ledger, [])
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "user_id", "value", "event_type")
+        .limit(100)
+    )
+    writer(batch, 0)
+    n1 = spark.table(table).count()
+    writer(batch, 0)  # replay
+    assert spark.table(table).count() == n1 == 100
+    writer(batch, 1)  # genuinely new batch appends
+    assert spark.table(table).count() == 200
+
+
+def test_end_to_end_stream_with_partition_routing(spark):
+    table, base = _mk_table(spark)
+    ev = stream_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    q = write_stream_to_table(
+        ev, checkpoint_dir=f"{base}/ckpt", db="default", table=table
+    )
+    q.awaitTermination()
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert spark.table(table).count() == src.count()
+    # dynamic partition routing created one directory per event_type
+    part_dirs = {d for d in os.listdir(f"{base}/tbl") if d.startswith("event_type=")}
+    types = {r[0] for r in src.select("event_type").distinct().collect()}
+    assert part_dirs == {f"event_type={t}" for t in types}
+    # per-type row counts survive the routing
+    got = {
+        r["event_type"]: r["cnt"]
+        for r in spark.table(table).groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    want = {
+        r["event_type"]: r["cnt"]
+        for r in src.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want
