@@ -1,1 +1,7 @@
 """LLM-data-pipeline function modules (dedup, text, similarity, multimodal)."""
+
+from . import dedup  # noqa: F401
+from . import multimodal  # noqa: F401
+from . import similarity  # noqa: F401
+from . import text  # noqa: F401
+from . import udfs  # noqa: F401

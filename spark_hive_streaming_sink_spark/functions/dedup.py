@@ -1,0 +1,243 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2C
+extension): exact content-hash dedup, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Cross-engine determinism: every pseudo-random hash is md5-based
+(identical hex in Spark and DuckDB), so MinHash permutations are
+``min(md5("seed_" || shingle))`` — lexicographic min of hex equals
+numeric min of the 128-bit value.
+
+100 TB posture: each op is scan → map-side array work → one hash-keyed
+shuffle (groupBy hash / band), i.e. the classic shuffle-light dedup
+shape. Candidate generation (LSH bands) keeps pair comparison linear
+in bucket sizes, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..io import load_table
+from ..registry import register
+
+N_MINHASH = 8  # 2 bands × 4 rows
+SIMHASH_BITS = 16
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: group on sha256(text), keep the
+    lowest doc_id. One shuffle on a uniformly-distributed key — no
+    skew possible, scales to any corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def _shingles(col: Column) -> Column:
+    """Distinct 3-gram word shingles of a text column (Spark side)."""
+    toks = F.split(F.trim(col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        )
+    )
+
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(toks)-2), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+
+def _minhash_col(i: int) -> Column:
+    # NB: the lambda must take exactly one parameter — Spark passes the
+    # array index to a second parameter, so a `lambda s, i=i:` default-arg
+    # closure silently receives the index Column instead of the default.
+    prefix = F.lit(f"mh{i}_")
+    return F.array_min(
+        F.transform(F.col("shingles"), lambda s: F.md5(F.concat(prefix, s)))
+    ).alias(f"mh{i}")
+
+
+def _minhash_cols() -> list[Column]:
+    return [_minhash_col(i) for i in range(N_MINHASH)]
+
+
+_SQL_MINHASH = ", ".join(
+    f"list_aggregate(list_transform(shingles, s -> md5('mh{i}_' || s)), 'min') AS mh{i}"
+    for i in range(N_MINHASH)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
+    mh AS (SELECT doc_id, {_SQL_MINHASH} FROM sh)
+    SELECT doc_id,
+           md5(mh0 || mh1 || mh2 || mh3) AS band0,
+           md5(mh4 || mh5 || mh6 || mh7) AS band1,
+           md5(mh0 || mh1 || mh2 || mh3 || mh4 || mh5 || mh6 || mh7) AS signature
+    FROM mh
+    """,
+    tags=("llm", "dedup", "minhash"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + LSH band keys per document: shingle →
+    8 md5-permutation minhashes → 2 banded keys. Documents sharing a
+    band key are near-dup candidates (join on band0/band1 downstream —
+    see dedup_minhash_pairs). Map-side only; no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    mh = d.select("doc_id", _shingles(F.col("text")).alias("shingles")).select(
+        "doc_id", *_minhash_cols()
+    )
+    b0 = F.md5(F.concat(*[F.col(f"mh{i}") for i in range(4)]))
+    b1 = F.md5(F.concat(*[F.col(f"mh{i}") for i in range(4, 8)]))
+    sig = F.md5(F.concat(*[F.col(f"mh{i}") for i in range(N_MINHASH)]))
+    return mh.select(
+        "doc_id", b0.alias("band0"), b1.alias("band1"), sig.alias("signature")
+    )
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
+    mh AS (SELECT doc_id, {_SQL_MINHASH} FROM sh),
+    bands AS (
+      SELECT doc_id, 0 AS band_no, md5(mh0 || mh1 || mh2 || mh3) AS band_key FROM mh
+      UNION ALL
+      SELECT doc_id, 1 AS band_no, md5(mh4 || mh5 || mh6 || mh7) AS band_key FROM mh)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(DISTINCT a.band_no) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_key = b.band_key AND a.band_no = b.band_no AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    tags=("llm", "dedup", "minhash"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-pair generation: explode per-band keys, self-join
+    within (band_no, band_key) buckets, count shared bands per pair.
+    This is the scale path: pairs are only formed inside hash buckets
+    (linear in bucket sizes), never across the full corpus. On the
+    synthetic corpus (no near-dups) the result is usually empty — the
+    oracle agrees on emptiness, and tests/test_llm_ops.py proves the
+    recall path on planted duplicates."""
+    d = load_table(spark, sf_dir, "documents")
+    mh = d.select("doc_id", _shingles(F.col("text")).alias("shingles")).select(
+        "doc_id", *_minhash_cols()
+    )
+    b0 = F.md5(F.concat(*[F.col(f"mh{i}") for i in range(4)]))
+    b1 = F.md5(F.concat(*[F.col(f"mh{i}") for i in range(4, 8)]))
+    bands = mh.select(
+        "doc_id", F.lit(0).alias("band_no"), b0.alias("band_key")
+    ).unionByName(mh.select("doc_id", F.lit(1).alias("band_no"), b1.alias("band_key")))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.countDistinct("a.band_no").alias("n_shared_bands"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    h AS (SELECT doc_id, len(toks) AS n,
+                 list_transform(toks, x -> md5(x)) AS hashes FROM t)
+    SELECT doc_id,
+           {" || ".join(
+               f"(CASE WHEN 2 * len(list_filter(hashes, x -> substr(x, {b + 1}, 1) "
+               f"IN ('8','9','a','b','c','d','e','f'))) > n THEN '1' ELSE '0' END)"
+               for b in range(SIMHASH_BITS)
+           )} AS simhash_bits
+    FROM h
+    """,
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per bit b, majority vote over tokens of md5
+    nibble b's high bit. Near-dup docs differ in few bits (Hamming).
+    Map-side only; the bit string is a locality-sensitive bucket key."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    h = d.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.transform(toks, lambda x: F.md5(x)).alias("hashes"),
+    )
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+    def bit_col(b: int):
+        pos = b + 1  # captured by value via closure on an int, 1-arg lambda
+        return F.when(
+            2 * F.size(F.filter(F.col("hashes"), lambda x: F.substring(x, pos, 1).isin(*high)))
+            > F.col("n"),
+            "1",
+        ).otherwise("0")
+
+    bits = [bit_col(b) for b in range(SIMHASH_BITS)]
+    return h.select("doc_id", F.concat(*bits).alias("simhash_bits"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.shingles, b.shingles)) AS n_common,
+           len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles)) AS n_union,
+           len(list_intersect(a.shingles, b.shingles))
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=("llm", "dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity between candidate pairs
+    (consecutive doc_ids here as the stand-in candidate set; in
+    production the pairs come from dedup_minhash_pairs buckets —
+    Jaccard verification is always bucket-local, never all-pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        inter.alias("n_common"),
+        union.alias("n_union"),
+        (inter / union).alias("jaccard"),
+    )

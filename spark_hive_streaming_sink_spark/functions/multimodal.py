@@ -1,0 +1,135 @@
+"""Multimodal columns (SURVEY.md §2C extension): image/audio/video as
+opaque ``binary`` columns with typed metadata structs, processed by
+Arrow-batched ``mapInPandas`` kernels.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container — ``decode_image`` raises ``NotImplementedError`` unless
+given the deterministic fake decoder), but all the Spark-side plumbing
+is real and tested: schema contracts, binary payloads, batch
+iteration, partition-parallel kernels, metadata struct propagation.
+Swap ``_fake_decode`` for a Pillow/ffmpeg call and nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..io import load_table
+from ..registry import register
+
+# schema contract for the featurize kernel's output
+FEATURE_SCHEMA = (
+    "doc_id long, kind string, n_bytes long, width int, height int, feature array<double>"
+)
+N_FEATURES = 8
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           'text' AS kind,
+           lang AS meta_lang,
+           n_chars AS meta_chars
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata in one row: cast the text
+    payload to binary (stand-in for image/audio bytes), carry a
+    metadata struct, expose byte length and content hash. Nested
+    struct/binary columns are native columnar types — no serialization
+    tax at rest or in shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("lang").alias("lang"),
+            F.col("n_chars").alias("chars"),
+        ).alias("meta"),
+    )
+    return with_payload.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.chars").alias("meta_chars"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub by design
+    """Real decoder slot. In production: Pillow/turbojpeg decode to
+    HxWxC array. This container has no image libraries, so calling it
+    is an explicit error; the pipeline uses _fake_decode."""
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "environment; use _fake_decode for the deterministic test path"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fake decode: derives (width, height, features)
+    purely from the payload bytes via md5 — stable across runs and
+    partitionings, exercising the exact same plumbing as a real
+    decoder."""
+    h = hashlib.md5(payload).digest()
+    width = 16 + h[0] % 64
+    height = 16 + h[1] % 64
+    feats = [round(b / 255.0, 6) for b in h[2 : 2 + N_FEATURES]]
+    return width, height, feats
+
+
+def featurize_binary(df: DataFrame, kind: str = "image") -> DataFrame:
+    """Arrow-batched featurize kernel over (doc_id, payload) rows —
+    the multimodal map pattern: mapInPandas, one Python worker per
+    input partition, pandas in / pandas out, schema-checked."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                w, h, feats = _fake_decode(data)
+                rows.append((doc_id, kind, len(data), w, h, feats))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "kind", "n_bytes", "width", "height", "feature"],
+            )
+
+    return df.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # fake-decoder output is not SQL-expressible → rows-only
+    tags=("llm", "multimodal", "pandas_udf"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline on fixture data: binary payload →
+    mapInPandas featurize (deterministic fake decoder) → typed feature
+    rows. Verified for determinism + schema in tests/test_llm_ops.py."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    feats = featurize_binary(payloads)
+    return feats.select(
+        "doc_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        F.concat_ws(",", F.transform("feature", lambda x: x.cast("string"))).alias(
+            "feature_csv"
+        ),
+    )

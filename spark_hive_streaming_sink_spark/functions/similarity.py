@@ -1,0 +1,331 @@
+"""Similarity search over embedding columns (SURVEY.md §2C extension):
+brute-force cosine top-k (baseline), LSH-bucketed ANN (scale path),
+and embedding arithmetic (norms, average pooling).
+
+Dot products are sequential double folds over exact float→double casts
+in BOTH engines (bit-identical); ranking uses rounded cosines with a
+unique tie-break so the top-k SET is deterministic.
+
+100 TB posture: the brute-force path broadcasts the (small) query set
+against the corpus — one scan, no shuffle; the ANN path prunes with
+random-hyperplane sign buckets so candidate pairs are bucket-local.
+The NumPy/Arrow variant (sim_cosine_topk_numpy) is the wide-query-set
+path: matrix-at-a-time BLAS inside mapInPandas instead of per-pair
+expression evaluation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..io import load_table
+from ..registry import register
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 5
+DIM = 64
+N_PLANES = 4
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double (matches DuckDB's
+    list_reduce order; init 0.0 + x == x in IEEE)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+_SQL_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return _SQL_DOT.format(a=a, b=b)
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+               FROM embeddings),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 round({_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) AS cosine
+          FROM v q JOIN v c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < {N_QUERIES})
+    SELECT query_id, cand_id, cosine, rnk FROM (
+      SELECT query_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id) AS rnk
+      FROM p)
+    WHERE rnk <= {TOP_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query vectors against
+    every candidate, fold the dot product JVM-side (higher-order fns,
+    no Python), rank per query. The baseline every ANN variant is
+    measured against."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = F.broadcast(q).join(v, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
+    return pairs.select(
+        "query_id", "cand_id", "cosine", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= TOP_K)
+
+
+@register(
+    "sim_cosine_topk_numpy",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+               FROM embeddings),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 round({_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 4) AS cosine
+          FROM v q JOIN v c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < {N_QUERIES})
+    SELECT query_id, cand_id, cosine, rnk FROM (
+      SELECT query_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id) AS rnk
+      FROM p)
+    WHERE rnk <= {TOP_K}
+    """,
+    tags=("llm", "similarity", "pandas_udf"),
+)
+def sim_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized cosine top-k — the scale path for wide query
+    sets: queries are collected to a (Q×D) NumPy matrix broadcast in
+    the closure; each Arrow batch of candidates does one (B×D)·(D×Q)
+    BLAS matmul inside mapInPandas. Rounded to 4 decimals (NumPy's
+    pairwise summation vs the oracle's sequential fold differ at ~1e-15)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            c_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            cos = (c_mat @ q_mat.T) / np.outer(c_nrm, q_nrm)  # (B × Q)
+            b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids[None, :], b, axis=0).ravel(),
+                    "cand_id": np.repeat(pdf["vec_id"].to_numpy(), len(q_ids)),
+                    "cosine": np.round(cos.ravel(), 4),
+                }
+            )
+
+    pairs = emb.select("vec_id", "embedding").mapInPandas(
+        score, "query_id long, cand_id long, cosine double"
+    ).filter(F.col("cand_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
+    return pairs.select(
+        "query_id", "cand_id", "cosine", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= TOP_K)
+
+
+def _plane(h: int, dim: int = DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane from md5 (shared constant
+    between the Spark plan and the generated oracle SQL)."""
+    return [
+        int(hashlib.md5(f"p{h}_{i}".encode()).hexdigest()[0], 16) - 7.5
+        for i in range(dim)
+    ]
+
+
+_PLANES = [_plane(h) for h in range(N_PLANES)]
+
+
+def _sql_plane_dot(emb: str, plane: list[float]) -> str:
+    lits = "[" + ", ".join(str(c) for c in plane) + "]"
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({emb})), "
+        f"i -> {emb}[i]::DOUBLE * ({lits}::DOUBLE[])[i]), (x, y) -> x + y)"
+    )
+
+
+def _spark_bucket(emb: Column) -> Column:
+    chars = []
+    for plane in _PLANES:
+        lit_arr = F.array(*[F.lit(c) for c in plane])
+        d = F.aggregate(
+            F.zip_with(emb, lit_arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        chars.append(F.when(d > 0, "1").otherwise("0"))
+    return F.concat(*chars)
+
+
+def _sql_bucket(emb: str) -> str:
+    parts = [
+        f"(CASE WHEN {_sql_plane_dot(emb, p)} > 0 THEN '1' ELSE '0' END)"
+        for p in _PLANES
+    ]
+    return " || ".join(parts)
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+                      {_sql_bucket('embedding')} AS bucket
+               FROM embeddings),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
+                 round({_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) AS cosine
+          FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+          WHERE q.vec_id < {N_QUERIES})
+    SELECT query_id, cand_id, bucket, cosine, rnk FROM (
+      SELECT query_id, cand_id, bucket, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id) AS rnk
+      FROM p)
+    WHERE rnk <= 3
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: 4 sign bits bucket the
+    corpus into ≤16 cells; candidates are only scored within the
+    query's bucket (≈16× pruning here; bands/probes tune recall at
+    scale). Exact cosine re-ranking inside the bucket."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket"),
+    )
+    pairs = F.broadcast(q).join(
+        v.withColumnRenamed("bucket", "c_bucket"),
+        (F.col("bucket") == F.col("c_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        "bucket",
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
+    return pairs.select(
+        "query_id", "cand_id", "bucket", "cosine", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 3)
+
+
+@register(
+    "embed_norm_stats",
+    oracle=f"""
+    WITH n AS (SELECT vec_id, label,
+                      round(sqrt({_sql_dot('embedding', 'embedding')}), 6) AS l2
+               FROM embeddings)
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(l2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_norm,
+           MIN(l2) AS min_norm, MAX(l2) AS max_norm
+    FROM n GROUP BY label
+    """,
+    tags=("llm", "similarity", "embedding"),
+)
+def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms per vector (higher-order fold) + per-label stats; the
+    group average goes through rounded-decimal sums so it is
+    merge-order independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id", "label", F.round(_norm(F.col("embedding")), 6).alias("l2")
+    )
+    return n.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (F.sum(F.col("l2").cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+            "avg_norm"
+        ),
+        F.min("l2").alias("min_norm"),
+        F.max("l2").alias("max_norm"),
+    )
+
+
+@register(
+    "embed_avg_pool",
+    oracle="""
+    SELECT label, i AS dim,
+           CAST(SUM(CAST(round(embedding[i]::DOUBLE, 6) AS DECIMAL(12,6))) AS DOUBLE)
+             / COUNT(*) AS pooled,
+           COUNT(*) AS n
+    FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+    WHERE i <= len(embedding)
+    GROUP BY label, i
+    """,
+    tags=("llm", "similarity", "embedding"),
+)
+def embed_avg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average pooling per label and dimension (centroids): posexplode →
+    exact decimal sums of rounded components → order-independent means.
+    This is the centroid step of IVF index construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.round(F.col("val").cast("double"), 6).cast("decimal(12,6)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("pooled"),
+            F.count("*").alias("n"),
+        )
+    )

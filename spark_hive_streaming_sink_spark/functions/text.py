@@ -1,0 +1,210 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md §2C
+extension): quality scoring, language-ID heuristic, token counting,
+document fingerprinting.
+
+All pure built-in string/array functions — JVM-side, codegen'd, no
+Python in the hot path; at 100 TB these run as a single scan with
+map-side-only work (no shuffle at all except the final stats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..io import load_table
+from ..registry import register
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_SQL_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# marker words per language for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "und", "die", "das"),
+    "fr": ("le", "et", "la", "les"),
+    "es": ("el", "y", "la", "los"),
+}
+
+
+def _toks(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), " ")
+
+
+@register(
+    "text_stats_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             string_split(trim(text), ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang, n_chars,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             len(list_filter(toks, x -> list_contains([{_SQL_STOP}], x))) AS n_stop,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok_len
+      FROM t)
+    SELECT doc_id, lang, n_chars, n_tokens, n_distinct, n_stop,
+           sum_tok_len / n_tokens AS avg_token_len,
+           n_stop / n_tokens AS stopword_ratio,
+           n_distinct / n_tokens AS ttr,
+           0.4 * (n_distinct / n_tokens)
+             + 0.4 * (n_stop / n_tokens)
+             + 0.2 * (CASE WHEN n_tokens >= 50 THEN 1.0 ELSE n_tokens / 50.0 END)
+             AS quality_score
+    FROM s
+    """,
+    tags=("llm", "text"),
+)
+def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: token stats, type-token ratio,
+    stopword ratio, length factor → weighted score. All ratios are
+    int/int double divisions (bit-identical cross-engine)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    s = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("sum_tok_len"),
+    )
+    nt = F.col("n_tokens")
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_tokens",
+        "n_distinct",
+        "n_stop",
+        (F.col("sum_tok_len") / nt).alias("avg_token_len"),
+        (F.col("n_stop") / nt).alias("stopword_ratio"),
+        (F.col("n_distinct") / nt).alias("ttr"),
+        (
+            F.lit(0.4) * (F.col("n_distinct") / nt)
+            + F.lit(0.4) * (F.col("n_stop") / nt)
+            + F.lit(0.2)
+            * F.when(nt >= 50, F.lit(1.0)).otherwise(nt / F.lit(50.0))
+        ).alias("quality_score"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(toks, x -> list_contains([{markers}], x)))"
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang,
+                 {_lang_score_sql('en')} AS s_en,
+                 {_lang_score_sql('de')} AS s_de,
+                 {_lang_score_sql('fr')} AS s_fr,
+                 {_lang_score_sql('es')} AS s_es
+          FROM t)
+    SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS predicted,
+           (CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END) = lang AS agrees
+    FROM s
+    """,
+    tags=("llm", "text"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (deterministic scores + fixed
+    priority tie-break). The fixture text is synthetic English-ish word
+    soup for every lang label, so `agrees` is mostly false for non-en —
+    the point is the deterministic classification pipeline shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    def score_col(lang: str):
+        markers = LANG_MARKERS[lang]  # bound per-lang; lambda stays 1-arg
+        return F.size(F.filter(toks, lambda x: x.isin(*markers))).alias(f"s_{lang}")
+
+    scores = d.select("doc_id", "lang", *[score_col(lang) for lang in LANG_MARKERS])
+    s_en, s_de, s_fr, s_es = (F.col(c) for c in ["s_en", "s_de", "s_fr", "s_es"])
+    pred = (
+        F.when((s_en == 0) & (s_de == 0) & (s_fr == 0) & (s_es == 0), "unknown")
+        .when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), "en")
+        .when((s_de >= s_fr) & (s_de >= s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es")
+    )
+    return scores.select(
+        "doc_id", "lang", "s_en", "s_de", "s_fr", "s_es",
+        pred.alias("predicted"),
+        (pred == F.col("lang")).alias("agrees"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+           length(text) AS n_chars_raw,
+           length(replace(text, ' ', '')) AS n_chars_no_space
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split + a BPE-ish regex segmentation
+    (letter runs / digit runs / single punctuation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").alias("n_chars_raw"),
+        F.length(F.regexp_replace("text", " ", "")).alias("n_chars_no_space"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      array_to_string(list_sort(list_distinct(
+                          string_split(trim(lower(text)), ' '))), ' ') AS canon
+               FROM documents)
+    SELECT doc_id,
+           md5(canon) AS fingerprint,
+           substr(md5(canon), 1, 8) AS fp_bucket,
+           length(canon) AS canon_len
+    FROM t
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprint (lowercase → token set →
+    sorted → md5): near-dup candidates share fingerprints regardless of
+    token order / repetition. md5 hex is identical cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), " ")))
+    )
+    return d.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.substring(F.md5(canon), 1, 8).alias("fp_bucket"),
+        F.length(canon).alias("canon_len"),
+    )

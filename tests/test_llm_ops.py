@@ -1,0 +1,110 @@
+"""Behavioral tests for the LLM-pipeline ops beyond the oracle hash
+check: recall on PLANTED near-duplicates (the fixture corpus has none)
+and determinism/schema of the multimodal kernel."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_hive_streaming_sink_spark.functions.dedup import _shingles, _minhash_cols
+from spark_hive_streaming_sink_spark.functions.multimodal import featurize_binary
+
+
+@pytest.fixture()
+def planted(spark):
+    """Corpus with exact dup (3≡1), near dup (4≈2, one word changed),
+    and distinct docs."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    near = base.replace("runs", "walks")
+    rows = [
+        (1, base),
+        (2, "completely different text about spark streaming sinks and hive tables"),
+        (3, base),
+        (4, near),
+        (5, "yet another unrelated document concerning query optimization and shuffles"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_planted_near_dups(planted):
+    mh = planted.select("doc_id", _shingles(F.col("text")).alias("shingles")).select(
+        "doc_id", *_minhash_cols()
+    )
+    b0 = F.md5(F.concat(*[F.col(f"mh{i}") for i in range(4)]))
+    b1 = F.md5(F.concat(*[F.col(f"mh{i}") for i in range(4, 8)]))
+    bands = mh.select("doc_id", F.lit(0).alias("bn"), b0.alias("bk")).unionByName(
+        mh.select("doc_id", F.lit(1).alias("bn"), b1.alias("bk"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.bn") == F.col("b.bn"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .collect()
+    }
+    assert (1, 3) in pairs  # exact dup always collides in every band
+    # near dup (1,4): most shingles shared → should collide in ≥1 band
+    assert (1, 4) in pairs or (3, 4) in pairs
+    # unrelated docs must not collide
+    assert (1, 2) not in pairs and (2, 5) not in pairs
+
+
+def test_exact_dedup_on_planted(spark, planted):
+    grouped = planted.groupBy(F.sha2("text", 256).alias("h")).agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n")
+    )
+    rows = {r["keeper"]: r["n"] for r in grouped.collect()}
+    assert rows[1] == 2  # docs 1 and 3 merged
+    assert rows[4] == 1  # near-dup NOT merged by exact dedup
+
+
+def test_simhash_hamming_close_for_near_dups(spark, planted):
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+
+    planted.createOrReplaceTempView("planted")
+    toks = F.split(F.trim(F.col("text")), " ")
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    h = planted.select(
+        "doc_id", F.size(toks).alias("n"), F.transform(toks, lambda x: F.md5(x)).alias("hashes")
+    )
+    def bit_col(b):
+        pos = b + 1
+        return F.when(
+            2 * F.size(F.filter(F.col("hashes"), lambda x: F.substring(x, pos, 1).isin(*high)))
+            > F.col("n"),
+            "1",
+        ).otherwise("0")
+
+    bits = [bit_col(b) for b in range(16)]
+    sh = {r["doc_id"]: r["s"] for r in h.select("doc_id", F.concat(*bits).alias("s")).collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(sh[1], sh[3]) == 0  # identical docs → identical simhash
+    assert ham(sh[1], sh[4]) <= 4  # near dup → few bits differ
+    assert ham(sh[1], sh[2]) >= ham(sh[1], sh[4])  # unrelated at least as far
+
+
+def test_featurize_deterministic_and_schema(spark, planted):
+    payloads = planted.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    f1 = featurize_binary(payloads).orderBy("doc_id").collect()
+    f2 = featurize_binary(payloads.repartition(4)).orderBy("doc_id").collect()
+    assert [tuple(r) for r in f1] == [tuple(r) for r in f2]  # partition-invariant
+    r = f1[0]
+    assert r["kind"] == "image" and len(r["feature"]) == 8
+    assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+    # identical payloads → identical features
+    by_id = {r["doc_id"]: tuple(r["feature"]) for r in f1}
+    assert by_id[1] == by_id[3]
+
+
+def test_decode_image_is_explicit_stub():
+    from spark_hive_streaming_sink_spark.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff")
