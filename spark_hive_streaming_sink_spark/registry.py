@@ -63,6 +63,7 @@ def _load_all() -> None:
     from . import operators  # noqa: F401
     from . import streaming  # noqa: F401
     from . import functions  # noqa: F401
+    from . import sources  # noqa: F401
 
 
 def queries() -> dict[str, Builder]:
