@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from ..io import load_table
+from ..io import load_table, parallelize_scan
 from ..registry import register
 
 N_MINHASH = 8  # 2 bands × 4 rows
@@ -105,7 +105,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 md5-permutation minhashes → 2 banded keys. Documents sharing a
     band key are near-dup candidates (join on band0/band1 downstream —
     see dedup_minhash_pairs). Map-side only; no shuffle at all."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     mh = d.select("doc_id", _shingles(F.col("text")).alias("shingles")).select(
         "doc_id", *_minhash_cols()
     )
@@ -143,7 +143,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic corpus (no near-dups) the result is usually empty — the
     oracle agrees on emptiness, and tests/test_llm_ops.py proves the
     recall path on planted duplicates."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     mh = d.select("doc_id", _shingles(F.col("text")).alias("shingles")).select(
         "doc_id", *_minhash_cols()
     )
@@ -186,7 +186,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash: per bit b, majority vote over tokens of md5
     nibble b's high bit. Near-dup docs differ in few bits (Hamming).
     Map-side only; the bit string is a locality-sensitive bucket key."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), " ")
     h = d.select(
         "doc_id",
@@ -228,7 +228,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (consecutive doc_ids here as the stand-in candidate set; in
     production the pairs come from dedup_minhash_pairs buckets —
     Jaccard verification is always bucket-local, never all-pairs)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     sh = d.select("doc_id", _shingles(F.col("text")).alias("shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

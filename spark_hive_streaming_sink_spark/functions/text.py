@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from ..io import load_table
+from ..io import load_table, parallelize_scan
 from ..registry import register
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -198,7 +198,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-form document fingerprint (lowercase → token set →
     sorted → md5): near-dup candidates share fingerprints regardless of
     token order / repetition. md5 hex is identical cross-engine."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     canon = F.concat_ws(
         " ", F.array_sort(F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), " ")))
     )

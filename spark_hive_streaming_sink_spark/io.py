@@ -44,6 +44,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_scan(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Spread a small-but-compute-heavy input across the cluster.
+
+    The fixture tables are single-row-group parquet files, which caps
+    the scan at one task no matter how many cores exist — so per-row
+    CPU-heavy operators (minhash shingling, simhash, per-doc hashing)
+    would serialize. This explicit repartition moves only the raw input
+    rows (cheap) to unlock full parallelism for the expensive map work.
+    On a real cluster the corpus arrives as many files/row groups and
+    this becomes a no-op-cost round-robin; never use it in front of
+    plain scans/aggregations where Catalyst's split planning is enough.
+    """
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(partitions)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views (for spark.sql queries)."""
     for name in TABLES:
