@@ -133,3 +133,77 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "feature_csv"
         ),
     )
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, target_w int, target_h int, scale double"
+FRAME_SCHEMA = "doc_id long, frame_no int, frame_md5 string"
+
+
+def resize_binary(df: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:
+    """Resize kernel plumbing: decode (fake) → compute scale → emit
+    resized geometry. Swap _fake_decode + the arithmetic for a real
+    image op; the mapInPandas shape is identical."""
+    import pandas as pd
+
+    tw, th = target
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _ = _fake_decode(bytes(payload))
+                scale = round(min(tw / w, th / h), 6)
+                rows.append((doc_id, w, h, tw, th, scale))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "target_w", "target_h", "scale"]
+            )
+
+    return df.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+def frame_sample_binary(df: DataFrame, every_n: int = 4, max_frames: int = 3) -> DataFrame:
+    """Frame-sampling kernel plumbing for video-like payloads: derive a
+    deterministic per-payload frame count, emit every ``every_n``-th
+    frame id + a content hash (one input row → N output rows, the
+    UDTF-ish mapInPandas shape)."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = 8 + _hl.md5(data).digest()[3] % 24
+                sampled = list(range(0, n_frames, every_n))[:max_frames]
+                for fno in sampled:
+                    frame_md5 = _hl.md5(data + fno.to_bytes(4, "big")).hexdigest()
+                    rows.append((doc_id, fno, frame_md5))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_md5"])
+
+    return df.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_resize",
+    oracle=None,  # fake-decoder geometry → rows-only
+    tags=("llm", "multimodal", "pandas_udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline over binary payloads (deterministic fake decode)."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return resize_binary(payloads)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # fake frame derivation → rows-only
+    tags=("llm", "multimodal", "pandas_udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling pipeline over video-like binary payloads."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return frame_sample_binary(payloads)

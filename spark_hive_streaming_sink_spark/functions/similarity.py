@@ -329,3 +329,167 @@ def embed_avg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+_SQL_CENTROIDS = f"""
+    dims AS (SELECT label, i AS dim,
+               CAST(SUM(CAST(round(embedding[i]::DOUBLE, 6) AS DECIMAL(12,6))) AS DOUBLE)
+                 / COUNT(*) AS cv
+             FROM embeddings CROSS JOIN generate_series(1, {DIM}) AS t(i)
+             WHERE i <= len(embedding) GROUP BY label, i),
+    cents AS (SELECT label, list(cv ORDER BY dim) AS cvec FROM dims GROUP BY label)
+"""
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH {_SQL_CENTROIDS},
+    pairs AS (SELECT e.vec_id, e.embedding, c.label AS cl,
+                     list_reduce(list_transform(generate_series(1, len(e.embedding)),
+                         i -> (e.embedding[i]::DOUBLE - c.cvec[i])
+                            * (e.embedding[i]::DOUBLE - c.cvec[i])), (x, y) -> x + y) AS d2
+              FROM embeddings e CROSS JOIN cents c),
+    assign AS (SELECT vec_id, embedding, cl AS cell,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY round(d2, 6), cl) AS rn
+               FROM pairs),
+    v AS (SELECT vec_id, embedding, cell,
+                 sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+          FROM assign WHERE rn = 1),
+    scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.cell,
+                      round({_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) AS cosine
+               FROM v q JOIN v c ON q.cell = c.cell AND c.vec_id != q.vec_id
+               WHERE q.vec_id < {N_QUERIES})
+    SELECT query_id, cand_id, cell, cosine, rnk FROM (
+      SELECT query_id, cand_id, cell, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: build centroids (per-label average pooling =
+    k-means-like cells with deterministic seeds), assign every vector
+    to its nearest centroid, then search only the query's cell.
+
+    The 100 TB shape: centroid build is one pass + tiny shuffle;
+    assignment is a broadcast of K centroids against the corpus
+    (map-side argmin, no shuffle); search cost drops by ~K×. Exact
+    cosine re-rank inside the cell."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # centroids: exact decimal means per (label, dim) → dense array
+    cents = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.round(F.col("val").cast("double"), 6).cast("decimal(12,6)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("cv")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+            ).alias("cvec")
+        )
+    )
+    # assignment: nearest centroid by squared L2 (broadcast K centroids)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = emb.crossJoin(
+        F.broadcast(cents.withColumnRenamed("label", "cl"))
+    ).select("vec_id", "embedding", "cl", d2.alias("d2"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.round(F.col("d2"), 6), "cl")
+    assign = (
+        pairs.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cl").alias("cell"))
+    )
+    v = assign.select(
+        "vec_id", "embedding", "cell", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("cell"),
+    )
+    scored = F.broadcast(q).join(
+        v.withColumnRenamed("cell", "c_cell"),
+        (F.col("cell") == F.col("c_cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        "cell",
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
+    return scored.select(
+        "query_id", "cand_id", "cell", "cosine", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+                      {_sql_bucket('embedding')} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+           round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cosine
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) >= 0.3
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: LSH sign buckets
+    prune candidate pairs, exact cosine ≥ 0.3 confirms — the
+    semantic-dedup analogue of MinHash→Jaccard (candidates bucket-local,
+    never all-pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    cosine = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )

@@ -5,4 +5,5 @@ from . import joins  # noqa: F401
 from . import relational  # noqa: F401
 from . import semistructured  # noqa: F401
 from . import setops  # noqa: F401
+from . import tpch  # noqa: F401
 from . import windows  # noqa: F401

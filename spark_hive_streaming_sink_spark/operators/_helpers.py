@@ -41,6 +41,27 @@ def davg(col: Column | str, scale: int = 4) -> Column:
     return F.sum(to_units(c, scale)).cast("double") / F.lit(float(10**scale)) / F.count(c)
 
 
+def revenue_c(ep: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    """Per-line revenue ep*(1-disc) rounded to exact cents (the shared
+    money idiom: integer products, per-row cent rounding, long sums)."""
+    ep_c = to_units(ep, 2)
+    disc_bp = to_units(disc, 4)
+    return F.round(ep_c * (F.lit(10000) - disc_bp) / 10000.0, 0).cast("bigint")
+
+
+def sql_revenue_c(ep: str = "l_extendedprice", disc: str = "l_discount") -> str:
+    return (
+        f"CAST(ROUND(CAST(ROUND({ep} * 100, 0) AS BIGINT)"
+        f" * (10000 - CAST(ROUND({disc} * 10000, 0) AS BIGINT)) / 10000.0, 0) AS BIGINT)"
+    )
+
+
+def sql_sum_revenue(ep: str = "l_extendedprice", disc: str = "l_discount") -> str:
+    return (
+        f"(CAST(CAST(SUM({sql_revenue_c(ep, disc)}) AS BIGINT) AS DOUBLE) / 100.0)"
+    )
+
+
 def ts_str(col: Column | str, fmt: str = "yyyy-MM-dd HH:mm:ss") -> Column:
     """Format a timestamp to string (oracle: strftime) — avoids tz /
     precision ambiguity in driver-side hashing."""

@@ -1,0 +1,41 @@
+"""Physical-plan inspection helpers: the engine's scale guarantees
+(pushdown, pruning, broadcast selection, top-k rewrites, shuffle
+counts) are asserted in tests/test_plans.py via these, so a regression
+that silently degrades a plan (e.g. a broadcast falling back to
+sort-merge, a filter failing to reach the scan) fails CI rather than
+surfacing as a 100× slowdown at cluster scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """explain("formatted") as a string (what .explain prints)."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def count_nodes(df: DataFrame, node: str) -> int:
+    """Count physical nodes by their detail headers ``(N) NodeName`` —
+    the tree rendering repeats each node, so a raw substring count
+    double-counts."""
+    return len(re.findall(rf"^\(\d+\)\s+{re.escape(node)}", formatted_plan(df), re.M))
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    return [
+        line.strip()
+        for line in formatted_plan(df).splitlines()
+        if "PushedFilters" in line
+    ]
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    return [
+        line.strip() for line in formatted_plan(df).splitlines() if "ReadSchema" in line
+    ]

@@ -3,3 +3,4 @@
 from . import ops  # noqa: F401
 from . import sink  # noqa: F401
 from . import sink_query  # noqa: F401
+from . import stateful  # noqa: F401

@@ -1,0 +1,95 @@
+"""Plan-quality regression tests: assert the physical plans keep the
+shapes the 100 TB design depends on (SURVEY.md §4). A silent fallback
+(broadcast → sort-merge, lost pushdown, extra shuffle) fails here
+instead of surfacing as a cluster-scale slowdown."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_hive_streaming_sink_spark.plans import (
+    count_nodes,
+    formatted_plan,
+    pushed_filters,
+    read_schemas,
+)
+from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+from .conftest import SF_DIR
+
+queries()
+
+
+def _df(spark, name):
+    return QUERIES[name].builder(spark, SF_DIR)
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = _df(spark, "q1_pricing_summary")
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), f"shipdate filter not pushed: {pf}"
+    rs = read_schemas(df)
+    # projection pruning: the scan must not read l_orderkey/l_partkey/...
+    assert rs and "l_orderkey" not in rs[0] and "l_partkey" not in rs[0]
+    # partial+final hash aggregation with exactly one shuffle
+    assert count_nodes(df, "HashAggregate") == 2
+    assert count_nodes(df, "Exchange") == 1
+
+
+def test_dim_joins_broadcast(spark):
+    df = _df(spark, "join_inner_broadcast")
+    assert count_nodes(df, "BroadcastHashJoin") >= 2
+    assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_theta_range_join_not_nested_loop(spark):
+    df = _df(spark, "join_theta_range")
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan  # equi key keeps it hash/broadcast
+    assert count_nodes(df, "BroadcastHashJoin") + count_nodes(df, "SortMergeJoin") >= 1
+
+
+def test_topk_uses_window_group_limit(spark):
+    df = _df(spark, "window_topk_per_group")
+    assert count_nodes(df, "WindowGroupLimit") >= 1
+
+
+def test_global_topk_uses_take_ordered(spark):
+    df = _df(spark, "orderby_limit_topk")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan  # no full global sort
+
+
+def test_minhash_is_shuffle_free(spark):
+    df = _df(spark, "dedup_minhash_lsh")
+    # one round-robin exchange from parallelize_scan is expected; no
+    # key shuffle beyond it
+    assert count_nodes(df, "Exchange") <= 1
+
+
+def test_filter_predicates_fully_pushed(spark):
+    df = _df(spark, "filter_predicates")
+    pf = pushed_filters(df)
+    joined = " ".join(pf)
+    assert "o_orderstatus" in joined and "o_totalprice" in joined
+
+
+def test_tpch_q3_broadcasts_dims(spark):
+    df = _df(spark, "q3_shipping_priority")
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    pf = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pf and "l_shipdate" in pf and "o_orderdate" in pf
+
+
+def test_stream_static_join_broadcasts(spark):
+    # the static dimension must broadcast so the stream never shuffles
+    from spark_hive_streaming_sink_spark.io import load_table
+    from spark_hive_streaming_sink_spark.streaming.ops import stream_table
+    import pyspark.sql.functions as F
+
+    ev = stream_table(spark, SF_DIR, "events")
+    cust = load_table(spark, SF_DIR, "customer")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    # streaming plans can't be explained until execution; check the
+    # analyzed logical plan carries the broadcast hint
+    assert "broadcast" in joined._jdf.queryExecution().analyzed().toString().lower()
