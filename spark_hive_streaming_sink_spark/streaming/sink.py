@@ -167,6 +167,26 @@ def make_batch_writer(
         if ledger.committed(batch_id):
             return  # replayed batch — exactly-once skip
         spark = batch_df.sparkSession
+        if part_cols and not options.auto_create_partitions:
+            # HiveOptions.scala:35 / HiveWriter.scala:44 — with
+            # auto.create.partitions=false the reference's Hive endpoint
+            # rejects rows for partitions that don't exist yet.
+            existing = {
+                tuple(p.split("/"))
+                for (p,) in spark.sql(
+                    f"SHOW PARTITIONS {options.qualified_name}"
+                ).collect()
+            }
+            incoming = {
+                tuple(f"{c}={r[c]}" for c in part_cols)
+                for r in batch_df.select(*part_cols).distinct().collect()
+            }
+            missing = incoming - existing
+            if missing:
+                raise HiveStreamingSinkError(
+                    f"auto.create.partitions=false and batch {batch_id} contains "
+                    f"unknown partition(s): {sorted(missing)}"
+                )
         dest_cols = [f.name for f in spark.table(options.qualified_name).schema.fields]
         # insertInto is positional: align to destination column order
         # (the reference validates name-sets only; we also conform order,

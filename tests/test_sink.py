@@ -128,3 +128,27 @@ def test_end_to_end_stream_with_partition_routing(spark):
         for r in src.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
     }
     assert got == want
+
+
+def test_auto_create_partitions_false_rejects_new(spark):
+    # HiveOptions.scala:35 — auto.create.partitions=false must reject
+    # rows destined for partitions that don't exist yet
+    table, base = _mk_table(spark)
+    opts = HiveSinkOptions(db="default", table=table, auto_create_partitions=False)
+    part_cols = validate_destination(
+        spark, ["event_id", "user_id", "value", "event_type"], opts
+    )
+    ledger = BatchCommitLedger(os.path.join(base, "ledger"))
+    writer = make_batch_writer(opts, part_cols, ledger, [])
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "user_id", "value", "event_type")
+        .limit(50)
+    )
+    with pytest.raises(HiveStreamingSinkError, match="unknown partition"):
+        writer(batch, 0)
+    # pre-create the partitions -> same batch now lands
+    for (t,) in batch.select("event_type").distinct().collect():
+        spark.sql(f"ALTER TABLE {table} ADD PARTITION (event_type='{t}')")
+    writer(batch, 0)
+    assert spark.table(table).count() == 50
