@@ -22,9 +22,13 @@ from spark_hive_streaming_sink_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
     "join_inner_broadcast",
     "join_theta_range",
     "join_asof",
+    "join_skew_salted",
     "agg_basic",
     "agg_cube",
     "window_topk_per_group",
@@ -33,6 +37,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
+    "sim_ann_lsh",
 ]
 
 

@@ -1,5 +1,6 @@
 """Batch operator modules; importing this package registers their queries."""
 
+from . import advanced  # noqa: F401
 from . import aggregates  # noqa: F401
 from . import joins  # noqa: F401
 from . import relational  # noqa: F401

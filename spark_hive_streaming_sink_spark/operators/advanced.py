@@ -1,0 +1,170 @@
+"""Advanced relational operators: pivot, deterministic sampling,
+correlated subqueries, skew-salted joins — the long tail of §2C plus
+the sampling ops a training-data pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from ..io import load_table
+from ..registry import register
+from ._helpers import sql_dsum, dsum
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END", 2)} AS qty_F,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END", 2)} AS qty_O,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: rows → columns per category. Spark's pivot with explicit
+    value list (never the implicit distinct-scan variant at scale —
+    that's an extra job over the fact table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            dsum("l_quantity", 2).alias("qty"),
+            F.count(F.lit(1)).alias("cnt"),  # count(*) star is invalid inside pivot agg
+        )
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce("F_qty", F.lit(0.0)).alias("qty_F"),
+        F.coalesce("O_qty", F.lit(0.0)).alias("qty_O"),
+        (F.coalesce("F_cnt", F.lit(0)) + F.coalesce("O_cnt", F.lit(0))).alias("n"),
+    )
+
+
+@register(
+    "sample_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    """,
+    tags=("sample",),
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic hash sample: membership depends only on the
+    key (not on partitioning, unlike df.sample) — reproducible across
+    runs, re-partitions, and engines; the correct way to carve
+    train/val splits in a data pipeline."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_sampled
+    FROM (SELECT c_mktsegment,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn,
+                 COUNT(*) OVER (PARTITION BY c_mktsegment) AS grp_n
+          FROM customer)
+    WHERE rn * 5 <= grp_n
+    GROUP BY c_mktsegment
+    """,
+    tags=("sample",),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified 20% sample per segment: hash-ordered row_number caps
+    each stratum at ⌊n/5⌋ — exact per-group fractions, deterministic,
+    one shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+    )
+    wn = Window.partitionBy("c_mktsegment")
+    return (
+        c.select(
+            "c_mktsegment",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("grp_n"),
+        )
+        .filter(F.col("rn") * 5 <= F.col("grp_n"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+    tags=("relational", "subquery"),
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders > 2× their customer's
+    average). Catalyst decorrelates this into an aggregate + join —
+    no per-row re-execution. Note: the AVG here feeds a strict
+    inequality against well-separated values, so cross-engine float
+    summation order cannot flip the comparison on this data."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM _sq_orders o
+        WHERE o_totalprice > 2 * (SELECT AVG(o2.o_totalprice)
+                                  FROM _sq_orders o2
+                                  WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT flag_name, COUNT(*) AS n, {sql_dsum('l_extendedprice', 2)} AS value
+    FROM lineitem
+    JOIN (VALUES ('A', 'returned'), ('N', 'kept'), ('R', 'refunded'))
+         AS dim(flag, flag_name)
+      ON l_returnflag = flag
+    GROUP BY flag_name
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for pathologically skewed keys: the fact side's join
+    key has 3 distinct values (every row hits one of 3 reducers in a
+    plain shuffle join). Salting appends hash(pk) % N to the fact key
+    and replicates the dim N× — fan-out restores parallelism while the
+    result stays identical to the plain join. (With a broadcastable dim
+    you'd just broadcast; salting is the pattern for skewed fact-fact
+    joins where AQE's skew split isn't available.)"""
+    n_salt = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.hash("l_orderkey"), F.lit(n_salt))
+    )
+    dim = spark.createDataFrame(
+        [("A", "returned"), ("N", "kept"), ("R", "refunded")], "flag string, flag_name string"
+    )
+    dim_salted = dim.crossJoin(
+        spark.range(n_salt).select(F.col("id").cast("int").alias("salt"))
+    )
+    return (
+        li.hint("shuffle_hash")
+        .join(
+            dim_salted,
+            (li.l_returnflag == dim_salted.flag) & (li.salt == dim_salted.salt),
+        )
+        .groupBy("flag_name")
+        .agg(F.count("*").alias("n"), dsum("l_extendedprice", 2).alias("value"))
+    )
