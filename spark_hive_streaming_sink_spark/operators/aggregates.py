@@ -260,3 +260,31 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "agg_stats_native",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(stddev_pop(l_quantity), 4) AS sd_pop_qty,
+           round(covar_samp(l_quantity, l_discount), 6) AS covar_qd,
+           round(corr(l_quantity, l_discount), 6) AS corr_qd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_stats_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native statistical aggregate functions (stddev/var/covar/
+    corr), rounded in both engines — the API-parity companion to
+    agg_stats' exact-moment formulation (which is the bit-identical
+    one; native single-pass implementations agree to ~1e-10)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.stddev_pop("l_quantity"), 4).alias("sd_pop_qty"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qd"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qd"),
+    )

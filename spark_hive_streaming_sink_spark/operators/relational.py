@@ -317,3 +317,37 @@ def cast_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(split(o_orderpriority, '-')[0] AS INT)").alias("prio_rank"),
         F.col("o_orderdate").cast("date").alias("order_date"),
     )
+
+
+@register(
+    "filter_null_safe_eq",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS maybe_status
+      FROM orders)
+    SELECT o_orderkey, maybe_status,
+           maybe_status IS NOT DISTINCT FROM 'O' AS is_open,
+           maybe_status IS NOT DISTINCT FROM NULL AS is_nullish
+    FROM t
+    WHERE maybe_status IS DISTINCT FROM 'F'
+    """,
+    tags=("relational", "filter"),
+)
+def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) in projection and
+    filter position — NULLs compare as values, not unknowns."""
+    o = load_table(spark, sf_dir, "orders")
+    maybe = F.when(F.col("o_orderstatus") == "P", F.lit(None).cast("string")).otherwise(
+        F.col("o_orderstatus")
+    )
+    return (
+        o.select("o_orderkey", maybe.alias("maybe_status"))
+        .filter(~F.col("maybe_status").eqNullSafe(F.lit("F")))
+        .select(
+            "o_orderkey",
+            "maybe_status",
+            F.col("maybe_status").eqNullSafe(F.lit("O")).alias("is_open"),
+            F.col("maybe_status").eqNullSafe(F.lit(None).cast("string")).alias("is_nullish"),
+        )
+    )
