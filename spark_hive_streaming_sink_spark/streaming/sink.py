@@ -236,3 +236,52 @@ def write_stream_to_table(
         writer = writer.queryName(query_name)
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def compact_table(
+    spark: SparkSession,
+    db: str,
+    table: str,
+    max_files_per_partition: int = 4,
+) -> dict:
+    """Small-file compaction for streaming destinations.
+
+    Many micro-batches → many small files per partition; the reference
+    delegates this to Hive's transactional compactor (``README.md:74``).
+    Spark-native equivalent: per partition, if the file count exceeds
+    the threshold, rewrite that partition's data as one coalesced file
+    set via a dynamic partition overwrite (atomic per partition under
+    partitionOverwriteMode=dynamic — readers never see partial state).
+
+    Returns {partition_value: n_files_before} for the rewritten ones.
+    Run it out-of-band (maintenance job), never inside foreachBatch.
+    """
+    qualified = f"{db}.{table}"
+    part_cols = [c.name for c in spark.catalog.listColumns(qualified) if c.isPartition]
+    if not part_cols:
+        raise HiveStreamingSinkError(f"{qualified} is not partitioned; nothing to compact")
+    pcol = part_cols[0]
+    # count files per partition from the file index
+    files = (
+        spark.table(qualified)
+        .select(F.input_file_name().alias("f"), F.col(pcol))
+        .distinct()
+        .groupBy(pcol)
+        .count()
+        .collect()
+    )
+    crowded = {r[pcol]: r["count"] for r in files if r["count"] > max_files_per_partition}
+    if not crowded:
+        return {}
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    vals = list(crowded)
+    dest_cols = [f.name for f in spark.table(qualified).schema.fields]
+    (
+        spark.table(qualified)
+        .filter(F.col(pcol).isin(vals))
+        .select(*dest_cols)
+        .repartition(1, F.col(pcol))
+        .write.mode("overwrite")
+        .insertInto(qualified)
+    )
+    return crowded

@@ -152,3 +152,57 @@ def test_auto_create_partitions_false_rejects_new(spark):
         spark.sql(f"ALTER TABLE {table} ADD PARTITION (event_type='{t}')")
     writer(batch, 0)
     assert spark.table(table).count() == 50
+
+
+def test_sink_to_orc_table(spark):
+    """The reference's destinations are ORC tables (DDL at
+    HiveStreamingExample.scala:26-31, 'stored as orc'); the sink must
+    land micro-batches into ORC-format destinations identically."""
+    run_id = uuid.uuid4().hex[:10]
+    base = tempfile.mkdtemp(prefix=f"shss_orc_{run_id}_")
+    table = f"alerts_orc_{run_id}"
+    spark.sql(
+        f"CREATE TABLE {table} (event_id BIGINT, user_id BIGINT, value DOUBLE, "
+        f"event_type STRING) USING ORC PARTITIONED BY (event_type) LOCATION '{base}/tbl'"
+    )
+    ev = stream_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    q = write_stream_to_table(ev, checkpoint_dir=f"{base}/ckpt", db="default", table=table)
+    q.awaitTermination()
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    assert spark.table(table).count() == src.count()
+    # files on disk really are ORC
+    import glob
+    files = glob.glob(f"{base}/tbl/event_type=*/*.orc")
+    assert files, "no .orc data files written"
+
+
+def test_compaction_reduces_files_preserves_rows(spark):
+    from spark_hive_streaming_sink_spark.streaming.sink import compact_table
+
+    table, base = _mk_table(spark)
+    opts = HiveSinkOptions(db="default", table=table)
+    part_cols = validate_destination(
+        spark, ["event_id", "user_id", "value", "event_type"], opts
+    )
+    ledger = BatchCommitLedger(os.path.join(base, "ledger"))
+    writer = make_batch_writer(opts, part_cols, ledger, [])
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    # simulate 6 micro-batches -> >=6 files per partition
+    for i in range(6):
+        writer(src.filter(F.col("event_id") % 6 == i), i)
+    before = spark.table(table).count()
+    import glob
+    n_files_before = len(glob.glob(f"{base}/tbl/event_type=*/*.parquet"))
+    rewritten = compact_table(spark, "default", table, max_files_per_partition=2)
+    assert rewritten, "expected crowded partitions to be rewritten"
+    n_files_after = len(glob.glob(f"{base}/tbl/event_type=*/*.parquet"))
+    assert n_files_after < n_files_before
+    assert spark.table(table).count() == before == src.count()
+    # contents identical, not just counts
+    got = sorted(tuple(r) for r in spark.table(table).collect())
+    want = sorted(tuple(r) for r in src.collect())
+    assert got == want
