@@ -197,6 +197,11 @@ def make_batch_writer(
             aligned = aligned.repartition(*[F.col(c) for c in part_cols])
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         aligned.write.mode("append").insertInto(options.qualified_name)
+        # invalidate this session's cached file index; NB foreachBatch runs
+        # in a CLONED session, so concurrent readers in other sessions of an
+        # UNPARTITIONED table must refreshTable themselves before reading
+        # (partitioned tables see new data via partition metadata)
+        spark.catalog.refreshTable(options.qualified_name)
         ledger.record(batch_id)
 
     return write_batch
