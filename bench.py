@@ -25,6 +25,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q18_large_volume_customer",
     "join_inner_broadcast",
     "join_theta_range",
     "join_asof",

@@ -93,3 +93,37 @@ def test_stream_static_join_broadcasts(spark):
     # streaming plans can't be explained until execution; check the
     # analyzed logical plan carries the broadcast hint
     assert "broadcast" in joined._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_q6_all_predicates_pushed_no_join(spark):
+    df = _df(spark, "q6_forecast_revenue")
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+    rs = read_schemas(df)
+    # scan reads only the four needed columns
+    assert rs and "l_orderkey" not in rs[0] and "l_partkey" not in rs[0]
+    assert count_nodes(df, "SortMergeJoin") + count_nodes(df, "BroadcastHashJoin") == 0
+
+
+def test_q9_single_fact_shuffle_join(spark):
+    df = _df(spark, "q9_product_profit")
+    # supplier/part/nation broadcast; lineitem↔orders is the only
+    # non-broadcast join
+    assert count_nodes(df, "BroadcastHashJoin") >= 3
+    assert count_nodes(df, "SortMergeJoin") <= 1
+    pf = " ".join(pushed_filters(df))
+    assert "p_name" in pf  # LIKE pushes as StringContains
+
+
+def test_q17_brand_filter_prunes_before_aggregate(spark):
+    df = _df(spark, "q17_small_quantity")
+    plan = formatted_plan(df)
+    # the brand predicate reaches the part scan, so the per-part
+    # average aggregates only qualifying parts' lines (size-estimation
+    # may still broadcast the aggregate at fixture scale — that's a
+    # stats artifact, not a plan shape we pin)
+    pf = " ".join(pushed_filters(df))
+    assert "p_brand" in pf
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # partial+final pairs for both the per-part and the global aggregate
+    assert count_nodes(df, "HashAggregate") >= 4
