@@ -99,3 +99,82 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.missing").alias("missing_val"),
         F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
     )
+
+
+@register(
+    "map_explode_entries",
+    oracle="""
+    WITH kv AS (
+      SELECT event_id, unnest(json_keys(props)) AS mk, props FROM events)
+    SELECT mk,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || mk) AS INTEGER)) AS BIGINT) AS v_sum,
+           MIN(CAST(json_extract_string(props, '$.' || mk) AS INTEGER)) AS v_min,
+           MAX(CAST(json_extract_string(props, '$.' || mk) AS INTEGER)) AS v_max
+    FROM kv GROUP BY mk
+    """,
+    tags=("semistructured", "map"),
+)
+def map_explode_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-entry explosion: from_json → map<string,int> → explode into
+    (key, value) rows → per-key aggregate. The shuffle carries one row
+    per (event, key) but reduces to the distinct-key set — bounded by
+    schema vocabulary, not event count (same shape as explode_wordcount).
+    Covers map_values/explode(map)/json_tuple surface of §2C."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return (
+        e.select("event_id", F.explode(m).alias("mk", "mv"))
+        .groupBy("mk")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("mv").cast("bigint").alias("v_sum"),
+            F.min("mv").alias("v_min"),
+            F.max("mv").alias("v_max"),
+        )
+    )
+
+
+@register(
+    "array_zip_reverse",
+    oracle="""
+    WITH t AS (SELECT doc_id, ts,
+                      string_split(trim(text), ' ') AS toks
+               FROM documents JOIN events ON doc_id = event_id)
+    SELECT doc_id,
+           toks[1] AS first_tok,
+           list_reverse(toks)[1] AS last_tok,
+           len(toks) AS n_tok,
+           strftime(CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP),
+                    '%Y-%m-%d %H:%M:%S') AS ts_roundtrip
+    FROM t
+    """,
+    tags=("semistructured", "array"),
+)
+def array_zip_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrays_zip + reverse + element_at (struct-field extraction from
+    a zipped pair), plus a to_timestamp parse round-trip — the §2C
+    array/date surface not exercised elsewhere. The doc↔event join is
+    only there to put a timestamp and a text in one row; both sides
+    prune to two columns before the broadcast."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    toks = F.split(F.trim(F.col("text")), " ")
+    z = F.arrays_zip(toks.alias("t"), F.reverse(toks).alias("r"))
+    first = F.element_at(z, 1)
+    return (
+        d.join(F.broadcast(e), d.doc_id == e.event_id)
+        .select(
+            "doc_id",
+            first.getField("t").alias("first_tok"),
+            first.getField("r").alias("last_tok"),
+            F.size(toks).alias("n_tok"),
+            F.date_format(
+                F.to_timestamp(
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+                    "yyyy-MM-dd HH:mm:ss",
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("ts_roundtrip"),
+        )
+    )
