@@ -244,3 +244,33 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "p_ts", "c_ts")
     res = run_to_memory(joined, mode="append")
     return res.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: unlike plain streaming
+    dropDuplicates (state grows until event-time eviction of the exact
+    key+time), this dedups any duplicates arriving within the watermark
+    delay even when their event times differ (the realistic shape of
+    the reference's at-least-once retry duplicates, which re-write the
+    same rows later in wall-clock time). State per key is bounded by
+    the watermark window."""
+    a = stream_table(spark, sf_dir, "events")
+    b = stream_table(spark, sf_dir, "events")
+    deduped = (
+        a.unionByName(b)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    res = run_to_memory(deduped, mode="append")
+    return res.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_unique")
+    )

@@ -206,3 +206,13 @@ def test_compaction_reduces_files_preserves_rows(spark):
     got = sorted(tuple(r) for r in spark.table(table).collect())
     want = sorted(tuple(r) for r in src.collect())
     assert got == want
+
+
+def test_twsip_gating_matches_runtime():
+    """stream_transform_with_state registers iff the python protobuf
+    dependency (required by transformWithStateInPandas's worker
+    channel) is importable — never a registered-but-crashing query."""
+    from spark_hive_streaming_sink_spark.registry import queries
+    from spark_hive_streaming_sink_spark.streaming.stateful import _twsip_available
+
+    assert ("stream_transform_with_state" in queries()) == _twsip_available()
