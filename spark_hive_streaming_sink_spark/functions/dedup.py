@@ -66,22 +66,49 @@ _SQL_SHINGLES = (
 )
 
 
+def _shingle_hashes(shingles: Column) -> Column:
+    """Per shingle: one md5 (the only cryptographic hash in the
+    pipeline), parsed ONCE into two 60-bit longs (h1, h2). The N
+    permutations below derive from the pair arithmetically — hashing
+    and hex-parsing cost is paid once per shingle, not once per
+    (shingle, permutation)."""
+
+    def parse(x: Column) -> Column:
+        return F.struct(
+            F.conv(F.substring(x, 1, 15), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(x, 17, 15), 16, 10).cast("bigint").alias("h2"),
+        )
+
+    return F.transform(F.transform(shingles, lambda s: F.md5(s)), parse)
+
+
 def _minhash_col(i: int) -> Column:
-    # NB: the lambda must take exactly one parameter — Spark passes the
-    # array index to a second parameter, so a `lambda s, i=i:` default-arg
-    # closure silently receives the index Column instead of the default.
-    prefix = F.lit(f"mh{i}_")
-    return F.array_min(
-        F.transform(F.col("shingles"), lambda s: F.md5(F.concat(prefix, s)))
-    ).alias(f"mh{i}")
+    # Carter-Wegman universal hashing: h_i = h1 + i*h2 as the i-th
+    # permutation — integer multiply-add per (shingle, permutation)
+    # instead of a fresh md5, and the min runs over longs, not 32-char
+    # strings. Max value is h1 + 7*h2 < 8 * 2^60 = 2^63 — no signed-64
+    # overflow.
+    # NB: the transform lambda must take exactly one parameter — Spark
+    # passes the array index to a second parameter, so a `lambda p, i=i:`
+    # default-arg closure silently receives the index Column instead.
+    def perm(p: Column) -> Column:
+        return p.getField("h1") + F.lit(i) * p.getField("h2")
+
+    return F.array_min(F.transform(F.col("hx"), perm)).alias(f"mh{i}")
 
 
 def _minhash_cols() -> list[Column]:
     return [_minhash_col(i) for i in range(N_MINHASH)]
 
 
+_SQL_HX = (
+    "list_transform(list_transform(shingles, s -> md5(s)), x -> "
+    "{'h1': CAST(('0x' || substr(x, 1, 15)) AS BIGINT), "
+    "'h2': CAST(('0x' || substr(x, 17, 15)) AS BIGINT)})"
+)
+
 _SQL_MINHASH = ", ".join(
-    f"list_aggregate(list_transform(shingles, s -> md5('mh{i}_' || s)), 'min') AS mh{i}"
+    f"list_aggregate(list_transform(hx, p -> p.h1 + {i} * p.h2), 'min') AS mh{i}"
     for i in range(N_MINHASH)
 )
 
@@ -91,27 +118,29 @@ _SQL_MINHASH = ", ".join(
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
-    mh AS (SELECT doc_id, {_SQL_MINHASH} FROM sh)
+    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM sh),
+    mh AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt)
     SELECT doc_id,
-           md5(mh0 || mh1 || mh2 || mh3) AS band0,
-           md5(mh4 || mh5 || mh6 || mh7) AS band1,
-           md5(mh0 || mh1 || mh2 || mh3 || mh4 || mh5 || mh6 || mh7) AS signature
+           md5(concat_ws('_', mh0, mh1, mh2, mh3)) AS band0,
+           md5(concat_ws('_', mh4, mh5, mh6, mh7)) AS band1,
+           md5(concat_ws('_', mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7)) AS signature
     FROM mh
     """,
     tags=("llm", "dedup", "minhash"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures + LSH band keys per document: shingle →
-    8 md5-permutation minhashes → 2 banded keys. Documents sharing a
-    band key are near-dup candidates (join on band0/band1 downstream —
-    see dedup_minhash_pairs). Map-side only; no shuffle at all."""
+    one md5 per shingle → 8 Carter-Wegman permutation minhashes →
+    2 banded keys. Documents sharing a band key are near-dup candidates
+    (join on band0/band1 downstream — see dedup_minhash_pairs).
+    Map-side only; no shuffle at all."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    mh = d.select("doc_id", _shingles(F.col("text")).alias("shingles")).select(
-        "doc_id", *_minhash_cols()
-    )
-    b0 = F.md5(F.concat(*[F.col(f"mh{i}") for i in range(4)]))
-    b1 = F.md5(F.concat(*[F.col(f"mh{i}") for i in range(4, 8)]))
-    sig = F.md5(F.concat(*[F.col(f"mh{i}") for i in range(N_MINHASH)]))
+    mh = d.select(
+        "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
+    ).select("doc_id", *_minhash_cols())
+    b0 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)]))
+    b1 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)]))
+    sig = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(N_MINHASH)]))
     return mh.select(
         "doc_id", b0.alias("band0"), b1.alias("band1"), sig.alias("signature")
     )
@@ -122,11 +151,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
-    mh AS (SELECT doc_id, {_SQL_MINHASH} FROM sh),
+    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM sh),
+    mh AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt),
     bands AS (
-      SELECT doc_id, 0 AS band_no, md5(mh0 || mh1 || mh2 || mh3) AS band_key FROM mh
+      SELECT doc_id, 0 AS band_no, md5(concat_ws('_', mh0, mh1, mh2, mh3)) AS band_key FROM mh
       UNION ALL
-      SELECT doc_id, 1 AS band_no, md5(mh4 || mh5 || mh6 || mh7) AS band_key FROM mh)
+      SELECT doc_id, 1 AS band_no, md5(concat_ws('_', mh4, mh5, mh6, mh7)) AS band_key FROM mh)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            COUNT(DISTINCT a.band_no) AS n_shared_bands
     FROM bands a JOIN bands b
@@ -144,11 +174,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle agrees on emptiness, and tests/test_llm_ops.py proves the
     recall path on planted duplicates."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    mh = d.select("doc_id", _shingles(F.col("text")).alias("shingles")).select(
-        "doc_id", *_minhash_cols()
-    )
-    b0 = F.md5(F.concat(*[F.col(f"mh{i}") for i in range(4)]))
-    b1 = F.md5(F.concat(*[F.col(f"mh{i}") for i in range(4, 8)]))
+    mh = d.select(
+        "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
+    ).select("doc_id", *_minhash_cols())
+    b0 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)]))
+    b1 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)]))
     bands = mh.select(
         "doc_id", F.lit(0).alias("band_no"), b0.alias("band_key")
     ).unionByName(mh.select("doc_id", F.lit(1).alias("band_no"), b1.alias("band_key")))

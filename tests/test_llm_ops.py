@@ -7,7 +7,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
-from spark_hive_streaming_sink_spark.functions.dedup import _shingles, _minhash_cols
+from spark_hive_streaming_sink_spark.functions.dedup import (
+    _minhash_cols,
+    _shingle_hashes,
+    _shingles,
+)
 from spark_hive_streaming_sink_spark.functions.multimodal import featurize_binary
 
 
@@ -28,11 +32,11 @@ def planted(spark):
 
 
 def test_minhash_finds_planted_near_dups(planted):
-    mh = planted.select("doc_id", _shingles(F.col("text")).alias("shingles")).select(
-        "doc_id", *_minhash_cols()
-    )
-    b0 = F.md5(F.concat(*[F.col(f"mh{i}") for i in range(4)]))
-    b1 = F.md5(F.concat(*[F.col(f"mh{i}") for i in range(4, 8)]))
+    mh = planted.select(
+        "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
+    ).select("doc_id", *_minhash_cols())
+    b0 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)]))
+    b1 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)]))
     bands = mh.select("doc_id", F.lit(0).alias("bn"), b0.alias("bk")).unionByName(
         mh.select("doc_id", F.lit(1).alias("bn"), b1.alias("bk"))
     )

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Scale-stress harness: replicate the sf0.1 fixtures REPL× with
+key-offset copies (join keys stay consistent, key cardinality grows
+with data — the realistic scale-up, unlike naive row duplication which
+just deepens skew), then run the headline queries and report timings.
+
+This is the "would the plan survive 10× data" check from the 100 TB
+design loop: per-query wall-clock should grow ~linearly (scan-bound) or
+~n·log n (shuffle-bound) — a superlinear jump flags a plan that broke
+(lost broadcast, skewed shuffle, driver collect).
+
+Usage: python tools/stress.py [REPL] [CPUS]   (defaults 10, 32)
+Writes replicated parquet under /tmp/shss_stress_sfX/ (reused if
+present), prints one JSON line per run like bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from spark_hive_streaming_sink_spark.io import load_table  # noqa: E402
+from spark_hive_streaming_sink_spark.registry import queries  # noqa: E402
+from spark_hive_streaming_sink_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+
+# keys that must be offset per replica so cardinalities scale; dimension
+# tables region/nation/supplier/part stay fixed (they grow slowly in
+# TPC-H too) — fact foreign keys into them are left unchanged.
+OFFSET_KEYS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_ONLY = ["region", "nation", "supplier", "part"]
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "q18_large_volume_customer",
+    "join_skew_salted",
+    "agg_cube",
+    "window_topk_per_group",
+    "explode_wordcount",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+]
+
+KEY_STRIDE = 1_000_000_000  # far above any fixture key
+
+
+def materialize(spark, repl: int, out_dir: str) -> None:
+    for name in COPY_ONLY:
+        df = load_table(spark, SRC, name)
+        df.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+    for name, keys in OFFSET_KEYS.items():
+        df = load_table(spark, SRC, name)
+        copies = []
+        for i in range(repl):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * KEY_STRIDE).cast("bigint"))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def main() -> None:
+    repl = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    cpus = sys.argv[2] if len(sys.argv) > 2 else "32"
+    out_dir = f"/tmp/shss_stress_x{repl}"
+    spark = get_spark("stress", cpus=cpus)
+    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        t0 = time.time()
+        materialize(spark, repl, out_dir)
+        print(f"materialized x{repl} in {time.time() - t0:.1f}s", file=sys.stderr)
+    qs = queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, out_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "stress_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "repl": repl,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
