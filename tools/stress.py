@@ -55,7 +55,13 @@ HEADLINE = [
     "window_topk_per_group",
     "explode_wordcount",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_stats_quality",
+    "text_langid",
     "sim_cosine_topk",
+    "sim_ann_lsh",
+    "embed_avg_pool",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
