@@ -351,3 +351,76 @@ def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("maybe_status").eqNullSafe(F.lit(None).cast("string")).alias("is_nullish"),
         )
     )
+
+
+@register(
+    "sql_group_by_all_topk",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment,
+             c_nationkey,
+             COUNT(*) AS n_cust,
+             CAST(CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / 100.0 AS total_bal
+      FROM customer
+      GROUP BY ALL)
+    SELECT c_mktsegment, c_nationkey, n_cust, total_bal
+    FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY n_cust DESC, c_nationkey) AS rn
+          FROM seg)
+    WHERE rn <= 2
+    """,
+    tags=("relational", "sql"),
+)
+def sql_group_by_all_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern SQL surface: GROUP BY ALL (group on every non-aggregate
+    select item, Spark 3.4+/DuckDB) feeding a windowed top-k — the same
+    text runs in both engines (Spark SQL has no QUALIFY, so the window
+    filter is a subquery). Top-2 nations per market segment by customer
+    count; execution is the standard partial+final agg →
+    WindowGroupLimit top-k."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_q_customer")
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT c_mktsegment,
+                 c_nationkey,
+                 COUNT(*) AS n_cust,
+                 CAST(CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+                      AS DOUBLE) / 100.0 AS total_bal
+          FROM _q_customer
+          GROUP BY ALL)
+        SELECT c_mktsegment, c_nationkey, n_cust, total_bal
+        FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                           ORDER BY n_cust DESC, c_nationkey) AS rn
+              FROM seg)
+        WHERE rn <= 2
+        """
+    )
+
+
+@register(
+    "sql_lateral_view",
+    oracle="""
+    SELECT doc_id, tok, COUNT(*) AS n
+    FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+          FROM documents)
+    WHERE length(tok) >= 8
+    GROUP BY doc_id, tok
+    """,
+    tags=("relational", "sql"),
+)
+def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode in SQL (HiveQL-compatible syntax the
+    reference's users write upstream of the sink) — long-token counts
+    per document."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_lv_documents")
+    return spark.sql(
+        """
+        SELECT doc_id, tok, COUNT(*) AS n
+        FROM _lv_documents
+        LATERAL VIEW explode(split(trim(text), ' ')) t AS tok
+        WHERE length(tok) >= 8
+        GROUP BY doc_id, tok
+        """
+    )
