@@ -183,3 +183,65 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.nth_value("c_custkey", 2).over(wf).alias("second_richest"),
     )
+
+
+@register(
+    "window_gaps_islands_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id,
+           COUNT(DISTINCT session_no) AS n_sessions,
+           CAST(SUM(events_in_session) AS BIGINT) AS n_events,
+           MAX(events_in_session) AS max_session_len
+    FROM (SELECT user_id, session_no, COUNT(*) AS events_in_session
+          FROM sessions GROUP BY user_id, session_no) s
+    GROUP BY user_id
+    """,
+    tags=("window", "session"),
+)
+def window_gaps_islands_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands: lag() marks session
+    starts (>30 min gap), a running SUM numbers the islands, then two
+    aggregations summarize per user. The batch complement of the
+    native stream_session_window — same 30-min gap semantics expressed
+    with only lag + framed sum, the composition that works in any
+    SQL engine. One shuffle on user_id serves the window AND both
+    aggregates (same partitioning key throughout)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = marked.select(
+        "user_id", "ts", F.sum("new_session").over(run).alias("session_no")
+    )
+    per_session = sessions.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("events_in_session")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.countDistinct("session_no").alias("n_sessions"),
+        F.sum("events_in_session").cast("bigint").alias("n_events"),
+        F.max("events_in_session").alias("max_session_len"),
+    )
