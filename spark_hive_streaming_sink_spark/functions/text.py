@@ -208,3 +208,35 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(canon), 1, 8).alias("fp_bucket"),
         F.length(canon).alias("canon_len"),
     )
+
+
+@register(
+    "text_edit_distance",
+    oracle="""
+    WITH t AS (SELECT doc_id, substr(text, 1, 40) AS head FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.head, b.head) AS edit_dist,
+           CAST(length(a.head) AS BIGINT) AS len_a,
+           CAST(length(b.head) AS BIGINT) AS len_b
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=("llm", "text"),
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance between consecutive documents' 40-char
+    heads (bounded-length inputs keep the O(m·n) kernel constant-cost
+    per pair — at corpus scale you never levenshtein full documents;
+    you shortlist with MinHash/SimHash and verify heads/shingles).
+    Builtin JVM levenshtein — no Python in the loop."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("head")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.levenshtein(F.col("a.head"), F.col("b.head")).alias("edit_dist"),
+        F.length("a.head").cast("bigint").alias("len_a"),
+        F.length("b.head").cast("bigint").alias("len_b"),
+    )

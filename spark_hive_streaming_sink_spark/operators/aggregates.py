@@ -288,3 +288,32 @@ def agg_stats_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qd"),
         F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qd"),
     )
+
+
+@register(
+    "agg_boolean_bitwise",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000)  AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           bit_or(CAST(o_orderkey % 256 AS BIGINT))  AS key_bits_or,
+           bit_and(CAST(o_orderkey % 256 AS BIGINT)) AS key_bits_and,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("aggregate", "boolean"),
+)
+def agg_boolean_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean (every/any) and bitwise (bit_or/bit_and) aggregates —
+    both are single-pass partial+final aggregations, the cheapest
+    reduction shapes there are."""
+    o = load_table(spark, sf_dir, "orders")
+    kb = (F.col("o_orderkey") % 256).cast("bigint")
+    return o.groupBy("o_orderstatus").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.bit_or(kb).alias("key_bits_or"),
+        F.bit_and(kb).alias("key_bits_and"),
+        F.count("*").alias("n"),
+    )
