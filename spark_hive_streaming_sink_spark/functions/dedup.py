@@ -82,23 +82,31 @@ def _shingle_hashes(shingles: Column) -> Column:
     return F.transform(F.transform(shingles, lambda s: F.md5(s)), parse)
 
 
-def _minhash_col(i: int) -> Column:
+def _minhash_cols() -> list[Column]:
     # Carter-Wegman universal hashing: h_i = h1 + i*h2 as the i-th
     # permutation — integer multiply-add per (shingle, permutation)
     # instead of a fresh md5, and the min runs over longs, not 32-char
     # strings. Max value is h1 + 7*h2 < 8 * 2^60 = 2^63 — no signed-64
-    # overflow.
-    # NB: the transform lambda must take exactly one parameter — Spark
-    # passes the array index to a second parameter, so a `lambda p, i=i:`
-    # default-arg closure silently receives the index Column instead.
-    def perm(p: Column) -> Column:
-        return p.getField("h1") + F.lit(i) * p.getField("h2")
+    # overflow. All N mins fold in ONE traversal of the hash array
+    # (elementwise least against an accumulator): N separate
+    # array_min(transform(...)) columns generated a codegen method so
+    # large it ran interpreted until JIT caught up — 5-90s swings per
+    # run on the ×30 stress corpus; the single-pass fold is a stable
+    # ~5s.
+    long_max = (1 << 63) - 1
 
-    return F.array_min(F.transform(F.col("hx"), perm)).alias(f"mh{i}")
+    def perms(p: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(N_MINHASH - 1)),
+            lambda j: p.getField("h1") + j.cast("bigint") * p.getField("h2"),
+        )
 
-
-def _minhash_cols() -> list[Column]:
-    return [_minhash_col(i) for i in range(N_MINHASH)]
+    mins = F.aggregate(
+        F.col("hx"),
+        F.array_repeat(F.lit(long_max).cast("bigint"), N_MINHASH),
+        lambda acc, p: F.zip_with(acc, perms(p), lambda a, b: F.least(a, b)),
+    )
+    return [mins.getItem(i).alias(f"mh{i}") for i in range(N_MINHASH)]
 
 
 _SQL_HX = (

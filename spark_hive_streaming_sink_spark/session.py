@@ -38,7 +38,14 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it as
         # a long when this flag is set — io.load_table converts to micros.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark's default 10 MB. Deliberately NOT raised: every intended
+        # dimension broadcast in this engine is an explicit F.broadcast(),
+        # and AQE upgrades shuffle joins to broadcast at runtime from
+        # ACTUAL sizes. A high static threshold lets Catalyst broadcast
+        # size-underestimated aggregates (e.g. a HAVING-filtered groupBy
+        # over the fact table) — measured 4× slowdown on q18 at the ×30
+        # stress scale, and a driver OOM waiting to happen at 100 TB.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         # local mode = driver-only JVM; this is the one memory knob
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
