@@ -317,3 +317,72 @@ def agg_boolean_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_and(kb).alias("key_bits_and"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "agg_histogram_bucket",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 500000 THEN 11
+                ELSE CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("aggregate", "histogram"),
+)
+def agg_histogram_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (10 buckets over
+    [0, 500k) + under/overflow buckets 0 and 11) — the single-shuffle
+    histogram shape; the oracle replicates width_bucket's arithmetic
+    exactly (the 50000.0 width divides the range evenly, so both
+    engines' double divisions round identically)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket(
+                F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(10)
+            ).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "unpivot_melt",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / 100.0 AS sum_qty,
+             CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / 100.0 AS sum_price,
+             CAST(CAST(SUM(CAST(ROUND(l_discount * 10000, 0) AS BIGINT)) AS BIGINT)
+                  AS DOUBLE) / 10000.0 AS sum_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, metric, value
+    FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price, sum_disc))
+    """,
+    tags=("aggregate", "unpivot"),
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide → long): per-flag exact sums unpivoted to
+    (flag, metric, value) rows — the inverse of agg_pivot. Map-side
+    row expansion, no extra shuffle beyond the aggregate."""
+    from ._helpers import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", 2).alias("sum_qty"),
+        dsum("l_extendedprice", 2).alias("sum_price"),
+        dsum("l_discount", 4).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "value"
+    )

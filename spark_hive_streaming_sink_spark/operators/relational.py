@@ -424,3 +424,48 @@ def sql_lateral_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id, tok
         """
     )
+
+
+@register(
+    "date_spine_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+             CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+      FROM orders GROUP BY 1)
+    SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+           COALESCE(daily.n, 0) AS n_orders
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    """,
+    tags=("relational", "generator"),
+)
+def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: generate every calendar day between the
+    first and last order (sequence + explode — a generator, not a
+    table scan) and left-join daily counts so missing days appear as
+    zero. The spine is tiny (one row per day) and broadcast; the
+    pattern every time-series rollup needs before charting/windowing."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        )
+    )
