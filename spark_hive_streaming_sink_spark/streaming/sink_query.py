@@ -56,3 +56,103 @@ def sink_hive_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     # return a reader over the table files (independent of the temp
     # catalog entry), aligned to the oracle's column set
     return spark.table(table).select("event_id", "user_id", "value", "event_type")
+
+
+def make_upsert_batch_writer(
+    table: str,
+    key: str = "event_id",
+    version: str = "ts_us",
+    partition: str = "event_type",
+):
+    """foreachBatch writer implementing latest-write-wins upsert by
+    ``key`` (newest ``version`` wins) into a ``partition``-partitioned
+    parquet table via dynamic partition overwrite. Only partitions
+    present in the batch are read back and rewritten — the batch's
+    blast radius is O(affected partitions), not the table."""
+    from pyspark.sql import Window
+
+    def upsert_batch(batch_df, batch_id):
+        s = batch_df.sparkSession
+        w = Window.partitionBy(key).orderBy(F.col(version).desc())
+        newest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        parts = [r[partition] for r in newest.select(partition).distinct().collect()]
+        existing = s.table(table).filter(F.col(partition).isin(parts))
+        merged = (
+            existing.unionByName(newest)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.insertInto(table, overwrite=True)
+        # the overwrite replaced files this session may have a cached
+        # listing for — without a refresh, the NEXT batch's (or any
+        # reader's) scan hits FILE_NOT_EXIST on the dead paths
+        s.catalog.refreshTable(table)
+
+    return upsert_batch
+
+
+@register(
+    "sink_upsert_by_key",
+    oracle="""
+    SELECT event_id, user_id, value + 1000.0 AS value, event_type
+    FROM events
+    """,
+    tags=("streaming", "sink", "upsert"),
+)
+def sink_upsert_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert (latest-write-wins by key) into a partitioned
+    warehouse table WITHOUT a transactional format: each micro-batch
+    keeps its newest row per event_id, merges with the current rows of
+    only the AFFECTED partitions, and rewrites those partitions via
+    dynamic partition overwrite. This is the capability Hive ACID
+    compaction provides the reference's users (``README.md:74``),
+    re-expressed with plain parquet + Spark's partition-overwrite
+    protocol: the rewrite unit is a partition, so keys must not move
+    between partitions (here event_type is stable per event).
+
+    The input stream is every event plus a LATER amended copy
+    (value + 1000, ts + 1h) — the final table must contain exactly the
+    amended rows, whether the copies land in one micro-batch
+    (in-batch dedup path) or several (merge-with-existing path).
+
+    Scale: only partitions present in the batch are read+rewritten;
+    state never lives in the stream. At petabyte scale you'd bound
+    partition sizes (e.g. daily partitions) so a rewrite touches
+    O(batch) data, and move to a transactional table format when
+    concurrent writers appear."""
+    run_id = uuid.uuid4().hex[:10]
+    base = tempfile.mkdtemp(prefix=f"shss_upsert_{run_id}_")
+    table = f"events_upsert_{run_id}"
+    spark.sql(
+        f"""
+        CREATE TABLE {table}
+        (event_id BIGINT, user_id BIGINT, value DOUBLE, ts_us BIGINT,
+         event_type STRING)
+        USING PARQUET PARTITIONED BY (event_type)
+        LOCATION '{base}/tbl'
+        """
+    )
+    ev = stream_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    amended = ev.withColumn("value", F.col("value") + 1000.0).withColumn(
+        "ts_us", F.col("ts_us") + 3_600_000_000
+    )
+    both = ev.unionByName(amended)
+    q = (
+        both.writeStream.foreachBatch(make_upsert_batch_writer(table))
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # foreachBatch ran in a cloned session; refresh THIS session's
+    # cached file listing before reading the overwritten table
+    spark.catalog.refreshTable(table)
+    return spark.table(table).select("event_id", "user_id", "value", "event_type")

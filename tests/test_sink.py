@@ -216,3 +216,55 @@ def test_twsip_gating_matches_runtime():
     from spark_hive_streaming_sink_spark.streaming.stateful import _twsip_available
 
     assert ("stream_transform_with_state" in queries()) == _twsip_available()
+
+
+def test_upsert_across_separate_batches(spark, tmp_path):
+    """Cross-batch upsert path: originals land in run 1, amendments in
+    run 2 (separate streaming queries → separate micro-batches); the
+    merge-with-existing branch must leave exactly the amended rows."""
+    import pyspark.sql.functions as F
+    from spark_hive_streaming_sink_spark.streaming.ops import stream_table
+    from spark_hive_streaming_sink_spark.streaming.sink_query import (
+        make_upsert_batch_writer,
+    )
+
+    table = "events_upsert_xbatch"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"""
+        CREATE TABLE {table}
+        (event_id BIGINT, user_id BIGINT, value DOUBLE, ts_us BIGINT,
+         event_type STRING)
+        USING PARQUET PARTITIONED BY (event_type)
+        LOCATION '{tmp_path}/tbl'
+        """
+    )
+    sf_dir = "/root/testdata/sf0.001"
+    writer = make_upsert_batch_writer(table)
+
+    def run(stream_df, ckpt):
+        q = (
+            stream_df.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        spark.catalog.refreshTable(table)
+
+    base = stream_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    run(base, "ckpt1")
+    n_orig = spark.table(table).count()
+    amended = base.withColumn("value", F.col("value") + 1000.0).withColumn(
+        "ts_us", F.col("ts_us") + 3_600_000_000
+    )
+    run(amended, "ckpt2")
+    final = spark.table(table)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert n_orig == static.count()
+    assert final.count() == static.count()  # upsert, not append
+    # every surviving row is the amended copy
+    assert final.filter(F.col("value") < 1000.0).count() == 0
+    spark.sql(f"DROP TABLE {table}")
