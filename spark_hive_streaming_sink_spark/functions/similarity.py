@@ -493,3 +493,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.3)
     )
+
+
+@register(
+    "embed_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, label, scale,
+             list_transform(embedding,
+                            x -> CAST(ROUND(CAST(x AS DOUBLE) / scale, 0) AS BIGINT))
+               AS codes
+      FROM s WHERE scale > 0)
+    SELECT vec_id, label,
+           round(scale, 9) AS qscale,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_min(codes) AS BIGINT) AS code_min,
+           CAST(list_max(codes) AS BIGINT) AS code_max,
+           len(codes) AS dim
+    FROM q
+    """,
+    tags=("llm", "embedding", "quantize"),
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embedding vectors (absmax / 127
+    scaling — the storage layout vector stores and training pipelines
+    ship): per-vector scale from the absolute max, codes as rounded
+    ratios, summarized by exact integer stats (sum/min/max/dim) so the
+    driver hash stays integer-exact; the scale itself is rounded to 9
+    decimals in both engines. All higher-order built-ins — 4 bytes →
+    1 byte per dimension at 100 TB means 4× less scan I/O for ANN
+    prefilters."""
+    e = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    s = e.select(
+        "vec_id", "label", "embedding", (absmax / 127.0).alias("scale")
+    ).filter(F.col("scale") > 0)
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast("bigint"),
+    )
+    q = s.select("vec_id", "label", "scale", codes.alias("codes"))
+    return q.select(
+        "vec_id",
+        "label",
+        F.round("scale", 9).alias("qscale"),
+        F.aggregate(
+            "codes", F.lit(0).cast("bigint"), lambda a, b: a + b
+        ).alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.size("codes").cast("bigint").alias("dim"),
+    )

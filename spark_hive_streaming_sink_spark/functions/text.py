@@ -240,3 +240,63 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("a.head").cast("bigint").alias("len_a"),
         F.length("b.head").cast("bigint").alias("len_b"),
     )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE length(tok) > 0 GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+             round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN nd)
+    SELECT doc_id, tok, tf, df, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, tok) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-3 terms per document: term frequency (one
+    shuffle on (doc, term)), document frequency (aggregate of the TF
+    table — no second corpus scan), corpus size as a broadcast 1-row
+    aggregate, then a WindowGroupLimit top-k per doc. The score is
+    rounded to 6 decimals in BOTH engines (ln of identical doubles —
+    the one non-fixed-point step). The canonical keyword-extraction /
+    quality-signal pipeline over a crawl."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "df", "tfidf")
+    )
