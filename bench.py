@@ -37,10 +37,15 @@ HEADLINE = [
     "window_topk_per_group",
     "explode_wordcount",
     "text_stats_quality",
+    "text_tfidf_topk",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
     "sim_cosine_topk",
     "sim_ann_lsh",
+    "embed_quantize_int8",
+    "window_gaps_islands_sessionize",
 ]
 
 
