@@ -322,11 +322,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.*")
+    # any_value(ignoreNulls), NOT max: each (k, role) has at most one
+    # non-null payload, and max(struct) would compare the full shingle
+    # arrays lexicographically per input row — measured 3× slower at
+    # the ×100 stress scale (32.6s → stable ~11s for 500k docs);
+    # any_value takes the first non-null without ever comparing
+    # payloads (deterministic here because there is nothing to choose
+    # between).
     paired = (
         sides.groupBy("k")
         .agg(
-            F.max(F.when(F.col("role") == 0, F.col("p"))).alias("a"),
-            F.max(F.when(F.col("role") == 1, F.col("p"))).alias("b"),
+            F.any_value(F.when(F.col("role") == 0, F.col("p")), True).alias("a"),
+            F.any_value(F.when(F.col("role") == 1, F.col("p")), True).alias("b"),
         )
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
     )
