@@ -4,9 +4,12 @@ top-k shapes a user of the reference runs upstream of the sink
 pipelines). These exercise join ordering, broadcast selection, and
 aggregate pushdown together rather than operator-by-operator.
 
-Scale posture: dimension tables (region/nation/supplier/customer at
-fixture scale) broadcast; lineitem↔orders is the only fact-fact
-shuffle, on the natural equi key; AQE handles runtime skew.
+Scale posture: fixed/slow-growing dimensions (region/nation/supplier/
+part) are explicitly broadcast. Customer is NOT force-broadcast — it
+scales with SF (15B rows at sf100k), so its join shuffles on the equi
+key and AQE converts to broadcast at runtime only when the actual size
+is small (as it is at fixture scale). lineitem↔orders stays the only
+unavoidable fact-fact shuffle; AQE handles runtime skew.
 """
 
 from __future__ import annotations
@@ -40,8 +43,8 @@ from ._helpers import revenue_c, sql_sum_revenue, ts_str
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment filter → 3-way join → revenue agg →
-    top-10. Customer is broadcast; order/lineitem predicates push to
-    their scans."""
+    top-10. Order/lineitem predicates push to their scans; customer
+    joins on the equi key (AQE broadcasts it when actually small)."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
@@ -51,7 +54,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(revenue_c()).cast("double") / 100.0).alias("revenue"))
         .select(
@@ -84,8 +87,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with the customer-nation = supplier-
-    nation locality constraint. All dimensions broadcast; the only
-    shuffle is lineitem↔orders."""
+    nation locality constraint. Fixed-size dimensions broadcast;
+    customer shuffles (it scales with SF), as does lineitem↔orders."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
@@ -96,7 +99,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -137,7 +140,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(
@@ -185,7 +188,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(big.withColumnRenamed("l_orderkey", "big_key"),
                 li.l_orderkey == F.col("big_key"), "left_semi")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate")
         .agg((F.sum(qty_c).cast("double") / 100.0).alias("total_qty"))
         .select(

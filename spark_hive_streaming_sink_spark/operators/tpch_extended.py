@@ -10,9 +10,10 @@ positions the sink at the end of exactly such pipelines); together with
 ``tpch.py`` they cover the full TPC-H query-shape family expressible on
 the fixtures.
 
-Scale posture (100 TB): part/supplier/nation/customer dimensions are
-broadcast; lineitem↔orders stays the only fact-fact shuffle, on its
-natural equi key; scalar-subquery thresholds are computed as tiny
+Scale posture (100 TB): part/supplier/nation dimensions are broadcast;
+customer (which scales with SF) joins on its equi key with AQE deciding
+broadcast from actual runtime size; lineitem↔orders stays the only
+unavoidable fact-fact shuffle, on its natural equi key; scalar-subquery thresholds are computed as tiny
 aggregates and broadcast back; all money math is exact fixed-point
 integers (`_helpers.to_units`) so partial aggregation is
 order-independent and stays on the long fast path.
@@ -186,7 +187,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
@@ -235,7 +236,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand_rev = F.when(F.col("p_brand") == "Brand#3", rev).otherwise(F.lit(0))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(
