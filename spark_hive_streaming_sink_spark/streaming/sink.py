@@ -219,7 +219,10 @@ def write_stream_to_table(
 
     ``df`` must be a streaming DataFrame; ``options`` carry the
     reference's option names (``db``, ``table``, ...). The ledger lives
-    next to the checkpoint so recovery sees it.
+    next to the checkpoint so recovery sees it; pass ``ledger.dir`` to
+    pin it elsewhere — a ledger that outlives the checkpoint keeps the
+    table exactly-once even across a checkpoint reset (losing the
+    checkpoint must not double-load the destination).
 
     Example::
 
@@ -231,7 +234,9 @@ def write_stream_to_table(
     opts = HiveSinkOptions.from_options(options)
     spark = df.sparkSession
     part_cols = validate_destination(spark, df.columns, opts, output_mode)
-    ledger = BatchCommitLedger(os.path.join(checkpoint_dir, "_commit_ledger"))
+    ledger = BatchCommitLedger(
+        opts.extra.get("ledger.dir") or os.path.join(checkpoint_dir, "_commit_ledger")
+    )
     writer = (
         df.writeStream.outputMode("append")
         .foreachBatch(make_batch_writer(opts, part_cols, ledger, df.columns))

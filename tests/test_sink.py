@@ -268,3 +268,50 @@ def test_upsert_across_separate_batches(spark, tmp_path):
     # every surviving row is the amended copy
     assert final.filter(F.col("value") < 1000.0).count() == 0
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_restart_from_checkpoint_and_ledger_no_duplicates(spark, tmp_path):
+    """Recovery semantics end-to-end: (1) re-running the same bounded
+    stream with the SAME checkpoint processes nothing new (Spark's
+    offset log); (2) a FRESH checkpoint replays the input but the
+    batch-id ledger skips the already-committed batch — either way the
+    table never sees duplicate rows (the upgrade over the reference's
+    at-least-once, SURVEY.md §1.4)."""
+    import pyspark.sql.functions as F
+    from spark_hive_streaming_sink_spark.streaming.ops import stream_table
+    from spark_hive_streaming_sink_spark.streaming.sink import write_stream_to_table
+
+    table = "events_restart_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"""
+        CREATE TABLE {table}
+        (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
+        USING PARQUET PARTITIONED BY (event_type)
+        LOCATION '{tmp_path}/tbl'
+        """
+    )
+    sf_dir = "/root/testdata/sf0.001"
+    ledger_dir = str(tmp_path / "ledger")
+
+    def run(ckpt):
+        ev = stream_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        q = write_stream_to_table(
+            ev,
+            checkpoint_dir=str(tmp_path / ckpt),
+            db="default",
+            table=table,
+            trigger={"availableNow": True},
+            **{"ledger.dir": ledger_dir},
+        )
+        q.awaitTermination()
+        spark.catalog.refreshTable(table)
+        return spark.table(table).count()
+
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert run("ckpt_a") == expected          # first run lands everything
+    assert run("ckpt_a") == expected          # same checkpoint: no-op
+    assert run("ckpt_b") == expected          # fresh checkpoint: ledger skips
+    spark.sql(f"DROP TABLE {table}")
