@@ -49,6 +49,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # local mode = driver-only JVM; this is the one memory knob
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # A long-lived session compiles one generated class per
+        # whole-stage-codegen subtree; at the JVM's default ~240 MB
+        # ReservedCodeCacheSize a many-query session exhausts the code
+        # cache, the JIT stops compiling, and fresh queries run
+        # interpreted (measured 5-8× first-run stalls, e.g. 32s → 4s on
+        # the same plan). Same knob a production cluster sets via
+        # spark.executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

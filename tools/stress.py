@@ -62,6 +62,11 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "embed_avg_pool",
+    "embed_quantize_int8",
+    "text_tfidf_topk",
+    "window_gaps_islands_sessionize",
+    "q2_min_cost_supplier",
+    "q17_small_quantity",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
