@@ -469,3 +469,40 @@ def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
         )
     )
+
+
+@register(
+    "scalar_string_funcs_extra",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{8,}'), ','), '')
+             AS long_words,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
+           rpad(substr(text, 1, 5), 8, '.') AS head_padded,
+           repeat('-', 2 + CAST(doc_id % 3 AS INTEGER)) AS rule,
+           translate(substr(text, 1, 20), 'aeiou', '     ') AS devoweled,
+           reverse(substr(text, 1, 10)) AS head_rev,
+           printf('%s:%d', lang, n_chars) AS lang_tag
+    FROM documents
+    """,
+    tags=("relational", "scalar"),
+)
+def scalar_string_funcs_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-surface query: regexp_extract_all, lpad/rpad,
+    repeat, translate, reverse, format_string/printf — rounding out the
+    §2C string list (all JVM built-ins, codegen'd)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.regexp_extract_all("text", F.lit("[a-z]{8,}"), 0), ","
+        ).alias("long_words"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+        F.rpad(F.substring("text", 1, 5), 8, ".").alias("head_padded"),
+        F.repeat(F.lit("-"), (F.lit(2) + (F.col("doc_id") % 3)).cast("int")).alias(
+            "rule"
+        ),
+        F.translate(F.substring("text", 1, 20), "aeiou", "     ").alias("devoweled"),
+        F.reverse(F.substring("text", 1, 10)).alias("head_rev"),
+        F.format_string("%s:%d", "lang", "n_chars").alias("lang_tag"),
+    )
