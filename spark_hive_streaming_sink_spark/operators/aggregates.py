@@ -386,3 +386,33 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "value"
     )
+
+
+@register(
+    "agg_hll_mergeable_sketch",
+    oracle=None,  # sketch bytes are engine-specific → driver rows-only check;
+    # tests/test_llm_ops.py asserts the estimates within HLL error bounds
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches, Spark 3.5+): build one
+    sketch per order-status group, then UNION the group sketches into a
+    global estimate — the re-aggregation workflow exact COUNT(DISTINCT)
+    cannot do without a full re-shuffle. At 100 TB this is how
+    per-partition/per-day cardinalities roll up to monthly/global ones:
+    persist bytes, merge later, never touch raw keys again."""
+    o = load_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    per_group_est = per_group.select(
+        "o_orderstatus",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+        "n_rows",
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(F.lit("ALL").alias("o_orderstatus"), "approx_customers", "n_rows")
+    return per_group_est.unionByName(merged)

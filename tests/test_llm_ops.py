@@ -112,3 +112,44 @@ def test_decode_image_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """The rows-only approx queries are legitimate: HLL estimates land
+    within their configured error bounds of the exact answers, and the
+    merged (union) sketch matches a direct global count."""
+    import pyspark.sql.functions as F
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+    from .conftest import SF_DIR
+
+    queries()  # force registration when this test runs in isolation
+    rows = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in QUERIES["agg_hll_mergeable_sketch"].builder(spark, SF_DIR).collect()
+    }
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    exact_global = o.select("o_custkey").distinct().count()
+    assert abs(rows["ALL"] - exact_global) / exact_global < 0.05
+    exact_by = {
+        r["o_orderstatus"]: r["d"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    for k, exact in exact_by.items():
+        assert abs(rows[k] - exact) / exact < 0.05, (k, rows[k], exact)
+
+    ap = {
+        r["l_returnflag"]: r
+        for r in QUERIES["agg_approx"].builder(spark, SF_DIR).collect()
+    }
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    for flag, r in ap.items():
+        sub = li.filter(F.col("l_returnflag") == flag)
+        exact_parts = sub.select("l_partkey").distinct().count()
+        assert abs(r["approx_parts"] - exact_parts) / exact_parts < 0.10
+        exact_supps = sub.select("l_suppkey").distinct().count()
+        assert abs(r["approx_supps"] - exact_supps) / exact_supps < 0.05
+        med = sub.approxQuantile("l_extendedprice", [0.5], 0.0)[0]
+        # percentile_approx(10k accuracy) vs exact: within 2%
+        assert abs(r["approx_median_price"] - med) / med < 0.02
