@@ -207,3 +207,68 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
     return frame_sample_binary(payloads)
+
+
+def featurize_binary_arrow(df: DataFrame, kind: str = "image") -> DataFrame:
+    """The same featurize kernel as :func:`featurize_binary` but via
+    ``mapInArrow`` — RecordBatch in / RecordBatch out, no pandas
+    conversion at all. For binary-heavy multimodal batches this skips
+    the Arrow→pandas→Arrow round trip (object-dtype boxing of every
+    payload), the right default when the kernel only reads raw bytes.
+    Output is row-identical to the pandas kernel (asserted in
+    tests/test_llm_ops.py)."""
+    import pyarrow as pa
+
+    def kernel(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            out = {"doc_id": [], "kind": [], "n_bytes": [], "width": [], "height": [], "feature": []}
+            for doc_id, payload in zip(doc_ids, payloads):
+                data = bytes(payload)
+                w, h, feats = _fake_decode(data)
+                out["doc_id"].append(doc_id)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(data))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["feature"].append(feats)
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema(
+                    [
+                        ("doc_id", pa.int64()),
+                        ("kind", pa.string()),
+                        ("n_bytes", pa.int64()),
+                        ("width", pa.int32()),
+                        ("height", pa.int32()),
+                        ("feature", pa.list_(pa.float64())),
+                    ]
+                ),
+            )
+
+    return df.mapInArrow(kernel, FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_features_arrow",
+    oracle=None,  # fake-decoder output is not SQL-expressible → rows-only;
+    # row-identity with the mapInPandas variant asserted in tests
+    tags=("llm", "multimodal", "arrow"),
+)
+def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow variant of multimodal_features: identical output,
+    zero pandas boxing of the binary payloads."""
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    feats = featurize_binary_arrow(payloads)
+    return feats.select(
+        "doc_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        F.concat_ws(",", F.transform("feature", lambda x: x.cast("string"))).alias(
+            "feature_csv"
+        ),
+    )

@@ -153,3 +153,15 @@ def test_approx_sketches_within_error_bounds(spark):
         med = sub.approxQuantile("l_extendedprice", [0.5], 0.0)[0]
         # percentile_approx(10k accuracy) vs exact: within 2%
         assert abs(r["approx_median_price"] - med) / med < 0.02
+
+
+def test_arrow_and_pandas_featurize_identical(spark, planted):
+    from spark_hive_streaming_sink_spark.functions.multimodal import (
+        featurize_binary,
+        featurize_binary_arrow,
+    )
+
+    payloads = planted.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    a = [tuple(r) for r in featurize_binary(payloads).orderBy("doc_id").collect()]
+    b = [tuple(r) for r in featurize_binary_arrow(payloads).orderBy("doc_id").collect()]
+    assert a == b
