@@ -506,3 +506,35 @@ def scalar_string_funcs_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(F.substring("text", 1, 10)).alias("head_rev"),
         F.format_string("%s:%d", "lang", "n_chars").alias("lang_tag"),
     )
+
+
+@register(
+    "sql_table_valued_functions",
+    oracle="""
+    WITH r AS (SELECT unnest(generate_series(0, 99)) AS id),
+    v(code, label) AS (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(SUM(id) AS BIGINT) AS id_sum
+    FROM r JOIN v ON (id % 3) = CASE code WHEN 'O' THEN 0 WHEN 'F' THEN 1 ELSE 2 END
+    GROUP BY label
+    """,
+    tags=("relational", "sql", "generator"),
+)
+def sql_table_valued_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-valued functions and inline tables: range() generator
+    joined to a VALUES relation — the no-input-table surface (test
+    scaffolding, spine generation, enum decoding). range() parallelizes
+    across the cluster (it's a real distributed relation, not a driver
+    loop)."""
+    return spark.sql(
+        """
+        WITH v(code, label) AS (VALUES ('O', 'open'), ('F', 'finished'), ('P', 'pending'))
+        SELECT label,
+               COUNT(*) AS n,
+               CAST(SUM(id) AS BIGINT) AS id_sum
+        FROM range(100) r JOIN v
+          ON (id % 3) = CASE code WHEN 'O' THEN 0 WHEN 'F' THEN 1 ELSE 2 END
+        GROUP BY label
+        """
+    )
