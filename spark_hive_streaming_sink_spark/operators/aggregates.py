@@ -18,7 +18,7 @@ import pyspark.sql.functions as F
 
 from ..io import load_table
 from ..registry import register
-from ._helpers import davg, dec, dsum, sql_davg, sql_dsum
+from ._helpers import davg, dec, dsum, sql_davg, sql_dsum, to_units
 
 
 @register(
@@ -416,3 +416,36 @@ def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_rows").alias("n_rows"),
     ).select(F.lit("ALL").alias("o_orderstatus"), "approx_customers", "n_rows")
     return per_group_est.unionByName(merged)
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           COUNT(*) FILTER (WHERE l_discount = 0.0) AS n_undiscounted,
+           CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                     FILTER (WHERE l_quantity > 25) AS BIGINT) AS DOUBLE) / 100.0
+             AS bulk_revenue,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "filter-clause"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation via the SQL FILTER clause / count_if —
+    one pass computing several differently-filtered aggregates (the
+    alternative is N scans or N CASE WHEN wrappers). Identical
+    partial+final hash-agg shape as plain aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bulk = F.col("l_quantity") > 25
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(bulk).alias("n_bulk"),
+        F.count_if(F.col("l_discount") == 0.0).alias("n_undiscounted"),
+        (
+            F.sum(F.when(bulk, to_units("l_extendedprice", 2)).otherwise(F.lit(None)))
+            .cast("double")
+            / 100.0
+        ).alias("bulk_revenue"),
+        F.count("*").alias("n"),
+    )

@@ -194,3 +194,46 @@ def dropdup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_custkey", F.col("o_orderkey").alias("first_orderkey"))
     )
+
+
+@register(
+    "not_in_null_semantics",
+    oracle="""
+    WITH probe AS (
+      SELECT c_custkey FROM customer WHERE c_custkey <= 200),
+    keys AS (
+      SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders)
+    SELECT
+      (SELECT COUNT(*) FROM probe
+       WHERE c_custkey NOT IN (SELECT k FROM keys)) AS not_in_count,
+      (SELECT COUNT(*) FROM probe p
+       WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = p.c_custkey)) AS not_exists_count
+    """,
+    tags=("setops", "null-semantics"),
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, demonstrated and pinned: when the subquery
+    produces ANY NULL, three-valued logic makes ``x NOT IN (...)``
+    never-true → count 0, while ``NOT EXISTS`` (= left-anti join)
+    counts the genuinely absent keys. Engines and engineers regularly
+    get this wrong; both engines must agree on BOTH counts. Spark plans
+    NOT IN as a null-aware anti join (broadcast-only — the reason
+    NOT EXISTS is the scalable formulation)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    keys = load_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 50 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("k")
+    )
+    c.createOrReplaceTempView("_nn_probe")
+    keys.createOrReplaceTempView("_nn_keys")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM _nn_probe
+           WHERE c_custkey NOT IN (SELECT k FROM _nn_keys)) AS not_in_count,
+          (SELECT COUNT(*) FROM _nn_probe p
+           WHERE NOT EXISTS (SELECT 1 FROM _nn_keys WHERE k = p.c_custkey)) AS not_exists_count
+        """
+    )
