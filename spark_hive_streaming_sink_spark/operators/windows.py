@@ -245,3 +245,62 @@ def window_gaps_islands_sessionize(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("events_in_session").cast("bigint").alias("n_events"),
         F.max("events_in_session").alias("max_session_len"),
     )
+
+
+@register(
+    "window_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS day,
+             user_id,
+             CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events),
+    daily AS (
+      SELECT event_type, day,
+             CAST(SUM(is_first) AS BIGINT) AS new_users,
+             COUNT(*) AS n_events
+      FROM firsts GROUP BY event_type, day)
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS day,
+           new_users,
+           n_events,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS distinct_users_to_date
+    FROM daily
+    """,
+    tags=("window", "distinct"),
+)
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type over days. Neither
+    engine supports COUNT(DISTINCT) OVER a running frame; the scalable
+    construction is: flag each user's FIRST event (row_number = 1 per
+    (type, user)), sum flags per day, then a running sum over days —
+    two keyed shuffles, no per-row distinct state. The daily rollup is
+    tiny, so the final ordered window is over days, not events."""
+    e = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    firsts = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    daily = firsts.groupBy("event_type", "day").agg(
+        F.sum("is_first").cast("bigint").alias("new_users"),
+        F.count("*").alias("n_events"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        "n_events",
+        F.sum("new_users").over(w_run).cast("bigint").alias("distinct_users_to_date"),
+    )
