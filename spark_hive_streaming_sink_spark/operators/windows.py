@@ -304,3 +304,49 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.sum("new_users").over(w_run).cast("bigint").alias("distinct_users_to_date"),
     )
+
+
+@register(
+    "window_ewma_fold",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                       (acc, x) -> acc * 0.5e0 + x * 0.5e0) AS ewma_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("window", "fold"),
+)
+def window_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.5) per user —
+    the ordered-fold analytic neither engine has as a builtin window
+    function. Events collect per user ordered by (ts, event_id) and a
+    higher-order aggregate folds them: acc*0.5 + x*0.5. Each step is an
+    exact IEEE halving + one rounded add over identically-ordered
+    inputs, so the result is bit-identical cross-engine with no
+    rounding crutch. State per group is one number; memory is bounded
+    by the largest single user's history (the same bound any ordered
+    per-key fold has — at 100 TB you'd cap history length or use the
+    streaming stateful op instead)."""
+    e = load_table(spark, sf_dir, "events")
+    ordered_vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("t"),
+                    F.col("event_id").alias("i"),
+                    F.col("value").cast("double").alias("v"),
+                )
+            )
+        ),
+        lambda s: s.getField("v"),
+    )
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.aggregate(
+            F.slice(ordered_vals, 2, 1_000_000_000),
+            F.element_at(ordered_vals, 1),
+            lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+        ).alias("ewma_value"),
+    )
