@@ -449,3 +449,49 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bulk_revenue"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "table_fingerprint",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(
+               concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                         o_orderstatus,
+                         CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR),
+                         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), o_orderpriority)
+             ), 1, 15)) AS BIGINT) AS rh
+      FROM orders)
+    SELECT COUNT(*) AS n_rows,
+           bit_xor(rh) AS xor_fingerprint,
+           CAST(SUM(rh % 1000000000) AS BIGINT) AS sum_fingerprint
+    FROM h
+    """,
+    tags=("aggregate", "fingerprint"),
+)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint: canonicalize each row to a
+    string (exact integers for money, formatted timestamps — the same
+    canon both engines can produce), hash to a 60-bit integer, reduce
+    with XOR and a modular sum. Both reductions commute, so the
+    fingerprint is partitioning-invariant — the O(1)-state way to
+    compare a 100 TB table across engines/replicas/ingest runs without
+    sorting or shuffling anything but one number per partition. XOR
+    alone is blind to duplicated row pairs; the modular sum + count
+    close that hole."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+        F.col("o_orderpriority"),
+    )
+    rh = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return o.select(rh.alias("rh")).agg(
+        F.count("*").alias("n_rows"),
+        F.bit_xor("rh").alias("xor_fingerprint"),
+        F.sum(F.col("rh") % 1000000000).cast("bigint").alias("sum_fingerprint"),
+    )
