@@ -348,3 +348,91 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         union.alias("n_union"),
         (inter / union).alias("jaccard"),
     )
+
+
+@register(
+    "dedup_pipeline_end_to_end",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id,
+                  list_transform({_SQL_SHINGLES},
+                                 s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))
+                    AS shingles
+           FROM t),
+    hxt AS (SELECT doc_id, {_SQL_HX} AS hx
+            FROM (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t)),
+    mh AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt),
+    bands AS (
+      SELECT doc_id, 0 AS band_no, md5(concat_ws('_', mh0, mh1, mh2, mh3)) AS band_key FROM mh
+      UNION ALL
+      SELECT doc_id, 1 AS band_no, md5(concat_ws('_', mh4, mh5, mh6, mh7)) AS band_key FROM mh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.band_no = b.band_no AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b
+      WHERE 2 * len(list_intersect(sa.shingles, sb.shingles))
+            >= (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))))
+    SELECT d.doc_id,
+           (SELECT COUNT(*) FROM verified v WHERE v.doc_b = d.doc_id) = 0 AS keep
+    FROM documents d
+    """,
+    tags=("llm", "dedup", "pipeline"),
+)
+def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup pipeline composed in one plan: shingle →
+    MinHash → LSH bands → bucket-local candidate pairs → exact Jaccard
+    verification (>= 0.5) → keep-list under the dominated-by-earlier
+    rule (drop a doc iff a verified similar doc with a smaller id
+    exists — the standard greedy rule MinHash-LSH dedup uses; no
+    transitive chaining, so no iteration). Every stage is bucket-local:
+    candidates only form inside band buckets, Jaccard only runs on
+    candidates — the all-pairs quadratic never appears at any scale."""
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    sh = d.select(
+        "doc_id",
+        F.transform(
+            _shingles(F.col("text")),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+        ).alias("shingles"),
+    )
+    mh = d.select(
+        "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
+    ).select("doc_id", *_minhash_cols())
+    b0 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)]))
+    b1 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)]))
+    bands = mh.select(
+        "doc_id", F.lit(0).alias("band_no"), b0.alias("band_key")
+    ).unionByName(mh.select("doc_id", F.lit(1).alias("band_no"), b1.alias("band_key")))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("sa_id"), F.col("shingles").alias("sa_sh"))
+    sb = sh.select(F.col("doc_id").alias("sb_id"), F.col("shingles").alias("sb_sh"))
+    inter = F.size(F.array_intersect(F.col("sa_sh"), F.col("sb_sh")))
+    union = F.size("sa_sh") + F.size("sb_sh") - inter
+    verified = (
+        cand.join(sa, cand.doc_a == F.col("sa_id"))
+        .join(sb, cand.doc_b == F.col("sb_id"))
+        .filter(2 * inter >= union)
+        .select("doc_b")
+        .distinct()
+    )
+    return d.select("doc_id").join(
+        verified.withColumnRenamed("doc_b", "dropped_id"),
+        F.col("doc_id") == F.col("dropped_id"),
+        "left",
+    ).select("doc_id", F.col("dropped_id").isNull().alias("keep"))
