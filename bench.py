@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_pipeline_end_to_end",
     "sim_cosine_topk",
     "sim_ann_lsh",
     "embed_quantize_int8",
