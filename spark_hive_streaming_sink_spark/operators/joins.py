@@ -239,3 +239,49 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prior_click"))).alias("gap_us"),
         )
     )
+
+
+@register(
+    "join_null_safe_key",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey, CASE WHEN o_custkey % 50 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders),
+    r AS (
+      SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END AS k,
+             c_mktsegment
+      FROM customer)
+    SELECT (l.k IS NULL) AS null_key, COUNT(*) AS n_pairs,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    GROUP BY 1
+    """,
+    tags=("join", "null-semantics"),
+)
+def join_null_safe_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=>) as the JOIN KEY: NULL matches NULL, so
+    the null-keyed rows pair up instead of silently vanishing (a plain
+    equi join drops every NULL key — three-valued logic again). Spark
+    plans <=> as a hash-join key like any other; the NULL bucket is a
+    single hot key, which is exactly why production pipelines filter or
+    salt it — here it stays small by construction."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 50 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("lk"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 50 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("rk"),
+        "c_mktsegment",
+    )
+    return (
+        o.join(c, o.lk.eqNullSafe(c.rk))
+        .groupBy(F.col("lk").isNull().alias("null_key"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )

@@ -178,3 +178,29 @@ def array_zip_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ts_roundtrip"),
         )
     )
+
+
+@register(
+    "explode_outer_null_preserving",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), w -> length(w) >= 10) AS longs
+      FROM documents)
+    SELECT t.doc_id, u.tok, len(t.longs) AS n_long
+    FROM t LEFT JOIN LATERAL (SELECT unnest(t.longs) AS tok) u ON TRUE
+    """,
+    tags=("semistructured", "array"),
+)
+def explode_outer_null_preserving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: documents whose filtered token array is EMPTY
+    still produce one (doc_id, NULL) row — plain explode silently drops
+    them, the classic lost-rows bug in token pipelines. Oracle emulates
+    with LEFT JOIN LATERAL unnest."""
+    d = load_table(spark, sf_dir, "documents")
+    longs = F.filter(
+        F.split(F.trim(F.col("text")), " "), lambda w: F.length(w) >= 10
+    )
+    return d.select(
+        "doc_id", F.explode_outer(longs).alias("tok"), F.size(longs).alias("n_long")
+    )
