@@ -495,3 +495,52 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("rh").alias("xor_fingerprint"),
         F.sum(F.col("rh") % 1000000000).cast("bigint").alias("sum_fingerprint"),
     )
+
+
+@register(
+    "agg_winsorize_clamp",
+    oracle="""
+    WITH bounds AS (
+      SELECT l_returnflag AS bf,
+             round(quantile_cont(l_extendedprice, 0.05), 4) AS p05,
+             round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice < p05) AS BIGINT) AS n_low,
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice > p95) AS BIGINT) AS n_high,
+           CAST(CAST(SUM(CAST(ROUND(
+               least(greatest(l_extendedprice, p05), p95) * 100, 0) AS BIGINT))
+             AS BIGINT) AS DOUBLE) / 100.0 AS winsorized_sum
+    FROM lineitem JOIN bounds ON l_returnflag = bf
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "percentile", "winsorize"),
+)
+def agg_winsorize_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: per-group p05/p95 bounds (exact interpolated
+    percentiles, computed once on a tiny aggregate), broadcast back and
+    clamped — the robust-statistics preprocessing step every
+    quality-score pipeline needs before averaging heavy-tailed columns.
+    The clamped sum is exact fixed-point; the bounds are rounded to 4
+    decimals in both engines before the clamp so the comparison is
+    deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy(F.col("l_returnflag").alias("bf")).agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.05)), 4).alias("p05"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95"),
+    )
+    ep = F.col("l_extendedprice")
+    clamped = F.least(F.greatest(ep, F.col("p05")), F.col("p95"))
+    return (
+        li.join(F.broadcast(bounds), li.l_returnflag == F.col("bf"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(ep < F.col("p05")).alias("n_low"),
+            F.count_if(ep > F.col("p95")).alias("n_high"),
+            (
+                F.sum(F.round(clamped * 100, 0).cast("bigint")).cast("double") / 100.0
+            ).alias("winsorized_sum"),
+        )
+    )
