@@ -300,3 +300,41 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "tok", "tf", "df", "tfidf")
     )
+
+
+@register(
+    "text_entropy_distribution",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, COUNT(*) AS n
+      FROM documents GROUP BY lang, source),
+    tot AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_sources
+      FROM c GROUP BY lang)
+    SELECT c.lang,
+           n_sources,
+           total AS n_docs,
+           round(-SUM((CAST(n AS DOUBLE) / total)
+                      * ln(CAST(n AS DOUBLE) / total)), 6) AS source_entropy
+    FROM c JOIN tot ON c.lang = tot.lang
+    GROUP BY c.lang, n_sources, total
+    """,
+    tags=("llm", "text", "entropy"),
+)
+def text_entropy_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the source distribution per language — the
+    diversity / mode-collapse signal corpus curation tracks (entropy
+    near 0 = one source dominates). Two tiny keyed aggregates; the only
+    float steps are identical-input divisions and ln, rounded to 6
+    decimals in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    tot = c.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("total"), F.count("*").alias("n_sources")
+    )
+    p = F.col("n").cast("double") / F.col("total")
+    return (
+        c.join(F.broadcast(tot), "lang")
+        .groupBy("lang", "n_sources", F.col("total").alias("n_docs"))
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("source_entropy"))
+    )
