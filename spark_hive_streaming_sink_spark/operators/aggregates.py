@@ -544,3 +544,41 @@ def agg_winsorize_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_sum"),
         )
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_quantity)
+    SELECT l_returnflag,
+           l_quantity AS modal_qty,
+           n AS modal_count
+    FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY n DESC, l_quantity) AS rn
+          FROM c)
+    WHERE rn = 1
+    """,
+    tags=("aggregate", "mode"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent value per group with an
+    explicit tie-break (smallest value wins). Built-in mode() is
+    non-deterministic on ties in BOTH engines, so cross-engine
+    pipelines must spell out the count + row_number construction —
+    two keyed aggregations, no sort of the raw data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "l_quantity")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("modal_qty"),
+            F.col("n").alias("modal_count"),
+        )
+    )
