@@ -89,7 +89,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+    q = v.filter(F.col("vec_id") < N_QUERIES).limit(N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -244,7 +244,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("embedding")).alias("nrm"),
         _spark_bucket(F.col("embedding")).alias("bucket"),
     )
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+    q = v.filter(F.col("vec_id") < N_QUERIES).limit(N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
@@ -423,7 +423,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = assign.select(
         "vec_id", "embedding", "cell", _norm(F.col("embedding")).alias("nrm")
     )
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+    q = v.filter(F.col("vec_id") < N_QUERIES).limit(N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),

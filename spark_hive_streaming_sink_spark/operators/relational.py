@@ -293,26 +293,45 @@ def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cast_try_cast",
     oracle="""
+    WITH c AS (
+      SELECT *, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_c
+      FROM orders)
     SELECT o_orderkey,
            CAST(o_orderkey AS VARCHAR) AS key_str,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
-           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+           CAST(CAST(price_c // 100 AS VARCHAR) || '.' ||
+                lpad(CAST(price_c % 100 AS VARCHAR), 2, '0')
+                AS DECIMAL(18,2)) AS price_dec,
+           CAST(price_c // 100 AS VARCHAR) || '.' ||
+             lpad(CAST(price_c % 100 AS VARCHAR), 2, '0') AS price_str,
            TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
            TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS prio_rank,
            CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS order_date
-    FROM orders
+    FROM c
     """,
     tags=("relational", "scalar"),
 )
 def cast_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cast / try_cast surface; try_cast of non-numeric text → NULL in
-    both engines (ANSI-safe path)."""
+    both engines (ANSI-safe path).
+
+    Determinism: the raw double is rounded to exact integer cents FIRST
+    (registry.py rule — Spark's double→decimal cast rounds HALF_UP,
+    DuckDB's half-to-even, so half-cent-boundary rows diverge); the
+    decimal and string forms are then derived from the integer, which
+    both engines parse exactly.
+    """
     o = load_table(spark, sf_dir, "orders")
+    price_c = to_units("o_totalprice", 2)
+    price_str = F.concat(
+        (price_c / 100).cast("bigint").cast("string"),
+        F.lit("."),
+        F.lpad((price_c % 100).cast("string"), 2, "0"),
+    )
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_str"),
+        price_str.cast("decimal(18,2)").alias("price_dec"),
+        price_str.alias("price_str"),
         F.expr("try_cast(o_orderpriority AS INT)").alias("prio_int"),
         F.expr("try_cast(split(o_orderpriority, '-')[0] AS INT)").alias("prio_rank"),
         F.col("o_orderdate").cast("date").alias("order_date"),

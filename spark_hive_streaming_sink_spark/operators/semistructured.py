@@ -156,14 +156,15 @@ def array_zip_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     a zipped pair), plus a to_timestamp parse round-trip — the §2C
     array/date surface not exercised elsewhere. The doc↔event join is
     only there to put a timestamp and a text in one row; both sides
-    prune to two columns before the broadcast."""
+    prune to two columns before the join (events is a fact stream that
+    grows with volume, so no static broadcast — AQE decides)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     e = load_table(spark, sf_dir, "events").select("event_id", "ts")
     toks = F.split(F.trim(F.col("text")), " ")
     z = F.arrays_zip(toks.alias("t"), F.reverse(toks).alias("r"))
     first = F.element_at(z, 1)
     return (
-        d.join(F.broadcast(e), d.doc_id == e.event_id)
+        d.join(e, d.doc_id == e.event_id)
         .select(
             "doc_id",
             first.getField("t").alias("first_tok"),

@@ -4,12 +4,15 @@ top-k shapes a user of the reference runs upstream of the sink
 pipelines). These exercise join ordering, broadcast selection, and
 aggregate pushdown together rather than operator-by-operator.
 
-Scale posture: fixed/slow-growing dimensions (region/nation/supplier/
-part) are explicitly broadcast. Customer is NOT force-broadcast — it
-scales with SF (15B rows at sf100k), so its join shuffles on the equi
-key and AQE converts to broadcast at runtime only when the actual size
-is small (as it is at fixture scale). lineitem↔orders stays the only
-unavoidable fact-fact shuffle; AQE handles runtime skew.
+Scale posture: ONLY genuinely fixed-size dimensions (region = 5 rows,
+nation = 25 rows by TPC-H spec at every SF) are explicitly broadcast.
+Everything else — customer (150k×SF), supplier (10k×SF), part
+(200k×SF) — grows linearly with scale factor, so those joins shuffle
+on their equi keys and AQE converts to broadcast at runtime only when
+the actual size is small (as it is at fixture scale); a static
+`F.broadcast` hint cannot be demoted by AQE and would OOM executors at
+the 100 TB design point. lineitem↔orders stays the only unavoidable
+fact-fact shuffle; AQE handles runtime skew.
 """
 
 from __future__ import annotations
@@ -87,8 +90,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with the customer-nation = supplier-
-    nation locality constraint. Fixed-size dimensions broadcast;
-    customer shuffles (it scales with SF), as does lineitem↔orders."""
+    nation locality constraint. Only region/nation (fixed ≤25 rows)
+    broadcast; customer and supplier shuffle (both scale with SF, AQE
+    upgrades to broadcast from runtime size), as does lineitem↔orders."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
@@ -101,7 +105,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -10,11 +10,15 @@ positions the sink at the end of exactly such pipelines); together with
 ``tpch.py`` they cover the full TPC-H query-shape family expressible on
 the fixtures.
 
-Scale posture (100 TB): part/supplier/nation dimensions are broadcast;
-customer (which scales with SF) joins on its equi key with AQE deciding
-broadcast from actual runtime size; lineitem↔orders stays the only
-unavoidable fact-fact shuffle, on its natural equi key; scalar-subquery thresholds are computed as tiny
-aggregates and broadcast back; all money math is exact fixed-point
+Scale posture (100 TB): only nation/region (fixed ≤25 rows by spec)
+are statically broadcast. part (200k×SF), supplier (10k×SF) and
+customer all grow linearly with scale factor, so they join on their
+equi keys with AQE deciding broadcast from actual runtime size — a
+static hint would pin a multi-billion-row build side at the design
+point; lineitem↔orders stays the only unavoidable fact-fact shuffle,
+on its natural equi key; scalar-subquery thresholds are computed as
+tiny (single-row / few-row) aggregates whose broadcast is
+size-invariant; all money math is exact fixed-point
 integers (`_helpers.to_units`) so partial aggregation is
 order-independent and stays on the long fast path.
 """
@@ -52,7 +56,7 @@ from ._helpers import revenue_c, sql_revenue_c, sql_sum_revenue, to_units
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: cheapest supplier per part (min-cost offer via
-    window rank; lineitem stands in for partsupp). The broadcast part
+    window rank; lineitem stands in for partsupp). The part size
     filter applies BELOW the offers aggregate so the shuffle only
     carries lines of qualifying parts; the aggregate itself is
     partial+final on the (partkey, suppkey) key, and the window rank
@@ -61,13 +65,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
     s = load_table(spark, sf_dir, "supplier")
     offers = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_partkey", "p_brand", "l_suppkey")
         .agg(F.min(to_units("l_extendedprice", 2)).alias("best_cents"))
     )
     w = Window.partitionBy("p_partkey").orderBy("best_cents", "l_suppkey")
     return (
-        offers.join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
+        offers.join(s, offers.l_suppkey == s.s_suppkey)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -188,7 +192,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
         .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
         .filter(F.col("sn_key") != F.col("cn_key"))
@@ -237,7 +241,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(
             F.broadcast(first_region), n.n_regionkey == first_region.r_regionkey
@@ -289,8 +293,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
@@ -349,8 +353,9 @@ def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14: promo parts' percentage of revenue in a window.
-    Ratio of exact long sums; part is broadcast so the only scan that
-    moves is the date-pruned lineitem slice."""
+    Ratio of exact long sums; the lineitem side is date-pruned at the
+    scan, and the part join shuffles on partkey (AQE broadcasts part
+    only when its runtime size allows — it scales with SF)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-07-01 00:00:00").cast("timestamp"))
@@ -359,7 +364,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = revenue_c()
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -404,7 +409,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     return (
         rev.join(F.broadcast(mx), rev.total_cents == mx.max_cents)
-        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .join(s, rev.supplier_no == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -436,7 +441,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 9, 14, 19, 23)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -467,11 +472,11 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     average is unchanged by restricting to that part's own lines), so
     the aggregate is never broadcast — both sides of the partkey join
     shuffle co-partitioned, and the brand predicate prunes lineitem via
-    the broadcast part dimension first. The comparison is rearranged to
+    the part join first. The comparison is rearranged to
     pure integers (2 * qty * count < sum) — exact in both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
-    li_b5 = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    li_b5 = li.join(p, li.l_partkey == p.p_partkey)
     avgq = li_b5.groupBy(F.col("l_partkey").alias("ap")).agg(
         F.count("l_quantity").alias("cnt"),
         F.sum(to_units("l_quantity", 2)).alias("qsum"),
@@ -517,7 +522,7 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & sz.between(1, 35) & q.between(20, 40))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             (F.sum(revenue_c()).cast("double") / 100.0).alias("revenue"),

@@ -39,3 +39,32 @@ def read_schemas(df: DataFrame) -> list[str]:
     return [
         line.strip() for line in formatted_plan(df).splitlines() if "ReadSchema" in line
     ]
+
+
+def broadcast_hint_subtrees(df: DataFrame) -> list[str]:
+    """Subtree text under each explicit broadcast hint in the ANALYZED
+    logical plan (i.e. every ``F.broadcast``/``/*+ BROADCAST */`` the
+    query author wrote — before the optimizer folds hints into joins).
+
+    Used to enforce the 100 TB broadcast policy: a static hint pins the
+    build side regardless of runtime size (AQE cannot demote it), so
+    hints are only allowed on inputs whose size is invariant in the
+    scale factor — fixed spec tables (nation/region) or the output of
+    an Aggregate/Limit."""
+    text = df._jdf.queryExecution().analyzed().toString()
+    lines = text.splitlines()
+    subtrees: list[str] = []
+
+    def indent(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-"))
+
+    for i, line in enumerate(lines):
+        if "ResolvedHint" in line and "broadcast" in line.lower():
+            d = indent(line)
+            sub = []
+            for nxt in lines[i + 1 :]:
+                if nxt.strip() and indent(nxt) <= d:
+                    break
+                sub.append(nxt)
+            subtrees.append("\n".join(sub))
+    return subtrees

@@ -66,13 +66,34 @@ def _load_all() -> None:
     from . import sources  # noqa: F401
 
 
+def _ordered_specs() -> list[QuerySpec]:
+    """Registry order, re-ranked so the driver's finite verdict budget
+    lands on queries that still need a verdict (see ``_verified``)."""
+    from . import _verified as v
+
+    recheck = {name: i for i, name in enumerate(v.PRIORITY_RECHECK)}
+
+    def rank(spec: QuerySpec) -> tuple[int, int]:
+        if spec.name in recheck:
+            return (0, recheck[spec.name])
+        if spec.name in v.GREEN:
+            return (3, 0)
+        if spec.name in v.ROWS_ONLY_JUDGED:
+            return (2, 0)
+        return (1, 0)
+
+    return sorted(QUERIES.values(), key=rank)  # stable → registration order kept
+
+
 def queries() -> dict[str, Builder]:
     _load_all()
-    return {name: spec.builder for name, spec in QUERIES.items()}
+    return {spec.name: spec.builder for spec in _ordered_specs()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
     return {
-        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
+        spec.name: spec.oracle
+        for spec in _ordered_specs()
+        if spec.oracle is not None
     }

@@ -47,6 +47,27 @@ class StagedFilesMessage(WriterCommitMessage):
     files: list = field(default_factory=list)
 
 
+# Characters Hive/Spark escape in partition directory names (Spark's
+# ExternalCatalogUtils escape set): without this, a value containing
+# '/' or '=' would silently produce a broken directory layout.
+_NEEDS_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(i) for i in range(0x20)}
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _escape_partition_value(v) -> str:
+    """Hive-style partition-value encoding: NULL →
+    ``__HIVE_DEFAULT_PARTITION__``; special characters → ``%XX`` (the
+    same encoding Spark's partition discovery unescapes on read)."""
+    import pandas as pd
+
+    if not isinstance(v, str) and pd.isna(v):  # None, NaN, pd.NA, NaT
+        return _HIVE_NULL
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _NEEDS_ESCAPE else ch for ch in str(v)
+    )
+
+
 class HiveStreamingDataSource(DataSource):
     """Register with ``spark.dataSource.register(HiveStreamingDataSource)``
     then ``df.writeStream.format("hive-streaming")``.
@@ -110,12 +131,18 @@ class HiveStreamingArrowWriter(DataSourceStreamArrowWriter):
             stage(table, "")
         else:
             # dynamic partition routing: one file per partition-value
-            # combination present in this task's data
-            import pyarrow.compute as pc
-
+            # combination present in this task's data. Values are
+            # escaped BEFORE grouping: NULL → __HIVE_DEFAULT_PARTITION__
+            # (a plain pandas groupby would silently DROP null-keyed
+            # rows — data loss) and '/', '=', … → %XX so the directory
+            # layout stays valid; Spark's partition discovery decodes
+            # both losslessly on read.
             keys = table.select(self.part_cols).to_pandas()
+            for c in self.part_cols:
+                keys[c] = keys[c].map(_escape_partition_value)
             data = table.drop_columns(self.part_cols)  # Hive layout: values live in dir names
-            for combo, idx in keys.groupby(self.part_cols, sort=False).groups.items():
+            groups = keys.groupby(self.part_cols, sort=False).groups
+            for combo, idx in groups.items():
                 combo_t = combo if isinstance(combo, tuple) else (combo,)
                 rel_dir = os.path.join(
                     *[f"{c}={v}" for c, v in zip(self.part_cols, combo_t)]

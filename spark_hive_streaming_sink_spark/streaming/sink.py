@@ -123,20 +123,33 @@ def validate_destination(
 
 
 class BatchCommitLedger:
-    """Batch-id ledger giving idempotent (effectively exactly-once)
-    micro-batch commits — the upgrade over the reference's no-op epoch
-    commit (``HiveStreamWriter.scala:39-41``).
+    """Batch-id ledger giving idempotent micro-batch commits — the
+    upgrade over the reference's no-op epoch commit
+    (``HiveStreamWriter.scala:39-41``).
 
-    Markers are empty files ``<dir>/<query_slug>/batch-<id>`` created
-    *after* the batch's job commit. On a real cluster the directory
-    lives on the same DFS as the checkpoint; creation-after-commit plus
-    Spark's at-most-once batch replay per checkpoint gives exactly-once
-    table contents.
+    Markers are empty files ``<dir>/<scope>/batch-<id>`` created
+    *after* the batch's job commit. ``scope`` namespaces the markers:
+    ``ledger.dir`` is documented as shareable and checkpoint-outliving,
+    so two queries (or one query re-pointed at a different table)
+    using the same directory must not collide on bare batch ids —
+    the scope is derived from the destination table plus the query
+    name (see :func:`write_stream_to_table`).
+
+    Delivery semantics: creation-after-commit plus Spark's at-most-once
+    batch replay per checkpoint gives exactly-once table contents on
+    restart/retry. The one remaining window: a crash AFTER the
+    insert's job commit but BEFORE the marker write replays that batch
+    as a duplicate append on restart — i.e. the guarantee is
+    effectively-exactly-once with an at-least-once window exactly one
+    batch wide. (Closing it fully would require committing the marker
+    inside the same job transaction, e.g. a ledger partition in the
+    destination table or an ACID table format like Iceberg/Delta;
+    documented trade-off, SURVEY.md §7a.)
     """
 
-    def __init__(self, ledger_dir: str):
-        self.dir = ledger_dir
-        os.makedirs(ledger_dir, exist_ok=True)
+    def __init__(self, ledger_dir: str, scope: str = "_global"):
+        self.dir = os.path.join(ledger_dir, _slug(scope))
+        os.makedirs(self.dir, exist_ok=True)
 
     def _marker(self, batch_id: int) -> str:
         return os.path.join(self.dir, f"batch-{batch_id}")
@@ -147,6 +160,11 @@ class BatchCommitLedger:
     def record(self, batch_id: int) -> None:
         with open(self._marker(batch_id), "w") as f:
             f.write("committed\n")
+
+
+def _slug(s: str) -> str:
+    """Filesystem-safe ledger scope (dots kept — ``db.table`` reads well)."""
+    return "".join(ch if ch.isalnum() or ch in "._-" else "_" for ch in s) or "_global"
 
 
 def make_batch_writer(
@@ -222,7 +240,13 @@ def write_stream_to_table(
     next to the checkpoint so recovery sees it; pass ``ledger.dir`` to
     pin it elsewhere — a ledger that outlives the checkpoint keeps the
     table exactly-once even across a checkpoint reset (losing the
-    checkpoint must not double-load the destination).
+    checkpoint must not double-load the destination). Markers are
+    namespaced per destination table + query name inside the ledger
+    dir, so a shared ledger.dir is safe across queries. Delivery is
+    effectively exactly-once with one documented at-least-once window:
+    a crash between a batch's job commit and its marker write replays
+    that single batch as a duplicate append (see
+    :class:`BatchCommitLedger`).
 
     Example::
 
@@ -234,8 +258,10 @@ def write_stream_to_table(
     opts = HiveSinkOptions.from_options(options)
     spark = df.sparkSession
     part_cols = validate_destination(spark, df.columns, opts, output_mode)
+    scope = opts.qualified_name + (f".{query_name}" if query_name else "")
     ledger = BatchCommitLedger(
-        opts.extra.get("ledger.dir") or os.path.join(checkpoint_dir, "_commit_ledger")
+        opts.extra.get("ledger.dir") or os.path.join(checkpoint_dir, "_commit_ledger"),
+        scope=scope,
     )
     writer = (
         df.writeStream.outputMode("append")
@@ -246,6 +272,37 @@ def write_stream_to_table(
         writer = writer.queryName(query_name)
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def _table_location(spark: SparkSession, qualified: str) -> str:
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {qualified}").collect():
+        if r.col_name == "Location":
+            return r.data_type
+    raise HiveStreamingSinkError(f"no Location in catalog metadata for {qualified}")
+
+
+def _partition_file_counts(
+    spark: SparkSession, qualified: str, pcol: str
+) -> dict[str, int]:
+    """{first-level partition value: data-file count} via Hadoop
+    FileSystem listing of ``<table location>/<pcol>=<value>`` — pure
+    metadata, no data scan."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(_table_location(spark, qualified))
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    counts: dict[str, int] = {}
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(f"{pcol}=")):
+            continue
+        n = 0
+        it = fs.listFiles(st.getPath(), True)  # recursive over sub-partitions
+        while it.hasNext():
+            leaf = it.next().getPath().getName()
+            if not leaf.startswith(("_", ".")):
+                n += 1
+        counts[name.split("=", 1)[1]] = n
+    return counts
 
 
 def compact_table(
@@ -271,16 +328,15 @@ def compact_table(
     if not part_cols:
         raise HiveStreamingSinkError(f"{qualified} is not partitioned; nothing to compact")
     pcol = part_cols[0]
-    # count files per partition from the file index
-    files = (
-        spark.table(qualified)
-        .select(F.input_file_name().alias("f"), F.col(pcol))
-        .distinct()
-        .groupBy(pcol)
-        .count()
-        .collect()
-    )
-    crowded = {r[pcol]: r["count"] for r in files if r["count"] > max_files_per_partition}
+    # Count files per partition from the FILESYSTEM LISTING (Hadoop FS
+    # API — works on any DFS), never by scanning table data: at scale a
+    # maintenance utility must cost O(#partitions) metadata calls, not a
+    # full read of the table it is about to rewrite.
+    crowded = {
+        val: n
+        for val, n in _partition_file_counts(spark, qualified, pcol).items()
+        if n > max_files_per_partition
+    }
     if not crowded:
         return {}
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 from spark_hive_streaming_sink_spark.plans import (
+    broadcast_hint_subtrees,
     count_nodes,
     formatted_plan,
     pushed_filters,
@@ -113,6 +114,47 @@ def test_q9_single_fact_shuffle_join(spark):
     assert count_nodes(df, "SortMergeJoin") <= 1
     pf = " ".join(pushed_filters(df))
     assert "p_name" in pf  # LIKE pushes as StringContains
+
+
+# Region (5 rows) and nation (25 rows) are invariant in the scale
+# factor by TPC-H spec. Everything else grows linearly with SF and must
+# never carry a static broadcast hint — AQE can't demote one, so at the
+# 100 TB design point it would OOM the executors. Analyzed-plan
+# relations print only column names, so tables are recognized by their
+# signature key columns (`s_suppkey#12`-style attribute refs).
+_SCALING_TABLE_COLS = (
+    "c_custkey#",
+    "s_suppkey#",
+    "p_partkey#",
+    "o_orderkey#",
+    "l_orderkey#",
+    "event_id#",
+    "doc_id#",
+    "vec_id#",
+)
+# Builders that launch real work when called (streaming queries,
+# iterative jobs) — their broadcast posture is asserted by their own
+# tests; re-running them here would just burn minutes.
+_SKIP_TAGS = {"streaming", "sink", "source", "iterative"}
+
+
+def test_no_static_broadcast_of_sf_scaling_tables(spark):
+    """Every explicit F.broadcast in every batch query must hint either
+    a fixed-size spec table or a size-invariant derived relation
+    (Aggregate / Limit output)."""
+    bad = []
+    for name, spec in QUERIES.items():
+        if _SKIP_TAGS & set(spec.tags):
+            continue
+        df = spec.builder(spark, SF_DIR)
+        for sub in broadcast_hint_subtrees(df):
+            bounded = "Aggregate" in sub or "GlobalLimit" in sub
+            if bounded:
+                continue
+            if any(t in sub for t in _SCALING_TABLE_COLS):
+                bad.append(name)
+                break
+    assert not bad, f"static broadcast of SF-scaling table in: {bad}"
 
 
 def test_q17_brand_filter_prunes_before_aggregate(spark):

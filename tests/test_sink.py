@@ -315,3 +315,44 @@ def test_restart_from_checkpoint_and_ledger_no_duplicates(spark, tmp_path):
     assert run("ckpt_a") == expected          # same checkpoint: no-op
     assert run("ckpt_b") == expected          # fresh checkpoint: ledger skips
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_arrow_writer_null_and_special_partition_values(spark, tmp_path):
+    """Rows with NULL partition values must not be silently dropped
+    (they route to __HIVE_DEFAULT_PARTITION__ and read back as NULL),
+    and values containing '/' or '=' must escape to valid Hive dir
+    names that Spark's partition discovery decodes losslessly."""
+    import pyarrow as pa
+
+    from spark_hive_streaming_sink_spark.sources.hive_streaming_datasource import (
+        HiveStreamingArrowWriter,
+        _escape_partition_value,
+    )
+
+    assert _escape_partition_value(None) == "__HIVE_DEFAULT_PARTITION__"
+    assert _escape_partition_value(float("nan")) == "__HIVE_DEFAULT_PARTITION__"
+    assert _escape_partition_value("a/b=c:d") == "a%2Fb%3Dc%3Ad"
+    assert _escape_partition_value("plain") == "plain"
+
+    root = str(tmp_path / "tbl")
+    w = HiveStreamingArrowWriter(root, ["event_type"], ["event_id", "event_type"])
+    batch = pa.record_batch(
+        {
+            "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "event_type": pa.array(["click", None, "a/b=c", "click"]),
+        }
+    )
+    msg = w.write(iter([batch]))
+    rel_dirs = sorted({os.path.dirname(rel) for _, rel in msg.files})
+    assert rel_dirs == [
+        "event_type=__HIVE_DEFAULT_PARTITION__",
+        "event_type=a%2Fb%3Dc",
+        "event_type=click",
+    ]
+    w.commit([msg], batchId=0)
+
+    back = spark.read.parquet(root)
+    got = sorted(
+        (r.event_id, r.event_type) for r in back.select("event_id", "event_type").collect()
+    )
+    assert got == [(1, "click"), (2, None), (3, "a/b=c"), (4, "click")]
