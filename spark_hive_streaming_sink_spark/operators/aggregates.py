@@ -419,6 +419,82 @@ def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_error_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           COUNT(DISTINCT l_suppkey) AS exact_supps,
+           TRUE AS parts_within_5pct,
+           TRUE AS supps_within_3pct,
+           TRUE AS median_within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "approx"),
+)
+def agg_approx_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable companion to ``agg_approx``: sketch estimates
+    can't hash-match across engines, but their ERROR BOUNDS can — the
+    exact aggregates are recomputed in both engines and the
+    within-bound checks are emitted as boolean columns the oracle pins
+    to TRUE. A sketch regression (worse than its configured rsd) now
+    fails the hard driver gate instead of only a local pytest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("asup"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("amed"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("emed"),
+    )
+    def within(approx, exact, tol):
+        return (
+            F.abs(F.col(approx).cast("double") / F.col(exact) - 1.0) < tol
+        )
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_supps",
+        within("ap", "exact_parts", 0.05).alias("parts_within_5pct"),
+        within("asup", "exact_supps", 0.03).alias("supps_within_3pct"),
+        within("amed", "emed", 0.02).alias("median_within_2pct"),
+    )
+
+
+@register(
+    "agg_hll_union_error_bound",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS exact_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_groups,
+           TRUE AS merged_within_5pct
+    FROM orders
+    """,
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_hll_union_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable companion to ``agg_hll_mergeable_sketch``: the
+    per-group sketches are UNIONed into a global estimate, and the
+    merge path's error vs the exact global distinct is pinned as a
+    boolean — certifying the re-aggregation workflow (sketch → persist
+    → merge later) stays within HLL's error envelope."""
+    o = load_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderstatus").agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+        F.count("*").alias("n_groups"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_customers"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_customers",
+        "n_groups",
+        (
+            F.abs(F.col("merged_est").cast("double") / F.col("exact_customers") - 1.0)
+            < 0.05
+        ).alias("merged_within_5pct"),
+    )
+
+
+@register(
     "agg_filter_clause",
     oracle="""
     SELECT l_returnflag,

@@ -25,6 +25,15 @@ with ``spark.read.parquet`` (partition columns restored by discovery).
 This is the compatibility/ergonomics surface; the recommended
 high-throughput path is ``streaming.sink.write_stream_to_table``
 (pure-JVM foreachBatch insertInto, zero Python in the data path).
+
+Trigger modes: micro-batch only — ``availableNow`` (tested end to end
+by query ``source_python_datasource_sink``), ``processingTime`` and
+the default trigger. Spark's continuous mode
+(``RateStreamingExample.scala:81`` in the reference) is NOT supported:
+continuous processing only admits Spark's built-in Kafka/console/
+memory sinks, not Python Data Source writers (nor ``foreachBatch``) —
+the documented deviation of this port (README capability map; SURVEY
+§3 entry point 3).
 """
 
 from __future__ import annotations

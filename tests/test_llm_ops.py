@@ -95,23 +95,35 @@ def test_simhash_hamming_close_for_near_dups(spark, planted):
 
 
 def test_featurize_deterministic_and_schema(spark, planted):
-    payloads = planted.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    from spark_hive_streaming_sink_spark.functions.multimodal import ppm_payloads
+
+    payloads = ppm_payloads(planted)
     f1 = featurize_binary(payloads).orderBy("doc_id").collect()
     f2 = featurize_binary(payloads.repartition(4)).orderBy("doc_id").collect()
     assert [tuple(r) for r in f1] == [tuple(r) for r in f2]  # partition-invariant
     r = f1[0]
-    assert r["kind"] == "image" and len(r["feature"]) == 8
-    assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
-    # identical payloads → identical features
-    by_id = {r["doc_id"]: tuple(r["feature"]) for r in f1}
+    assert r["kind"] == "image"
+    assert r["n_pixels"] == r["width"] * r["height"]
+    assert r["r_sum"] + r["g_sum"] + r["b_sum"] == r["pixel_sum"]
+    assert 32 <= r["px_min"] <= r["px_max"] <= 126  # printable ASCII pixels
+    # identical payloads → identical stats
+    by_id = {r["doc_id"]: (r["pixel_sum"], r["width"], r["height"]) for r in f1}
     assert by_id[1] == by_id[3]
 
 
-def test_decode_image_is_explicit_stub():
-    from spark_hive_streaming_sink_spark.functions.multimodal import decode_image
+def test_decode_ppm_roundtrip_and_compressed_raises():
+    from spark_hive_streaming_sink_spark.functions.multimodal import (
+        decode_image,
+        decode_ppm,
+    )
 
+    # real parse, including comments and multi-whitespace in the header
+    raw = bytes(range(2 * 3 * 3))  # 2x3 RGB
+    assert decode_ppm(b"P6\n# a comment\n 2  3\n255\n" + raw) == (2, 3, 255, raw)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 3\n255\n\x00\x01")  # truncated raster
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")
+        decode_image(b"\xff\xd8\xff")  # JPEG needs a codec library
 
 
 def test_approx_sketches_within_error_bounds(spark):
@@ -159,9 +171,10 @@ def test_arrow_and_pandas_featurize_identical(spark, planted):
     from spark_hive_streaming_sink_spark.functions.multimodal import (
         featurize_binary,
         featurize_binary_arrow,
+        ppm_payloads,
     )
 
-    payloads = planted.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    payloads = ppm_payloads(planted)
     a = [tuple(r) for r in featurize_binary(payloads).orderBy("doc_id").collect()]
     b = [tuple(r) for r in featurize_binary_arrow(payloads).orderBy("doc_id").collect()]
     assert a == b
