@@ -528,6 +528,46 @@ def scalar_string_funcs_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE chain(c_custkey, depth) AS (
+      SELECT c_custkey, 0 FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, chain.depth + 1
+      FROM customer c JOIN chain ON c.c_custkey // 10 = chain.c_custkey
+      WHERE c.c_custkey >= 10)
+    SELECT depth, COUNT(*) AS n,
+           MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+    FROM chain GROUP BY depth
+    """,
+    tags=("relational", "sql", "iterative"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 WITH RECURSIVE): walk a synthetic
+    management chain (each customer reports to custkey÷10) from the
+    roots down and roll up population per depth — the org-hierarchy /
+    bill-of-materials shape. Each recursion step is a plain equi-join
+    against the base relation (shuffle-or-broadcast per Catalyst), and
+    the depth is bounded by log₁₀(max key), not data volume — the
+    pattern stays executable at 100 TB because the per-step frontier,
+    not the recursion, carries the data."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_rc_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(c_custkey, depth) AS (
+          SELECT c_custkey, 0 FROM _rc_customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, chain.depth + 1
+          FROM _rc_customer c JOIN chain ON c.c_custkey DIV 10 = chain.c_custkey
+          WHERE c.c_custkey >= 10)
+        SELECT depth, COUNT(*) AS n,
+               MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+        FROM chain GROUP BY depth
+        """
+    )
+
+
+@register(
     "sql_table_valued_functions",
     oracle="""
     WITH r AS (SELECT unnest(generate_series(0, 99)) AS id),

@@ -51,6 +51,37 @@ class HiveStreamingSinkError(ValueError):
     AnalysisException cases."""
 
 
+_LOCAL_METASTORE_HOSTS = {"localhost", "127.0.0.1", "::1", ""}
+
+
+def _validate_metastore(uri: str | None) -> str | None:
+    """The reference REQUIRES a ``metastore`` thrift URI
+    (``HiveOptions.scala:89-96``); Spark-native mode resolves tables
+    through the session catalog instead (``enableHiveSupport()`` +
+    ``spark.sql.hive.metastore.uris`` is the cluster-level way to point
+    Spark at an external metastore). Accept the option for
+    compatibility, but FAIL LOUDLY on anything this mode cannot honor:
+    a malformed URI or a remote metastore host — silently writing to
+    the local catalog while the caller believes a remote Hive is the
+    destination would be data-placement corruption."""
+    if uri is None:
+        return None
+    if not uri.startswith("thrift://"):
+        # same shape check the Hive client applies to hive.metastore.uris
+        raise HiveStreamingSinkError(
+            f"metastore must be a thrift://host:port URI, got: {uri!r}"
+        )
+    host = uri[len("thrift://") :].split(":", 1)[0]
+    if host not in _LOCAL_METASTORE_HOSTS:
+        raise HiveStreamingSinkError(
+            f"metastore {uri!r} points at a remote host; this Spark-native "
+            "sink resolves tables via the session catalog — configure "
+            "spark.sql.hive.metastore.uris + enableHiveSupport() on the "
+            "session instead of the sink option"
+        )
+    return uri
+
+
 @dataclass
 class HiveSinkOptions:
     """Mirrors ``HiveOptions.scala:78-115`` (names kept; batching knobs
@@ -77,7 +108,7 @@ class HiveSinkOptions:
         return cls(
             db=opts.pop("db"),
             table=opts.pop("table"),
-            metastore=opts.pop("metastore", None),
+            metastore=_validate_metastore(opts.pop("metastore", None)),
             txn_per_batch=int(opts.pop("txn.per.batch", 100)),
             batch_size=int(opts.pop("batch.size", 10_000)),
             auto_create_partitions=str(opts.pop("auto.create.partitions", "true")).lower()

@@ -71,12 +71,31 @@ def test_missing_required_options():
 def test_option_defaults_and_names():
     o = HiveSinkOptions.from_options(
         {"db": "d", "table": "t", "batch.size": "5000", "txn.per.batch": "10",
-         "metastore": "thrift://x:9083", "auto.create.partitions": "false"}
+         "metastore": "thrift://localhost:9083", "auto.create.partitions": "false"}
     )
     assert o.batch_size == 5000
     assert o.txn_per_batch == 10
     assert o.auto_create_partitions is False
     assert o.qualified_name == "d.t"
+
+
+def test_metastore_option_validated_not_silently_ignored():
+    # HiveOptions.scala:89-96 requires a thrift metastore URI; the
+    # Spark-native sink honors local URIs and fails loudly on remote
+    # ones (session catalog is the write path — writing locally while
+    # the caller expects a remote Hive would misplace data)
+    with pytest.raises(HiveStreamingSinkError, match="thrift://"):
+        HiveSinkOptions.from_options({"db": "d", "table": "t", "metastore": "hive:9083"})
+    with pytest.raises(HiveStreamingSinkError, match="remote host"):
+        HiveSinkOptions.from_options(
+            {"db": "d", "table": "t", "metastore": "thrift://warehouse-prod:9083"}
+        )
+    assert (
+        HiveSinkOptions.from_options(
+            {"db": "d", "table": "t", "metastore": "thrift://127.0.0.1:9083"}
+        ).metastore
+        == "thrift://127.0.0.1:9083"
+    )
 
 
 def test_batch_replay_idempotent(spark):
