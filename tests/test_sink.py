@@ -375,3 +375,37 @@ def test_arrow_writer_null_and_special_partition_values(spark, tmp_path):
         (r.event_id, r.event_type) for r in back.select("event_id", "event_type").collect()
     )
     assert got == [(1, "click"), (2, None), (3, "a/b=c"), (4, "click")]
+
+
+def test_shared_ledger_dir_no_cross_query_collision(spark, tmp_path):
+    """Two queries into two tables sharing one ledger.dir must not skip
+    each other's batches (markers are namespaced per destination —
+    pre-fix, both wrote <dir>/batch-0 and the second query silently
+    dropped its first batch)."""
+    sf_dir = "/root/testdata/sf0.001"
+    ledger_dir = str(tmp_path / "shared_ledger")
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    counts = {}
+    for i, table in enumerate(["ledger_iso_a", "ledger_iso_b"]):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(
+            f"CREATE TABLE {table} (event_id BIGINT, user_id BIGINT, value DOUBLE, "
+            f"event_type STRING) USING PARQUET PARTITIONED BY (event_type) "
+            f"LOCATION '{tmp_path}/tbl_{i}'"
+        )
+        ev = stream_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        q = write_stream_to_table(
+            ev,
+            checkpoint_dir=str(tmp_path / f"ckpt_{i}"),
+            db="default",
+            table=table,
+            trigger={"availableNow": True},
+            **{"ledger.dir": ledger_dir},
+        )
+        q.awaitTermination()
+        spark.catalog.refreshTable(table)
+        counts[table] = spark.table(table).count()
+        spark.sql(f"DROP TABLE {table}")
+    assert counts == {"ledger_iso_a": expected, "ledger_iso_b": expected}

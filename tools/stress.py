@@ -100,11 +100,17 @@ def main() -> None:
         materialize(spark, repl, out_dir)
         print(f"materialized x{repl} in {time.time() - t0:.1f}s", file=sys.stderr)
     qs = queries()
+    # min of 2 runs, as in bench.py: first execution at a new scale pays
+    # JIT/codegen compilation (observed 19.8 s cold vs 1.6 s warm for the
+    # same minhash plan) — the minimum is the plan's actual cost
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        qs[name](spark, out_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, out_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     print(
         json.dumps(
             {
