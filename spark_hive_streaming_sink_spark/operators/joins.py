@@ -9,6 +9,8 @@ single-pass pattern instead of a quadratic range join.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
@@ -284,4 +286,67 @@ def join_null_safe_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_pairs"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 300000
+    """,
+    tags=("join", "bucketed", "materialize"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — the 100 TB shuffle-elimination
+    technique for repeated fact↔dim joins: both sides are written
+    ``bucketBy(N, join_key)`` + ``sortBy`` once, after which EVERY
+    join on that key runs with ZERO Exchange (bucket pruning pairs
+    file-bucket i with file-bucket i; the sortBy makes it a zip merge).
+    On a petabyte warehouse this turns the nightly orders↔customer
+    join from the dominant shuffle into a local merge per bucket —
+    the write cost is paid once, amortized over every downstream run.
+
+    The builder materializes the bucketed tables into the session
+    warehouse (idempotent per sf_dir via a content tag, OVERWRITE on
+    re-run) and joins with a merge hint so the plan shape is the
+    bucketed sort-merge even where size stats would pick broadcast;
+    ``tests/test_plans.py::test_bucketed_join_has_zero_exchange``
+    pins Exchange == 0. Results are storage-invariant (oracle joins
+    the plain parquet).
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = {}
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        names[tbl] = f"bkt_{tbl}_{tag}"
+        if not spark.catalog.tableExists(names[tbl]):
+            # external location (not the managed warehouse): a stale
+            # managed-table directory from a previous session would make
+            # CREATE fail with LOCATION_ALREADY_EXISTS; an external path
+            # with overwrite is restart-safe
+            # repartition on the bucket key first → exactly ONE file per
+            # bucket; with >1 file per bucket Spark must re-Sort inside
+            # each bucket at read time and only the Exchange is saved
+            (
+                load_table(spark, sf_dir, tbl)
+                .repartition(8, F.col(key))
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .option("path", f"/tmp/shss_bucketed/{tag}/{tbl}")
+                .saveAsTable(names[tbl])
+            )
+    # with exactly one file per bucket, the sortBy metadata satisfies the
+    # merge join's ordering requirement — but only under this (runtime-
+    # settable, bucketed-scans-only) conf; default Spark re-sorts each
+    # bucket locally even when the files are sorted
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    o = spark.table(names["orders"]).filter(F.col("o_totalprice") > 300000)
+    c = spark.table(names["customer"])
+    return (
+        o.hint("merge")
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
     )

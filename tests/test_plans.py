@@ -157,6 +157,18 @@ def test_no_static_broadcast_of_sf_scaling_tables(spark):
     assert not bad, f"static broadcast of SF-scaling table in: {bad}"
 
 
+def test_bucketed_join_has_zero_exchange(spark):
+    """Both sides bucketed+sorted on the join key → the sort-merge join
+    must read bucket i against bucket i with NO shuffle and NO sort:
+    the plan the nightly fact↔dim join should have at 100 TB."""
+    df = _df(spark, "join_bucketed_colocated")
+    assert count_nodes(df, "Exchange") == 0
+    assert count_nodes(df, "SortMergeJoin") == 1
+    # no standalone Sort either: one file per bucket + sortBy metadata
+    # ("Sort" prefix-matches "SortMergeJoin", hence the subtraction)
+    assert count_nodes(df, "Sort") - count_nodes(df, "SortMergeJoin") == 0
+
+
 def test_q17_brand_filter_prunes_before_aggregate(spark):
     df = _df(spark, "q17_small_quantity")
     plan = formatted_plan(df)
