@@ -302,6 +302,287 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB): character classes, bounded repeats and \b only —
+# no lookaround, no backrefs (RE2 has neither).
+_RE_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_RE_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_RE_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+@register(
+    "text_pii_redact",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, source,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                    '@example.com or 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                    '.17 tel 555-02', CAST(doc_id % 90 + 10 AS VARCHAR)) AS txt
+      FROM documents)
+    SELECT doc_id, source,
+           len(regexp_extract_all(txt, '{_RE_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(txt, '{_RE_IPV4}')) AS n_ips,
+           len(regexp_extract_all(txt, '{_RE_PHONE}')) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(txt,
+             '{_RE_EMAIL}', '<EMAIL>', 'g'),
+             '{_RE_IPV4}', '<IP>', 'g'),
+             '{_RE_PHONE}', '<PHONE>', 'g') AS redacted,
+           length(txt) - length(regexp_replace(regexp_replace(regexp_replace(txt,
+             '{_RE_EMAIL}', '<EMAIL>', 'g'),
+             '{_RE_IPV4}', '<IP>', 'g'),
+             '{_RE_PHONE}', '<PHONE>', 'g')) AS chars_removed
+    FROM t
+    """,
+    tags=("llm", "text", "pii"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the standard pre-training redaction pass
+    (emails / IPv4 / phone fragments → placeholder tokens) as pure
+    JVM-side regexp_replace: single scan, map-side only, no Python.
+    The fixture corpus contains no organic PII, so both engines inject
+    a deterministic PII suffix per doc (same concat expression) and
+    then count + redact it; at 100 TB the injection disappears and the
+    same three regexp_replace calls run directly over the crawl text.
+    Patterns restricted to the Java-regex ∩ RE2 common subset."""
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".17 tel 555-02"),
+        (F.col("doc_id") % 90 + 10).cast("string"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, _RE_EMAIL, "<EMAIL>"), _RE_IPV4, "<IP>"
+        ),
+        _RE_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.regexp_count(txt, F.lit(_RE_EMAIL)).alias("n_emails"),
+        F.regexp_count(txt, F.lit(_RE_IPV4)).alias("n_ips"),
+        F.regexp_count(txt, F.lit(_RE_PHONE)).alias("n_phones"),
+        red.alias("redacted"),
+        (F.length(txt) - F.length(red)).alias("chars_removed"),
+    )
+
+
+# Gopher/C4-style rule thresholds, tuned so the synthetic corpus
+# (10-99 tokens/doc) exercises both keep and drop paths. Every rule is
+# an integer cross-multiplication — no float thresholds to diverge on.
+_MIN_TOKENS, _MAX_TOKENS = 30, 10_000
+
+
+@register(
+    "text_quality_filter_pipeline",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             string_split(trim(text), ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, lang, source,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             len(list_filter(toks, x -> list_contains([{_SQL_STOP}], x))) AS n_stop,
+             len(list_filter(toks, x -> regexp_matches(x, '[^a-z0-9]'))) AS n_symbol,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok_len
+      FROM t),
+    r AS (
+      SELECT *,
+             n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS} AS ok_len,
+             3 * n_tokens <= sum_tok_len AND sum_tok_len <= 10 * n_tokens AS ok_avg_tok_len,
+             n_stop * 50 >= n_tokens AS ok_stopwords,
+             n_symbol * 10 <= n_tokens AS ok_symbols,
+             5 * n_distinct >= n_tokens AS ok_ttr
+      FROM s)
+    SELECT doc_id, lang, source, n_tokens, n_distinct, n_stop, n_symbol,
+           ok_len, ok_avg_tok_len, ok_stopwords, ok_symbols, ok_ttr,
+           ok_len AND ok_avg_tok_len AND ok_stopwords AND ok_symbols AND ok_ttr AS keep,
+           CASE WHEN NOT ok_len THEN 'len'
+                WHEN NOT ok_avg_tok_len THEN 'avg_tok_len'
+                WHEN NOT ok_stopwords THEN 'stopwords'
+                WHEN NOT ok_symbols THEN 'symbols'
+                WHEN NOT ok_ttr THEN 'ttr'
+                ELSE 'keep' END AS verdict
+    FROM r
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_quality_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality filter: token-count bounds,
+    mean-token-length bounds, minimum stopword ratio, maximum
+    symbol-token ratio, minimum type-token ratio → keep/drop with the
+    first failing rule as the verdict (the audit trail a curation run
+    keeps). Every threshold is an integer cross-multiplication
+    (``3·n ≤ Σlen ≤ 10·n`` instead of ``3 ≤ avg ≤ 10``), so the
+    filter is bit-deterministic and stays inside whole-stage codegen —
+    one scan, map-side only, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    s = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).alias("n_stop"),
+        F.size(F.filter(toks, lambda x: x.rlike("[^a-z0-9]"))).alias("n_symbol"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("sum_tok_len"),
+    )
+    nt, nd, ns, sym, stl = (
+        F.col(c) for c in ["n_tokens", "n_distinct", "n_stop", "n_symbol", "sum_tok_len"]
+    )
+    rules = s.select(
+        "*",
+        nt.between(_MIN_TOKENS, _MAX_TOKENS).alias("ok_len"),
+        ((3 * nt <= stl) & (stl <= 10 * nt)).alias("ok_avg_tok_len"),
+        (ns * 50 >= nt).alias("ok_stopwords"),
+        (sym * 10 <= nt).alias("ok_symbols"),
+        (5 * nd >= nt).alias("ok_ttr"),
+    )
+    oks = [F.col(c) for c in ["ok_len", "ok_avg_tok_len", "ok_stopwords", "ok_symbols", "ok_ttr"]]
+    keep = oks[0] & oks[1] & oks[2] & oks[3] & oks[4]
+    verdict = (
+        F.when(~oks[0], "len")
+        .when(~oks[1], "avg_tok_len")
+        .when(~oks[2], "stopwords")
+        .when(~oks[3], "symbols")
+        .when(~oks[4], "ttr")
+        .otherwise("keep")
+    )
+    return rules.select(
+        "doc_id", "lang", "source", "n_tokens", "n_distinct", "n_stop", "n_symbol",
+        *[c for c in ["ok_len", "ok_avg_tok_len", "ok_stopwords", "ok_symbols", "ok_ttr"]],
+        keep.alias("keep"),
+        verdict.alias("verdict"),
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok),
+    top AS (
+      SELECT doc_id, tok AS top_tok, cnt AS top_cnt
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY cnt DESC, tok) AS rn FROM c)
+      WHERE rn = 1),
+    m AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(SUM(cnt) FILTER (cnt > 1), 0) AS BIGINT) AS dup_mass
+      FROM c GROUP BY doc_id)
+    SELECT m.doc_id, n_tokens, top_tok, top_cnt, dup_mass,
+           top_cnt / n_tokens AS top_frac,
+           dup_mass / n_tokens AS dup_frac,
+           top_cnt * 5 <= n_tokens AS ok_top,
+           dup_mass * 2 <= n_tokens AS ok_dup
+    FROM m JOIN top ON m.doc_id = top.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (the Gopher "repetitive documents"
+    filter): most-frequent-token mass fraction and duplicated-token
+    mass fraction per document, with integer-threshold verdicts
+    (top token ≤ 20 % of tokens, duplicated mass ≤ 50 %). One shuffle
+    on (doc_id, tok) feeds both the argmax (WindowGroupLimit top-1,
+    token tie-break) and the per-doc mass sums — the count relation is
+    reused, not re-scanned. Ratios are int/int double divisions
+    (bit-identical cross-engine)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    c = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "tok")
+    top = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_tok"), F.col("cnt").alias("top_cnt"))
+    )
+    m = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0))
+        .cast("bigint")
+        .alias("dup_mass"),
+    )
+    nt = F.col("n_tokens")
+    return m.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "top_tok",
+        "top_cnt",
+        "dup_mass",
+        (F.col("top_cnt") / nt).alias("top_frac"),
+        (F.col("dup_mass") / nt).alias("dup_frac"),
+        (F.col("top_cnt") * 5 <= nt).alias("ok_top"),
+        (F.col("dup_mass") * 2 <= nt).alias("ok_dup"),
+    )
+
+
+@register(
+    "corpus_mix_weights",
+    oracle="""
+    WITH g AS (
+      SELECT lang, source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS tok_total
+      FROM documents GROUP BY lang, source),
+    tot AS (SELECT CAST(SUM(tok_total) AS BIGINT) AS corpus_total FROM g)
+    SELECT lang, source, n_docs, tok_total, corpus_total,
+           tok_total * 1000000 // corpus_total AS weight_ppm,
+           row_number() OVER (ORDER BY tok_total DESC, lang, source) AS mix_rank
+    FROM g CROSS JOIN tot
+    """,
+    tags=("llm", "text", "corpus"),
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix weighting: per (lang, source) token totals →
+    proportional sampling weight in parts-per-million, exact integer
+    division (``tok·10⁶ div total`` — no float in the weight, so the
+    mix table is reproducible to the ppm at any corpus size; a
+    float-ratio version would drift once token totals pass 2⁵³).
+    One narrow aggregate over the corpus scan + a broadcast 1-row
+    total; the mix table itself is tiny (|langs|·|sources| rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ")))
+        .cast("bigint")
+        .alias("tok_total"),
+    )
+    tot = g.agg(F.sum("tok_total").cast("bigint").alias("corpus_total"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("tok_total").desc(), "lang", "source")
+    return (
+        g.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "tok_total",
+            "corpus_total",
+            F.expr("tok_total * 1000000 div corpus_total").alias("weight_ppm"),
+        )
+        .withColumn("mix_rank", F.row_number().over(w))
+    )
+
+
 @register(
     "text_entropy_distribution",
     oracle="""

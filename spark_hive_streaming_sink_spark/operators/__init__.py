@@ -3,6 +3,7 @@
 from . import advanced  # noqa: F401
 from . import aggregates  # noqa: F401
 from . import joins  # noqa: F401
+from . import layout  # noqa: F401
 from . import relational  # noqa: F401
 from . import semistructured  # noqa: F401
 from . import setops  # noqa: F401

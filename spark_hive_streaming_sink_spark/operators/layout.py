@@ -1,0 +1,96 @@
+"""Multi-dimensional data-layout operators: Z-order (Morton) cluster
+keys for co-clustering a fact table on two query dimensions at once.
+
+At 100 TB a fact table sorted on one column prunes scans on that
+column only; interleaving the bits of two (or more) columns into a
+single Z-order key and range-partitioning + sorting on it gives every
+parquet file a small min/max rectangle in BOTH dimensions, so
+row-group stats prune scans filtered on either column. This is the
+technique behind Delta/Iceberg ``ZORDER BY`` — here expressed as a
+plain Catalyst integer expression (shift/and/or), fully inside
+whole-stage codegen: computing the key costs one map-side pass, and
+``repartitionByRange(zkey)`` + ``sortWithinPartitions(zkey)`` at
+write time does the clustering with a single range shuffle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..io import load_table
+from ..registry import register
+
+_BITS = 16  # bits per dimension → 32-bit Z key
+
+
+def zorder_key(x: Column, y: Column, bits: int = _BITS) -> Column:
+    """Morton interleave of the low ``bits`` of two non-negative
+    integer columns: x occupies even bit positions, y odd. Pure
+    shift/and/or tree — Catalyst folds it into one codegen'd
+    expression, no UDF."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def _zorder_sql(x: str, y: str, bits: int = _BITS) -> str:
+    """The identical interleave in portable SQL (fully parenthesized —
+    `<<` / `|` precedence differs between engines)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "layout_zorder_cluster",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id % 65536 AS ux,
+             (epoch_us(ts) // 60000000) % 65536 AS tm
+      FROM events),
+    z AS (SELECT ux, tm, {_zorder_sql('ux', 'tm')} AS zkey FROM e)
+    SELECT zkey >> 22 AS z_bucket,
+           COUNT(*) AS n_events,
+           MIN(ux) AS min_user, MAX(ux) AS max_user,
+           MIN(tm) AS min_minute, MAX(tm) AS max_minute,
+           MAX(ux) - MIN(ux) AS user_span,
+           MAX(tm) - MIN(tm) AS minute_span
+    FROM z GROUP BY z_bucket
+    """,
+    tags=("layout", "zorder", "scale"),
+)
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order cluster key over events on (user_id, event-minute),
+    verified by its defining property: bucketing on the high bits of
+    the interleaved key bounds BOTH dimensions per bucket (each
+    ``z_bucket`` row reports its user-id and minute min/max spans —
+    tight rectangles, where a single-column sort would leave the other
+    dimension's span unbounded). At write time the same key feeds
+    ``repartitionByRange(zkey).sortWithinPartitions(zkey)`` so parquet
+    row-group min/max stats prune scans filtered on either column.
+    The interleave is a pure shift/and/or Catalyst expression — one
+    codegen'd map pass plus one aggregate shuffle."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 65536).alias("ux"),
+        (F.expr("unix_micros(ts) div 60000000") % 65536).alias("tm"),
+    )
+    z = e.select("ux", "tm", zorder_key(F.col("ux"), F.col("tm")).alias("zkey"))
+    return (
+        z.groupBy(F.shiftright(F.col("zkey"), 22).alias("z_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ux").alias("min_user"),
+            F.max("ux").alias("max_user"),
+            F.min("tm").alias("min_minute"),
+            F.max("tm").alias("max_minute"),
+            (F.max("ux") - F.min("ux")).alias("user_span"),
+            (F.max("tm") - F.min("tm")).alias("minute_span"),
+        )
+    )

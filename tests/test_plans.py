@@ -169,6 +169,26 @@ def test_bucketed_join_has_zero_exchange(spark):
     assert count_nodes(df, "Sort") - count_nodes(df, "SortMergeJoin") == 0
 
 
+def test_quality_filter_is_map_side_only(spark):
+    """The Gopher/C4 filter must stay a single codegen'd scan: no
+    shuffle, no Python eval — at 100 TB it's one pass over the corpus."""
+    for name in ("text_quality_filter_pipeline", "text_pii_redact"):
+        df = _df(spark, name)
+        assert count_nodes(df, "Exchange") == 0, name
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_zorder_key_stays_in_codegen(spark):
+    """The Morton interleave must be a JVM expression (one aggregate
+    shuffle total) — a UDF here would put 100 TB through Python."""
+    df = _df(spark, "layout_zorder_cluster")
+    assert count_nodes(df, "Exchange") == 1
+    assert count_nodes(df, "HashAggregate") == 2  # partial + final
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_q17_brand_filter_prunes_before_aggregate(spark):
     df = _df(spark, "q17_small_quantity")
     plan = formatted_plan(df)
