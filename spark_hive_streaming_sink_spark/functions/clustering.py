@@ -100,3 +100,124 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_reachable for the oracle's sanity column: component size
     sizes = comp.groupBy("component").agg(F.count("*").alias("n_reachable"))
     return comp.join(sizes, "component").select("node", "component", "n_reachable")
+
+
+# --------------------------------------------------------------------------
+# k-means over embeddings (semantic clustering for data curation)
+# --------------------------------------------------------------------------
+
+KM_K = 4  # clusters
+KM_ITERS = 2  # Lloyd iterations (unrolled in the oracle)
+KM_DIM = 64
+
+_SQL_D2 = (
+    "list_reduce(list_transform(generate_series(1, len({v})), "
+    "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (x, y) -> x + y)"
+)
+
+_SQL_ASSIGN = """
+    {out} AS (
+      SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY round(d2, 6), cid) AS rn
+      FROM (SELECT e.vec_id, e.v, {cents}.cid,
+                   {d2} AS d2
+            FROM e CROSS JOIN {cents}))
+"""
+
+_SQL_MEANS = f"""
+    {{out}} AS (
+      SELECT cid, i AS dim,
+             CAST(SUM(CAST(round(v[i], 6) AS DECIMAL(12,6))) AS DOUBLE)
+               / COUNT(*) AS cv
+      FROM {{assign}} CROSS JOIN generate_series(1, {KM_DIM}) AS t(i)
+      WHERE rn = 1 AND i <= len(v)
+      GROUP BY cid, i)
+"""
+
+
+@register(
+    "cluster_kmeans_embeddings",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {KM_K}),
+    {_SQL_ASSIGN.format(out="a1", cents="c0", d2=_SQL_D2.format(v="e.v", c="c0.c"))},
+    {_SQL_MEANS.format(out="m1", assign="a1")},
+    c1 AS (SELECT cid, list(cv ORDER BY dim) AS c FROM m1 GROUP BY cid),
+    {_SQL_ASSIGN.format(out="a2", cents="c1", d2=_SQL_D2.format(v="e.v", c="c1.c"))},
+    {_SQL_MEANS.format(out="m2", assign="a2")},
+    n2 AS (SELECT cid, COUNT(*) AS n_vecs FROM a2 WHERE rn = 1 GROUP BY cid)
+    SELECT m2.cid AS cluster_id, m2.dim, m2.cv, n2.n_vecs
+    FROM m2 JOIN n2 ON m2.cid = n2.cid
+    """,
+    tags=("llm", "clustering", "iterative", "embedding"),
+)
+def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's) over the embedding corpus — the
+    semantic-clustering pass curation pipelines use for domain
+    discovery and cluster-balanced sampling. K=4 deterministic seeds
+    (vec_id 0..3), 2 iterations, squared-L2 assignment with
+    (round(d2,6), cid) tie-break; means via rounded-decimal exact sums
+    so every iteration is bit-identical to the unrolled DuckDB oracle.
+
+    Scale shape: each iteration is (a) one broadcast of K·D centroid
+    doubles against the corpus — map-side argmin, no shuffle — and
+    (b) one (cid, dim) groupBy whose cardinality is K·D, shuffled as
+    partial aggregates. Centroids never leave the cluster (no driver
+    collect); lineage stays 2 iterations deep so no checkpoint needed.
+    The same loop at K=10k centroids is IVF index construction
+    (cf. sim_ivf_topk)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = e.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        scored = e.crossJoin(F.broadcast(cents_df)).withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), "cid")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+
+    def means(assigned: DataFrame) -> DataFrame:
+        return (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", (F.col("pos") + 1).alias("dim"))
+            .agg(
+                (
+                    F.sum(F.round("val", 6).cast("decimal(12,6)")).cast("double")
+                    / F.count("*")
+                ).alias("cv")
+            )
+        )
+
+    for _ in range(KM_ITERS - 1):
+        m = means(assign(cents))
+        cents = m.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s.cv
+            ).alias("c")
+        )
+    final_assign = assign(cents)
+    m_final = means(final_assign)
+    n = final_assign.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    return m_final.join(n, "cid").select(
+        F.col("cid").alias("cluster_id"), "dim", "cv", "n_vecs"
+    )

@@ -1,0 +1,379 @@
+"""Corpus-management operators for LLM-data pipelines (SURVEY.md §2C
+extension, round-2 additions): dataset snapshot diffing, sequence
+packing (concat-and-chunk), train/eval contamination detection,
+policy-driven duplicate selection, and substring-window dedup.
+
+These are the ops a training-data pipeline runs *between* raw crawl
+and tokenized shards: what changed since the last snapshot, how do
+documents pack into fixed token budgets, does the training corpus leak
+the eval set, which copy of a duplicate do we keep, and which byte
+ranges are shared boilerplate.
+
+100 TB posture: every op is scan → map-side array/hash work → one
+hash-keyed shuffle (join or groupBy on a uniform digest). No all-pairs
+comparison, no driver-side collection, no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+from ..registry import register
+
+# --------------------------------------------------------------------------
+# dataset snapshot diff
+# --------------------------------------------------------------------------
+
+# Two deterministic pseudo-snapshots derived from orders: snapshot A is
+# "yesterday" (keys ≡ 3 mod 10 not yet ingested), snapshot B is "today"
+# (keys ≡ 7 mod 10 purged, every key ≡ 0 mod 5 repriced +1.50).
+_SNAP_FP_SQL = "md5(concat_ws('|', o_orderstatus, CAST({cents} AS VARCHAR), CAST(o_orderdate AS VARCHAR)))"
+
+
+@register(
+    "dataset_snapshot_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey,
+             {_SNAP_FP_SQL.format(cents="CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")} AS fp
+      FROM orders WHERE o_orderkey % 10 != 3),
+    b AS (
+      SELECT o_orderkey,
+             {_SNAP_FP_SQL.format(cents="CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) + CASE WHEN o_orderkey % 5 = 0 THEN 150 ELSE 0 END")} AS fp
+      FROM orders WHERE o_orderkey % 10 != 7),
+    d AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+             CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                  WHEN b.o_orderkey IS NULL THEN 'removed'
+                  WHEN a.fp != b.fp THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+    SELECT change_type, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+    FROM d GROUP BY change_type
+    """,
+    tags=("llm", "curation", "diff"),
+)
+def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the incremental-ingest audit: full outer join of
+    two table versions on the primary key, rows classified by comparing
+    md5 row fingerprints (added / removed / changed / unchanged).
+
+    At 100 TB this is the canonical reconciliation shape: one
+    co-partitioned join on the key (bucketed snapshots make it
+    shuffle-free), fingerprints computed map-side, counts map-combined.
+    Price goes through exact integer cents before fingerprinting so the
+    digest is bit-identical cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+
+    def fp(cents_col: Column) -> Column:
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderstatus"),
+                cents_col.cast("string"),
+                F.col("o_orderdate").cast("string"),
+            )
+        )
+
+    a = o.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey", fp(cents).alias("fp_a")
+    )
+    b = o.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        fp(
+            cents
+            + F.when(F.col("o_orderkey") % 5 == 0, F.lit(150)).otherwise(F.lit(0))
+        ).alias("fp_b"),
+    )
+    d = a.join(b, "o_orderkey", "full_outer").select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+    return d.groupBy("change_type").agg(
+        F.count("*").alias("n"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+
+
+# --------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+# --------------------------------------------------------------------------
+
+PACK_BUDGET = 2048  # tokens per training sequence
+
+
+@register(
+    "pack_sequences_chunk",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT lang, doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM t),
+    p AS (
+      SELECT lang, doc_id, n_tok,
+             cum_prev // {PACK_BUDGET} AS chunk_id,
+             CASE WHEN cum_prev // {PACK_BUDGET}
+                       != (cum_prev + n_tok - 1) // {PACK_BUDGET}
+                  THEN 1 ELSE 0 END AS straddles
+      FROM c)
+    SELECT lang, chunk_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS chunk_tokens,
+           SUM(straddles) AS n_straddlers
+    FROM p GROUP BY lang, chunk_id
+    """,
+    tags=("llm", "curation", "packing"),
+)
+def pack_sequences_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: concatenate each language's
+    documents in doc_id order and cut every PACK_BUDGET tokens — the
+    standard pre-training packing scheme. chunk_id = exclusive running
+    token count // budget; a document whose span crosses a cut is a
+    straddler (it will be split across two training sequences).
+
+    Scale: one window per lang (range-partitioned sort — at 100 TB the
+    sort is the same shuffle a shard-writer needs anyway), then a
+    map-combined groupBy. All integer arithmetic — exact everywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cum_prev", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    p = c.select(
+        "lang",
+        "n_tok",
+        F.expr(f"cum_prev div {PACK_BUDGET}").alias("chunk_id"),
+        F.when(
+            F.expr(f"cum_prev div {PACK_BUDGET}")
+            != F.expr(f"(cum_prev + n_tok - 1) div {PACK_BUDGET}"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("straddles"),
+    )
+    return p.groupBy("lang", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("chunk_tokens"),
+        F.sum("straddles").alias("n_straddlers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# train/eval contamination
+# --------------------------------------------------------------------------
+
+NGRAM = 5
+EVAL_MOD = 17  # doc_id % 17 == 0 → pseudo-holdout eval set
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(tk) - {NGRAM - 1}),
+               i -> md5(array_to_string(tk[i:i+{NGRAM - 1}], ' ')))) AS shingles
+      FROM toks WHERE len(tk) >= {NGRAM}),
+    train AS (
+      SELECT DISTINCT unnest(shingles) AS h FROM sh
+      WHERE doc_id % {EVAL_MOD} != 0),
+    ev AS (
+      SELECT doc_id, unnest(shingles) AS h FROM sh
+      WHERE doc_id % {EVAL_MOD} = 0),
+    m AS (
+      SELECT ev.doc_id,
+             COUNT(*) AS n_shingles,
+             COUNT(train.h) AS n_matched
+      FROM ev LEFT JOIN train ON ev.h = train.h
+      GROUP BY ev.doc_id)
+    SELECT doc_id, n_shingles, n_matched,
+           n_matched / n_shingles AS contamination,
+           n_matched / n_shingles >= 0.5 AS contaminated
+    FROM m
+    """,
+    tags=("llm", "curation", "contamination"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check (the n-gram-overlap decontamination
+    pass every serious pre-training corpus runs): hash every 5-gram of
+    the held-out eval docs (doc_id % 17 == 0) and of the training docs,
+    and score each eval doc by the fraction of its distinct 5-grams that
+    appear anywhere in training.
+
+    Scale: shingles are md5 digests (uniform keys), the train side is
+    map-side-distinct before its single shuffle, and the probe is one
+    hash join digest-to-digest — never text-to-text. At 100 TB the
+    train-distinct relation is the big side and the eval probe set is
+    comparatively tiny, so AQE broadcasts the probe."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.trim(F.col("text")), " ")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (NGRAM - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, NGRAM))),
+            )
+        ).alias("shingles"),
+    ).filter(F.size(tk) >= NGRAM)
+    train = (
+        sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select(F.explode("shingles").alias("h"))
+        .distinct()
+    )
+    ev = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        "doc_id", F.explode("shingles").alias("h")
+    )
+    m = (
+        ev.join(train.withColumn("hit", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"), F.count("hit").alias("n_matched"))
+    )
+    return m.select(
+        "doc_id",
+        "n_shingles",
+        "n_matched",
+        (F.col("n_matched") / F.col("n_shingles")).alias("contamination"),
+        (F.col("n_matched") / F.col("n_shingles") >= 0.5).alias("contaminated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# duplicate selection policy: keep the best copy, not the first
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, n_chars, lang,
+             md5(lower(trim(text))) AS content_key,
+             row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY md5(lower(trim(text)))) AS group_size
+      FROM documents)
+    SELECT content_key, group_size,
+           doc_id AS kept_doc_id, n_chars AS kept_n_chars, lang AS kept_lang
+    FROM g WHERE rn = 1
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-policy duplicate selection: within each normalized-content
+    group keep the *best* copy (longest n_chars, doc_id tie-break) —
+    the curation policy real pipelines use instead of keep-first, so a
+    truncated mirror never wins over the full original.
+
+    One shuffle on the md5 content key; the per-group sort is bounded
+    by duplicate multiplicity, not corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy("content_key").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    g = (
+        d.select("doc_id", "n_chars", "lang", key.alias("content_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count("*").over(Window.partitionBy("content_key")))
+    )
+    return g.filter(F.col("rn") == 1).select(
+        "content_key",
+        "group_size",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("n_chars").alias("kept_n_chars"),
+        F.col("lang").alias("kept_lang"),
+    )
+
+
+# --------------------------------------------------------------------------
+# substring-window dedup (boilerplate span detection)
+# --------------------------------------------------------------------------
+
+WIN = 64  # window width (chars)
+STRIDE = 32  # window stride (chars)
+
+
+@register(
+    "dedup_substring_windows",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, length(text) - {WIN} + 1, {STRIDE}),
+               p -> md5(substr(text, p, {WIN})))) AS h
+      FROM documents
+      WHERE length(text) >= {WIN}),
+    shared AS (
+      SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
+    SELECT w.doc_id,
+           COUNT(*) AS n_windows,
+           COUNT(shared.h) AS n_shared,
+           COUNT(shared.h) / COUNT(*) AS shared_frac
+    FROM w LEFT JOIN shared ON w.h = shared.h
+    GROUP BY w.doc_id
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, windowed approximation (the C4/RealNews
+    shared-span pass): hash a 64-char window every 32 chars, mark
+    windows whose digest occurs in more than one document, and score
+    each document by its shared-window fraction — high scores are
+    boilerplate (headers, license blocks, templated spam).
+
+    Scale: windows are generated map-side (sequence + transform —
+    no Python), digests are uniform md5 keys, and the only shuffles
+    are the groupBy h and the digest self-join. A suffix-array exact
+    pass needs a global sort; this windowed form is the standard
+    shuffle-light stand-in with stride-bounded miss length."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= WIN)
+    # positions 1, 1+STRIDE, ... while p + WIN - 1 <= len
+    pos = F.sequence(
+        F.lit(1), F.length("text") - (WIN - 1), F.lit(STRIDE)
+    )
+    w = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(pos, lambda p: F.md5(F.col("text").substr(p, F.lit(WIN))))
+        ).alias("h"),
+    )
+    shared = (
+        w.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h", F.lit(1).alias("hit"))
+    )
+    return (
+        w.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("hit").alias("n_shared"),
+            (F.count("hit") / F.count("*")).alias("shared_frac"),
+        )
+    )

@@ -425,3 +425,161 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the same md5 from the source text slice."""
     d = load_table(spark, sf_dir, "documents")
     return frame_sample_binary(ppm_payloads(d), every_n=4, max_frames=3)
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF/PCM16) codec — the audio leg of the multimodal surface
+# --------------------------------------------------------------------------
+
+N_SAMPLES = 64  # samples per synthetic clip
+SAMPLE_RATE = 8000
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_bytes long, n_samples long, sample_rate int, "
+    "sum_samples long, sum_abs long, energy long, peak_max int, peak_min int, "
+    "zero_crossings long"
+)
+_AUDIO_COLS = [
+    "doc_id", "n_bytes", "n_samples", "sample_rate",
+    "sum_samples", "sum_abs", "energy", "peak_max", "peak_min", "zero_crossings",
+]
+
+
+def _wav_header_hex(n_samples: int, sample_rate: int) -> str:
+    """Canonical 44-byte RIFF/WAVE PCM16-mono header as hex (pure
+    Python, used to build the JVM-side encode literal — the header is
+    constant because every synthetic clip has the same length)."""
+    import struct
+
+    data_size = n_samples * 2
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+    return hdr.hex()
+
+
+def wav_payloads(d: DataFrame) -> DataFrame:
+    """(doc_id, payload) with payload a REAL RIFF/WAVE file: PCM16
+    mono, 64 samples deterministically derived from doc_id
+    (sample_i = (doc_id·31 + i·17) mod 8192 − 4096). The sample plane
+    is built entirely JVM-side — int16 two's-complement little-endian
+    bytes via format_string hex + unhex — so encode costs no Python,
+    and the oracle can recompute every feature from the formula."""
+    i = F.sequence(F.lit(0), F.lit(N_SAMPLES - 1))
+
+    def sample_hex(idx):  # idx: Column
+        v = (F.col("doc_id") * 31 + idx * 17) % 8192 - 4096
+        u = (v + 65536) % 65536
+        return F.format_string("%02x%02x", (u % 256).cast("int"), (u / 256).cast("int"))
+
+    samples = F.array_join(F.transform(i, sample_hex), "")
+    payload = F.unhex(
+        F.concat(F.lit(_wav_header_hex(N_SAMPLES, SAMPLE_RATE)), samples)
+    )
+    return d.select("doc_id", payload.alias("payload"))
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Real RIFF/WAVE parser: validate magic, walk chunks to ``fmt ``
+    and ``data``, require PCM16 mono, return (sample_rate, n_samples,
+    samples). Pure Python (struct) — WAV needs no codec library, which
+    is the point; swap in soundfile/librosa here for compressed audio
+    and nothing else changes."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = fmt
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise NotImplementedError("only PCM16 mono decodes without an audio library")
+    samples = list(struct.unpack(f"<{len(data) // 2}h", data))
+    return sample_rate, len(samples), samples
+
+
+def _audio_stats(doc_id: int, payload: bytes) -> tuple:
+    rate, n, s = decode_wav(payload)
+    zc = sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+    return (
+        doc_id,
+        len(payload),
+        n,
+        rate,
+        sum(s),
+        sum(abs(x) for x in s),
+        sum(x * x for x in s),
+        max(s),
+        min(s),
+        zc,
+    )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, {N_SAMPLES - 1}),
+                            i -> (doc_id * 31 + i * 17) % 8192 - 4096) AS smp
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             CAST(44 + {N_SAMPLES} * 2 AS BIGINT) AS n_bytes,
+             CAST({N_SAMPLES} AS BIGINT) AS n_samples,
+             {SAMPLE_RATE} AS sample_rate,
+             CAST(list_sum(smp) AS BIGINT) AS sum_samples,
+             CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs,
+             CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS energy,
+             CAST(list_max(smp) AS INT) AS peak_max,
+             CAST(list_min(smp) AS INT) AS peak_min,
+             CAST(len(list_filter(generate_series(2, {N_SAMPLES}),
+                                  i -> smp[i - 1] * smp[i] < 0)) AS BIGINT)
+               AS zero_crossings
+      FROM s)
+    SELECT * FROM f
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audio pipeline: JVM-side WAV (RIFF/PCM16) encode →
+    binary payload column → distributed pure-Python RIFF parse in an
+    Arrow-batched mapInPandas kernel → exact integer sample statistics
+    (sums, energy, peaks, zero crossings — no float drift). The oracle
+    recomputes every feature from the generating formula, so the whole
+    encode→decode→featurize loop is hash-checked.
+
+    Scale: encode is codegen'd JVM work; decode/featurize is the
+    deliberate Arrow path (one Python worker per partition, zero
+    driver round-trips) — the exact shape of a real audio pipeline
+    with the codec swapped (soundfile/ffmpeg)."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = wav_payloads(d)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = [
+                _audio_stats(doc_id, bytes(p))
+                for doc_id, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=_AUDIO_COLS)
+
+    return payloads.mapInPandas(kernel, AUDIO_SCHEMA)

@@ -178,3 +178,168 @@ def test_arrow_and_pandas_featurize_identical(spark, planted):
     a = [tuple(r) for r in featurize_binary(payloads).orderBy("doc_id").collect()]
     b = [tuple(r) for r in featurize_binary_arrow(payloads).orderBy("doc_id").collect()]
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# round-2 corpus ops
+# --------------------------------------------------------------------------
+
+
+def test_decode_wav_roundtrip_and_malformed_raises():
+    import struct
+
+    from spark_hive_streaming_sink_spark.functions.multimodal import (
+        _wav_header_hex,
+        decode_wav,
+    )
+
+    samples = [(11 * 31 + i * 17) % 8192 - 4096 for i in range(64)]
+    payload = bytes.fromhex(_wav_header_hex(64, 8000)) + struct.pack("<64h", *samples)
+    rate, n, decoded = decode_wav(payload)
+    assert (rate, n) == (8000, 64)
+    assert decoded == samples
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + payload[4:])
+    with pytest.raises(ValueError):
+        decode_wav(payload[:12])  # no chunks at all
+    # stereo/float formats need a real audio library → explicit signal
+    bad_fmt = bytearray(payload)
+    bad_fmt[22] = 2  # channels = 2
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(bad_fmt))
+
+
+def test_wav_payloads_jvm_encode_matches_python(spark):
+    import struct
+
+    from spark_hive_streaming_sink_spark.functions.multimodal import (
+        _wav_header_hex,
+        wav_payloads,
+    )
+
+    d = spark.createDataFrame([(0,), (7,), (123,)], "doc_id long")
+    got = {r["doc_id"]: bytes(r["payload"]) for r in wav_payloads(d).collect()}
+    for doc_id, payload in got.items():
+        samples = [(doc_id * 31 + i * 17) % 8192 - 4096 for i in range(64)]
+        expect = bytes.fromhex(_wav_header_hex(64, 8000)) + struct.pack(
+            "<64h", *samples
+        )
+        assert payload == expect
+
+
+def test_dedup_keep_best_prefers_longest_copy(spark):
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    rows = [
+        (1, "shared body", "en", 200),
+        (2, "shared body", "en", 900),  # best copy: longest
+        (3, "shared body", "en", 900),  # tie → lower doc_id (2) wins
+        (4, "unique", "de", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    df.createOrReplaceTempView("_kb_docs")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy("k").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    kept = (
+        df.select("doc_id", "n_chars", key.alias("k"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+    )
+    got = {r["k"]: r["doc_id"] for r in kept.collect()}
+    assert 2 in got.values() and 1 not in got.values() and 3 not in got.values()
+    assert 4 in got.values()
+
+
+def test_pack_chunk_ids_monotone_and_budgeted(spark):
+    from spark_hive_streaming_sink_spark.functions.corpus import PACK_BUDGET
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    out = QUERIES["pack_sequences_chunk"].builder(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "packing produced no chunks"
+    for r in rows:
+        # every chunk except a lang's last must carry >= its budget's
+        # share minus one straddler's overhang; minimal invariant:
+        # token counts and doc counts are positive, straddlers bounded
+        assert r["n_docs"] >= 1
+        assert r["chunk_tokens"] >= 1
+        assert r["n_straddlers"] <= r["n_docs"]
+    # chunk ids per lang are dense from 0
+    by_lang: dict[str, set] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], set()).add(r["chunk_id"])
+    for lang, ids in by_lang.items():
+        assert ids == set(range(len(ids))), f"{lang}: non-dense chunk ids {ids}"
+
+
+def test_snapshot_diff_classes_are_consistent(spark):
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    out = QUERIES["dataset_snapshot_diff"].builder(spark, "/root/testdata/sf0.001")
+    got = {r["change_type"]: r["n"] for r in out.collect()}
+    # keys ≡ 3 (mod 10) exist only in B → added; ≡ 7 only in A → removed;
+    # ≡ 0 (mod 5) and in both → changed (repriced)
+    assert set(got) == {"added", "removed", "changed", "unchanged"}
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    n_total = orders.count()
+    assert sum(got.values()) == n_total
+
+
+def test_contamination_flags_full_overlap(spark):
+    # a doc whose 5-grams all appear in training must score 1.0
+    from pyspark.sql import functions as F
+
+    from spark_hive_streaming_sink_spark.functions.corpus import EVAL_MOD, NGRAM
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(5, text), (EVAL_MOD, text), (3, "totally different words everywhere now")]  # train 5 and eval 17 share text
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tk = F.split(F.trim(F.col("text")), " ")
+    sh = df.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (NGRAM - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, NGRAM))),
+            )
+        ).alias("shingles"),
+    ).filter(F.size(tk) >= NGRAM)
+    train = (
+        sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select(F.explode("shingles").alias("h"))
+        .distinct()
+    )
+    ev = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select(
+        "doc_id", F.explode("shingles").alias("h")
+    )
+    m = (
+        ev.join(train.withColumn("hit", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.count("hit").alias("m"))
+        .collect()
+    )
+    assert m and m[0]["m"] == m[0]["n"], "planted full overlap not detected"
+
+
+def test_kmeans_clusters_partition_the_corpus(spark):
+    from spark_hive_streaming_sink_spark.functions.clustering import KM_K
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    out = QUERIES["cluster_kmeans_embeddings"].builder(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    n_vecs_per_cluster = {r["cluster_id"]: r["n_vecs"] for r in rows}
+    emb_n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").count()
+    assert sum(n_vecs_per_cluster.values()) == emb_n
+    assert len(n_vecs_per_cluster) <= KM_K
+    # every surviving cluster carries a full 64-dim centroid
+    dims_per_cluster: dict[int, int] = {}
+    for r in rows:
+        dims_per_cluster[r["cluster_id"]] = dims_per_cluster.get(r["cluster_id"], 0) + 1
+    assert all(v == 64 for v in dims_per_cluster.values())
