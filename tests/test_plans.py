@@ -201,3 +201,57 @@ def test_q17_brand_filter_prunes_before_aggregate(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     # partial+final pairs for both the per-part and the global aggregate
     assert count_nodes(df, "HashAggregate") >= 4
+
+
+def test_snapshot_diff_is_shuffle_join_not_broadcast(spark):
+    """Both snapshot sides scale with the table — the full outer join
+    must be a sort-merge join (broadcast would OOM at 100 TB), with
+    fingerprints computed map-side under codegen."""
+    df = _df(spark, "dataset_snapshot_diff")
+    assert count_nodes(df, "SortMergeJoin") >= 1
+    assert count_nodes(df, "CartesianProduct") == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contamination_probe_is_hash_join(spark):
+    """Digest-to-digest probe: hash/sort-merge join on md5 keys, never
+    a cartesian; shingle generation is codegen'd array work."""
+    df = _df(spark, "contamination_ngram_overlap")
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert (
+        count_nodes(df, "BroadcastHashJoin")
+        + count_nodes(df, "SortMergeJoin")
+        + count_nodes(df, "ShuffledHashJoin")
+        >= 1
+    )
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_substring_windows_no_cartesian(spark):
+    df = _df(spark, "dedup_substring_windows")
+    assert count_nodes(df, "CartesianProduct") == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_two_shuffles_max(spark):
+    """One range/hash partition for the per-lang window + one partial/
+    final aggregate shuffle — anything more means the window
+    partitioning got lost."""
+    df = _df(spark, "pack_sequences_chunk")
+    assert count_nodes(df, "Exchange") <= 2
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_audio_encode_jvm_decode_single_python_pass(spark):
+    """WAV payload build must stay in codegen (no Python); the decode/
+    featurize kernel is exactly one Arrow-batched map with no shuffle
+    at all — the whole pipeline is a single pass over the corpus."""
+    df = _df(spark, "multimodal_audio_features")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert count_nodes(df, "Exchange") == 0
