@@ -47,6 +47,12 @@ HEADLINE = [
     "sim_ann_lsh",
     "embed_quantize_int8",
     "window_gaps_islands_sessionize",
+    "dataset_snapshot_diff",
+    "contamination_ngram_overlap",
+    "dedup_substring_windows",
+    "pack_sequences_chunk",
+    "cluster_kmeans_embeddings",
+    "multimodal_audio_features",
 ]
 
 

@@ -664,3 +664,35 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("modal_count"),
         )
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(CAST(o_custkey AS VARCHAR), ','
+                      ORDER BY o_custkey, o_orderkey) AS custkeys,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderkey % 200 = 0
+    GROUP BY o_orderpriority
+    """,
+    tags=("aggregate",),
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (ORDER BY ...) — the SQL:2016 ordered
+    string aggregation (Spark 4.0+). The explicit ORDER BY inside the
+    aggregate is what makes the result deterministic; without it both
+    engines would concatenate in partition-arrival order.
+
+    Scale: the subsample predicate keeps group payloads bounded —
+    unbounded LISTAGG over a fact table is an anti-pattern (one group's
+    string must fit in memory); cap or bucket first."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 200 == 0)
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(cast(o_custkey as string), ',')"
+            " within group (order by o_custkey, o_orderkey)"
+        ).alias("custkeys"),
+        F.count("*").alias("n"),
+    )

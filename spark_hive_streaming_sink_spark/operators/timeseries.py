@@ -1,0 +1,202 @@
+"""Time-series operators over the events stream: forward fill
+(IGNORE NULLS window), OHLC-style resampling, and interval-overlap
+joins with the bucketed equi-join rewrite that makes them scale.
+
+All three are shapes the reference's streaming users run downstream of
+the sink (gap-filled sensor series, bar charts, session overlap); here
+they are batch operators with full DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+from ..registry import register
+
+
+@register(
+    "window_ignore_nulls_ffill",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 3 = 0 THEN value END AS sparse
+      FROM events)
+    SELECT event_id, user_id, sparse,
+           last_value(sparse IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM s
+    """,
+    tags=("window", "timeseries"),
+)
+def window_ignore_nulls_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF) via last_value IGNORE NULLS: a sparse sensor
+    series (two thirds of readings dropped deterministically) is
+    gap-filled with the most recent non-null per user. (ts, event_id)
+    is a unique ordering, so the fill is deterministic; the kept values
+    are untouched doubles from the scan — no float arithmetic at all.
+
+    Scale: one window shuffle on user_id — the same partitioning every
+    per-user op in the pipeline reuses."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("sparse"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        "sparse",
+        F.last("sparse", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+@register(
+    "events_ohlc_resample",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS bar,
+             value, ts, event_id,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events)
+    SELECT event_type, bar,
+           MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS volume
+    FROM b GROUP BY event_type, bar
+    """,
+    tags=("aggregate", "timeseries"),
+)
+def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsampling to hourly OHLC bars per event type — the canonical
+    time-series resample. Open/close are picked by unique (ts,
+    event_id) order (row_number, not first_value, so ties can't make
+    the answer engine-dependent); high/low are pure selections; volume
+    is an exact fixed-point sum.
+
+    Scale: one shuffle on (event_type, hour) for the windows, reused by
+    the aggregate — at 100 TB this is the standard ingest-time rollup
+    and the bar key is naturally unskewed (time advances)."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    wo = Window.partitionBy("event_type", bucket).orderBy("ts", "event_id")
+    wc = Window.partitionBy("event_type", bucket).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    b = e.select(
+        "event_type",
+        F.date_format(bucket, "yyyy-MM-dd HH").alias("bar"),
+        "value",
+        F.row_number().over(wo).alias("rn_open"),
+        F.row_number().over(wc).alias("rn_close"),
+    )
+    return b.groupBy("event_type", "bar").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 10000, 0).cast("bigint")).cast("double")
+            / 10000.0
+        ).alias("volume"),
+    )
+
+
+OVERLAP_BUCKET_SEC = 3600  # candidate-generation granularity
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT event_id AS a_id, user_id,
+             epoch_us(ts) // 1000000 AS a_start,
+             epoch_us(ts) // 1000000 + 3600 AS a_end
+      FROM events WHERE event_type = 'click' AND event_id % 5 = 0),
+    b AS (
+      SELECT event_id AS b_id, user_id,
+             epoch_us(ts) // 1000000 AS b_start,
+             epoch_us(ts) // 1000000 + 1800 AS b_end
+      FROM events WHERE event_type = 'purchase')
+    SELECT a.a_id, b.b_id, a.user_id,
+           least(a.a_end, b.b_end) - greatest(a.a_start, b.b_start)
+             AS overlap_sec
+    FROM a JOIN b ON a.user_id = b.user_id
+     AND a.a_start < b.b_end AND b.b_start < a.a_end
+    """,
+    tags=("join", "timeseries"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (clicks' 1-hour windows × purchases'
+    30-minute windows per user), executed with the bucketed rewrite
+    that scales: each interval explodes to the hour buckets it covers,
+    the join becomes an EQUI join on (user_id, bucket) — hash, never
+    nested-loop — and the exact overlap predicate then filters
+    candidates; distinct de-dupes intervals that met in two buckets.
+
+    The oracle states the semantics as the plain inequality join; the
+    builder's bucketed plan must produce identical pairs. At 100 TB
+    the bucket key bounds candidate fan-out by interval-length /
+    bucket-size, the knob you tune to the workload."""
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    a = e.filter((F.col("event_type") == "click") & (F.col("event_id") % 5 == 0)).select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        epoch.alias("a_start"),
+        (epoch + 3600).alias("a_end"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"),
+        "user_id",
+        epoch.alias("b_start"),
+        (epoch + 1800).alias("b_end"),
+    )
+    bk = OVERLAP_BUCKET_SEC
+
+    def bucketed(df: DataFrame, s: str, t: str) -> DataFrame:
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{s} div {bk}"),
+                    # end is exclusive: an interval ending exactly on a
+                    # boundary does not cover the next bucket
+                    F.expr(f"({t} - 1) div {bk}"),
+                )
+            ),
+        )
+    pairs = (
+        bucketed(a, "a_start", "a_end")
+        .join(bucketed(b, "b_start", "b_end"), ["user_id", "bucket"])
+        .filter((F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end")))
+        .select(
+            "a_id",
+            "b_id",
+            "user_id",
+            (
+                F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+            ).alias("overlap_sec"),
+        )
+        .distinct()
+    )
+    return pairs
