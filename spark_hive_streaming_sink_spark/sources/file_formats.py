@@ -62,3 +62,78 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(ROUND(s_acctbal * 100, 0) AS BIGINT) AS acctbal_c
+    FROM supplier
+    """,
+    tags=("source", "orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → schema-explicit ORC read. ORC is the reference's
+    native destination format (transactional ORC tables,
+    ``HiveStreamingExample.scala:26-31``); OSS Spark reads/writes
+    non-ACID ORC natively, so the engine's columnar round trip through
+    the reference's format family is exercised here. Money goes
+    through exact cents after the round trip — bit-identical."""
+    base = tempfile.mkdtemp(prefix="shss_orc_")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    s.write.mode("overwrite").orc(f"{base}/supplier")
+    back = spark.read.schema(
+        "s_suppkey bigint, s_name string, s_nationkey bigint, s_acctbal double"
+    ).orc(f"{base}/supplier")
+    return back.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("acctbal_c"),
+    )
+
+
+@register(
+    "source_partitioned_pruned_read",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+             AS total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "layout"),
+)
+def source_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout end to end: write orders
+    partitioned by o_orderpriority (the directory layout the sink's
+    dynamic partition routing produces), then read back with a
+    partition-column predicate. Catalyst must prune to the two
+    matching directories — the scan's PartitionFilters (asserted in
+    tests/test_plans.py) are what turn a 100 TB table into a 40 TB
+    read before any I/O happens.
+
+    Partition count discipline: o_orderpriority has 5 values — a sane
+    partition key. Partitioning by a high-cardinality key (o_orderkey)
+    would produce millions of tiny files; that anti-pattern is what
+    compact/cluster keys (layout_zorder_cluster) exist for."""
+    base = tempfile.mkdtemp(prefix="shss_part_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(f"{base}/orders")
+    back = spark.read.parquet(f"{base}/orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).cast("double")
+            / 100.0
+        ).alias("total"),
+    )

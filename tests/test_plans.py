@@ -255,3 +255,32 @@ def test_audio_encode_jvm_decode_single_python_pass(spark):
     assert count_nodes(df, "MapInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert count_nodes(df, "Exchange") == 0
+
+
+def test_interval_overlap_is_equi_join(spark):
+    """The bucketed rewrite must plan as a hash/sort-merge EQUI join on
+    (user_id, bucket) — a plain inequality join would be a nested-loop
+    cartesian, the thing that cannot run at 100 TB."""
+    df = _df(spark, "join_interval_overlap")
+    assert count_nodes(df, "CartesianProduct") == 0
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        count_nodes(df, "BroadcastHashJoin")
+        + count_nodes(df, "SortMergeJoin")
+        + count_nodes(df, "ShuffledHashJoin")
+        >= 1
+    )
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """The o_orderpriority predicate must land in PartitionFilters (not
+    a post-scan Filter): directory-level pruning is the first and
+    cheapest I/O eliminator on a partitioned 100 TB table."""
+    df = _df(spark, "source_partitioned_pruned_read")
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderpriority" in m.group(1), plan[:2000]
