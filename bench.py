@@ -53,6 +53,8 @@ HEADLINE = [
     "pack_sequences_chunk",
     "cluster_kmeans_embeddings",
     "multimodal_audio_features",
+    "text_unigram_surprisal",
+    "pca_power_iteration",
 ]
 
 

@@ -221,3 +221,152 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m_final.join(n, "cid").select(
         F.col("cid").alias("cluster_id"), "dim", "cv", "n_vecs"
     )
+
+
+# --------------------------------------------------------------------------
+# PCA top component via power iteration (embedding dim-reduction)
+# --------------------------------------------------------------------------
+
+PCA_ITERS = 2  # power iterations (unrolled in the oracle)
+
+_SQL_SQNORM = "list_reduce(list_transform({z}, q -> q * q), (a, b) -> a + b)"
+_SQL_DOTV = (
+    "list_reduce(list_transform(generate_series(1, {d}), i -> xc[i] * {v}[i]), "
+    "(a, b) -> a + b)"
+)
+_SQL_ZSTEP = f"""
+    {{zout}} AS (
+      SELECT i AS dim,
+             CAST(SUM(CAST(round(y * xc[i], 6) AS DECIMAL(18,6))) AS DOUBLE) AS z
+      FROM {{yin}} CROSS JOIN generate_series(1, {KM_DIM}) AS t(i)
+      GROUP BY i),
+    {{vout}} AS (
+      SELECT list(z ORDER BY dim) AS z
+      FROM {{zout}})
+"""
+
+
+@register(
+    "pca_power_iteration",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS x
+      FROM embeddings),
+    md AS (
+      SELECT i AS dim,
+             CAST(SUM(CAST(round(x[i], 6) AS DECIMAL(12,6))) AS DOUBLE)
+               / COUNT(*) AS md
+      FROM e CROSS JOIN generate_series(1, {KM_DIM}) AS t(i)
+      GROUP BY i),
+    mv AS (SELECT list(md ORDER BY dim) AS m FROM md),
+    xc AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, {KM_DIM}), i -> x[i] - m[i]) AS xc
+      FROM e CROSS JOIN mv),
+    v0 AS (
+      SELECT list_transform(generate_series(1, {KM_DIM}),
+                            i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS v),
+    y1 AS (SELECT vec_id, xc, {_SQL_DOTV.format(d=KM_DIM, v="v0.v")} AS y
+           FROM xc CROSS JOIN v0),
+    {_SQL_ZSTEP.format(zout="z1", yin="y1", vout="zv1")},
+    v1 AS (
+      SELECT list_transform(z, el -> el / sqrt({_SQL_SQNORM.format(z="z")})) AS v
+      FROM zv1),
+    y2 AS (SELECT vec_id, xc, {_SQL_DOTV.format(d=KM_DIM, v="v1.v")} AS y
+           FROM xc CROSS JOIN v1),
+    {_SQL_ZSTEP.format(zout="z2", yin="y2", vout="zv2")},
+    fin AS (SELECT z, sqrt({_SQL_SQNORM.format(z="z")}) AS nrm FROM zv2)
+    SELECT i AS dim, z[i] / nrm AS loading, nrm AS growth
+    FROM fin CROSS JOIN generate_series(1, {KM_DIM}) AS t(i)
+    """,
+    tags=("llm", "embedding", "iterative", "pca"),
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus via distributed
+    power iteration — the dimensionality-reduction / whitening pass of
+    embedding-based curation (project onto the top component(s) to
+    visualize, de-bias, or compress). Never materializes the 64×64
+    covariance: each iteration computes y_i = (x_i − m)·v map-side,
+    then z = Σ y_i (x_i − m) as a (dim)-keyed exact-decimal aggregate,
+    then normalizes. v₀ = e₁, 2 iterations, both unrolled in the
+    DuckDB oracle — loadings match bit-for-bit because every sum is
+    integer/decimal-exact and every float op is an identically-ordered
+    IEEE expression.
+
+    Scale: per iteration one broadcast of the 64-double v (an
+    Aggregate-derived single row) and one 64-key shuffle — O(corpus)
+    map work, O(dim) reduce work; the same loop at k components is
+    block power iteration. Output 'growth' is ‖z‖ (the Rayleigh-
+    quotient numerator — converges to λ₁·n after normalization
+    scaling)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("x")
+    )
+    md = (
+        e.select(F.posexplode("x").alias("pos", "val"))
+        .groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.round("val", 6).cast("decimal(12,6)")).cast("double")
+                / F.count("*")
+            ).alias("md")
+        )
+    )
+    mv = md.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "md"))), lambda s: s.md
+        ).alias("m")
+    )
+    xc = e.crossJoin(F.broadcast(mv)).select(
+        "vec_id", F.zip_with("x", "m", lambda a, b: a - b).alias("xc")
+    )
+
+    v = F.array(*([F.lit(1.0)] + [F.lit(0.0)] * (KM_DIM - 1)))
+    vdf = xc.sparkSession.range(1).select(v.alias("v"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t)
+
+    zdf = None
+    for _ in range(PCA_ITERS):
+        y = xc.crossJoin(F.broadcast(vdf)).select(
+            "vec_id", "xc", dot(F.col("xc"), F.col("v")).alias("y")
+        )
+        z = (
+            y.select(F.col("y"), F.posexplode("xc").alias("pos", "xcd"))
+            .groupBy((F.col("pos") + 1).alias("dim"))
+            .agg(
+                F.sum(
+                    F.round(F.col("y") * F.col("xcd"), 6).cast("decimal(18,6)")
+                )
+                .cast("double")
+                .alias("z")
+            )
+        )
+        zdf = z.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "z"))), lambda s: s.z
+            ).alias("z")
+        )
+        sqnorm = F.aggregate(
+            F.transform("z", lambda q: q * q), F.lit(0.0), lambda acc, t: acc + t
+        )
+        vdf = zdf.select(
+            F.transform("z", lambda el: el / F.sqrt(sqnorm)).alias("v")
+        )
+
+    fin = zdf.select(
+        "z",
+        F.sqrt(
+            F.aggregate(
+                F.transform("z", lambda q: q * q), F.lit(0.0), lambda acc, t: acc + t
+            )
+        ).alias("nrm"),
+    )
+    return fin.select(
+        F.posexplode(F.transform("z", lambda el: el / F.col("nrm"))).alias(
+            "pos", "loading"
+        ),
+        F.col("nrm").alias("growth"),
+    ).select((F.col("pos") + 1).alias("dim"), "loading", "growth")

@@ -619,3 +619,59 @@ def text_entropy_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "n_sources", F.col("total").alias("n_docs"))
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("source_entropy"))
     )
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+      FROM documents),
+    vocab AS (
+      SELECT w, COUNT(*) AS n_w FROM tok GROUP BY w),
+    total AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n FROM vocab),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST(ROUND(ln(CAST(n_w AS DOUBLE) / n) * 1000000, 0) AS BIGINT)
+               AS unats
+      FROM tok JOIN vocab ON tok.w = vocab.w CROSS JOIN total)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(-SUM(unats) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "text", "lm"),
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model surprisal per document — the classic
+    perplexity-proxy quality score (documents full of corpus-rare
+    tokens score high; boilerplate scores low). The LM is the corpus
+    itself: p(w) = count(w) / N, score = −mean ln p(w).
+
+    Determinism: each token's surprisal is rounded to integer
+    micro-nats BEFORE summing, so the per-doc sum is an exact bigint —
+    merge-order independent — and the final two divides are identical
+    single IEEE ops in both engines.
+
+    Scale: one explode + one vocab aggregate + one token-keyed join.
+    The join key is Zipf-skewed ("the" dominates); at 100 TB either
+    AQE skew-join handles it or the vocab relation (≪ corpus,
+    ~10⁷ rows) broadcasts — both knobs are config, not plan changes."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("n_w"))
+    total = vocab.agg(F.sum("n_w").cast("bigint").alias("n"))
+    scored = tok.join(vocab, "w").crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        F.round(F.log(F.col("n_w").cast("double") / F.col("n")) * 1000000, 0)
+        .cast("bigint")
+        .alias("unats"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (
+            (-F.sum("unats")).cast("double") / 1000000.0 / F.count("*")
+        ).alias("avg_surprisal"),
+    )
