@@ -350,3 +350,53 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+                THEN strftime(c.ts, '%Y-%m-%d %H:%M:%S') END AS prior_click_ts,
+           CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+                THEN CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) END AS gap_us
+    FROM purch p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, LEFT + tolerance variant (pandas merge_asof
+    semantics): every purchase is kept; the nearest prior click counts
+    only if it is within 30 minutes, else the match columns are NULL.
+    Same single-sort window plan as join_asof — the tolerance is a
+    post-match predicate, not a join-shape change, which is exactly why
+    the windowed formulation scales where a range self-join would not.
+    Oracle: DuckDB ASOF LEFT JOIN with the tolerance applied the same
+    way."""
+    tol_us = 1_800_000_000  # 30 minutes
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prior_click"))
+    within = F.col("prior_click").isNotNull() & (gap <= tol_us)
+    return (
+        e.withColumn("prior_click", F.max(click_ts).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            ts_str("ts").alias("purchase_ts"),
+            F.when(within, ts_str("prior_click")).alias("prior_click_ts"),
+            F.when(within, gap).alias("gap_us"),
+        )
+    )

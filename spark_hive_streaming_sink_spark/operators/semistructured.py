@@ -205,3 +205,46 @@ def explode_outer_null_preserving(spark: SparkSession, sf_dir: str) -> DataFrame
     return d.select(
         "doc_id", F.explode_outer(longs).alias("tok"), F.size(longs).alias("n_long")
     )
+
+
+@register(
+    "map_transform_funcs",
+    oracle="""
+    WITH k AS (
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events),
+    entries AS (
+      SELECT event_id,
+             unnest([
+               {'key': 'BASE',  'val': k + 1},
+               {'key': 'TWICE', 'val': 2 * k + 1},
+               {'key': 'MOD7',  'val': k % 7 + 1}
+             ]) AS e
+      FROM k)
+    SELECT event_id, e.key AS key, e.val AS value
+    FROM entries WHERE e.val % 2 = 0
+    """,
+    tags=("semistructured", "map"),
+)
+def map_transform_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions end to end: build a map from the JSON
+    props (map_from_arrays), transform_values (+1), transform_keys
+    (upper), map_filter (keep even values), then explode the surviving
+    entries. The oracle states the resulting relation directly — the
+    engine side must push every row through the real map API.
+
+    All JVM codegen'd expressions; a map column at 100 TB behaves like
+    a struct-array — no shuffle is introduced by any of these."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    m = F.map_from_arrays(
+        F.array(F.lit("base"), F.lit("twice"), F.lit("mod7")),
+        F.array(k, k * 2, k % 7),
+    )
+    m2 = F.transform_values(m, lambda _, v: v + 1)
+    m3 = F.transform_keys(m2, lambda key, _: F.upper(key))
+    mf = F.map_filter(m3, lambda _, v: v % 2 == 0)
+    return (
+        e.select("event_id", F.explode(mf).alias("key", "value"))
+    )

@@ -67,6 +67,16 @@ HEADLINE = [
     "window_gaps_islands_sessionize",
     "q2_min_cost_supplier",
     "q17_small_quantity",
+    "dataset_snapshot_diff",
+    "contamination_ngram_overlap",
+    "dedup_substring_windows",
+    "pack_sequences_chunk",
+    "cluster_kmeans_embeddings",
+    "pca_power_iteration",
+    "text_unigram_surprisal",
+    "events_ohlc_resample",
+    "join_interval_overlap",
+    "multimodal_audio_features",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
