@@ -377,3 +377,104 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit") / F.count("*")).alias("shared_frac"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# domain balancing: per-source document cap
+# --------------------------------------------------------------------------
+
+SOURCE_CAP = 40  # max docs kept per source
+
+
+@register(
+    "corpus_source_cap",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    SELECT source,
+           COUNT(*) AS n_kept,
+           MIN(n_chars) AS min_kept_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_ids_sum
+    FROM r WHERE rn <= {SOURCE_CAP}
+    GROUP BY source
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing by per-source cap: keep at most SOURCE_CAP
+    documents per source, best (longest) first with doc_id tie-break —
+    the anti-overrepresentation pass that stops one crawl domain from
+    dominating the training mix (complement of corpus_mix_weights,
+    which reweights instead of dropping).
+
+    One shuffle on source; at 100 TB Catalyst rewrites the rn<=K filter
+    into WindowGroupLimit, so each partition keeps a K-row heap instead
+    of fully sorting its group."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    kept = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= SOURCE_CAP)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("n_chars").alias("min_kept_chars"),
+        F.sum("doc_id").cast("bigint").alias("kept_ids_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# behavioral anomaly scoring: per-user event-rate z-score
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_user_rate_zscore",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    pop AS (
+      SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n,
+             COUNT(*) AS n_users,
+             CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+             CAST(SUM(n) AS BIGINT) AS sum_n
+      FROM per_user)
+    SELECT user_id, n,
+           round((n - mean_n)
+                 / sqrt((sum_sq - CAST(sum_n AS DOUBLE) * sum_n / n_users)
+                        / (n_users - 1)), 6) AS z
+    FROM per_user CROSS JOIN pop
+    WHERE n_users > 1
+    """,
+    tags=("llm", "curation", "anomaly"),
+)
+def events_user_rate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-rate z-score — the bot/outlier screen a data
+    pipeline runs before user-generated text enters a corpus. Counts
+    are exact integers; mean and sample variance are derived from
+    exact integer sums (Σn, Σn²) so the only float ops are the same
+    ordered divide/sqrt in both engines, rounded to 6 dp.
+
+    Scale: one count aggregate (map-combined), one scalar population
+    row broadcast back — the corpus is scanned once."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    pop = per_user.agg(
+        (F.sum("n").cast("double") / F.count("*")).alias("mean_n"),
+        F.count("*").alias("n_users"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+        F.sum("n").cast("bigint").alias("sum_n"),
+    )
+    var = (
+        F.col("sum_sq")
+        - F.col("sum_n").cast("double") * F.col("sum_n") / F.col("n_users")
+    ) / (F.col("n_users") - 1)
+    return (
+        per_user.crossJoin(F.broadcast(pop))
+        .filter(F.col("n_users") > 1)
+        .select(
+            "user_id",
+            "n",
+            F.round((F.col("n") - F.col("mean_n")) / F.sqrt(var), 6).alias("z"),
+        )
+    )
