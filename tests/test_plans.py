@@ -284,3 +284,26 @@ def test_partitioned_read_prunes_partitions(spark):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "o_orderpriority" in m.group(1), plan[:2000]
+
+
+def test_map_funcs_map_side_only(spark):
+    df = _df(spark, "map_transform_funcs")
+    assert count_nodes(df, "Exchange") == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_cap_uses_window_group_limit(spark):
+    """rn <= K must rewrite to WindowGroupLimit: per-partition K-row
+    heaps instead of full per-source sorts."""
+    df = _df(spark, "corpus_source_cap")
+    assert count_nodes(df, "WindowGroupLimit") >= 1
+
+
+def test_asof_tolerance_single_shuffle(spark):
+    """The tolerance variant must keep join_asof's shape: one window
+    shuffle on user_id, no join node at all."""
+    df = _df(spark, "join_asof_tolerance")
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "BroadcastHashJoin") == 0
+    assert count_nodes(df, "Exchange") == 1
