@@ -168,3 +168,117 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flag_name")
         .agg(F.count("*").alias("n"), dsum("l_extendedprice", 2).alias("value"))
     )
+
+
+@register(
+    "data_quality_null_profile",
+    oracle="""
+    WITH l AS (SELECT * FROM lineitem WHERE l_orderkey % 7 = 0)
+    SELECT 'l_returnflag' AS col, COUNT(*) - COUNT(l_returnflag) AS n_null,
+           COUNT(DISTINCT l_returnflag) AS n_distinct FROM l
+    UNION ALL
+    SELECT 'l_shipdate', COUNT(*) - COUNT(l_shipdate),
+           COUNT(DISTINCT l_shipdate) FROM l
+    UNION ALL
+    SELECT 'l_quantity', COUNT(*) - COUNT(l_quantity),
+           COUNT(DISTINCT CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) FROM l
+    UNION ALL
+    SELECT 'l_discount', COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT CAST(ROUND(l_discount * 10000, 0) AS BIGINT)) FROM l
+    """,
+    tags=("aggregate", "profiling"),
+)
+def data_quality_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality pass every ingest runs):
+    null count + distinct count per column, emitted long-form so the
+    profile of a 500-column table is rows, not schema. Doubles are
+    profiled on their exact fixed-point encodings so distinct counts
+    can't disagree across engines.
+
+    Scale: Spark computes ALL columns' profiles in ONE scan (one
+    aggregate with N expression pairs — the oracle's UNION ALL shape
+    restates it per column for SQL clarity); at 100 TB add
+    approx_count_distinct per column for the same single-pass shape at
+    a fraction of the shuffle."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    prof = l.agg(
+        (F.count("*") - F.count("l_returnflag")).alias("null_l_returnflag"),
+        F.countDistinct("l_returnflag").alias("nd_l_returnflag"),
+        (F.count("*") - F.count("l_shipdate")).alias("null_l_shipdate"),
+        F.countDistinct("l_shipdate").alias("nd_l_shipdate"),
+        (F.count("*") - F.count("l_quantity")).alias("null_l_quantity"),
+        F.countDistinct(
+            F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+        ).alias("nd_l_quantity"),
+        (F.count("*") - F.count("l_discount")).alias("null_l_discount"),
+        F.countDistinct(
+            F.round(F.col("l_discount") * 10000, 0).cast("bigint")
+        ).alias("nd_l_discount"),
+    )
+    cols = ["l_returnflag", "l_shipdate", "l_quantity", "l_discount"]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return prof.select(F.explode(pairs).alias("p")).select(
+        "p.col", "p.n_null", "p.n_distinct"
+    )
+
+
+@register(
+    "events_funnel_analysis",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS reached_view,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS view_then_click,
+           COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+             AS full_funnel
+    FROM stages
+    """,
+    tags=("aggregate", "funnel"),
+)
+def events_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): first
+    occurrence of each stage per user, stages count only when reached
+    in order. The product-analytics staple on event streams — one
+    conditional-MIN aggregate per user, then a scalar rollup.
+
+    Scale: one shuffle on user_id (the pre-aggregation is map-
+    combined); no self-joins — the naive N-way event self-join
+    formulation is the anti-pattern this shape replaces."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stages = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("reached_view"),
+        F.count(
+            F.when(F.col("t_click") > F.col("t_view"), F.lit(1))
+        ).alias("view_then_click"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                F.lit(1),
+            )
+        ).alias("full_funnel"),
+    )

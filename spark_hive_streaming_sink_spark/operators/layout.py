@@ -94,3 +94,60 @@ def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("tm") - F.min("tm")).alias("minute_span"),
         )
     )
+
+
+N_SHARDS = 8
+
+
+@register(
+    "layout_shard_export",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {N_SHARDS} AS shard
+      FROM documents)
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM s GROUP BY shard
+    """,
+    tags=("layout", "source"),
+)
+def layout_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded corpus export with STABLE assignment: shard =
+    md5(doc_id) mod N — reproducible across runs, engines, and
+    cluster sizes (unlike repartition()'s round-robin or hash()'s
+    murmur3, neither of which an external consumer can recompute).
+    The export actually writes a shard-partitioned parquet tree (the
+    layout a training job streams shard-by-shard) and the returned
+    stats are computed from the re-read files, so the round trip —
+    assign → write → partition-discover → read — is what the oracle
+    checks.
+
+    Scale: one partitionBy(shard) write (shard count chosen so each
+    file lands near the 128-512 MB sweet spot — at 100 TB that's
+    ~10⁵ shards, not 8) and one aggregate over the re-read tree."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="shss_shard_")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % N_SHARDS
+        ).alias("shard"),
+    )
+    d.write.mode("overwrite").partitionBy("shard").parquet(f"{base}/docs")
+    back = spark.read.parquet(f"{base}/docs")
+    return back.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
