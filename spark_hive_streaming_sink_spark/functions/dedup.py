@@ -436,3 +436,44 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") == F.col("dropped_id"),
         "left",
     ).select("doc_id", F.col("dropped_id").isNull().alias("keep"))
+
+
+@register(
+    "dedup_incremental_against_index",
+    oracle="""
+    WITH index_hashes AS (
+      SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 4 != 3),
+    incoming AS (
+      SELECT doc_id, sha256(text) AS h, lang FROM documents WHERE doc_id % 4 = 3)
+    SELECT i.doc_id, i.lang,
+           (idx.h IS NOT NULL) AS is_duplicate
+    FROM incoming i LEFT JOIN index_hashes idx ON i.h = idx.h
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_incremental_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the daily-ingest shape: new documents
+    (doc_id ≡ 3 mod 4 stands in for today's batch) are checked against
+    the content-hash index of the existing corpus, NOT against each
+    other with a full re-cluster. Output marks each incoming doc
+    duplicate/fresh.
+
+    Scale: the index is (hash) only — bytes per historical doc, not
+    the text — and the probe is one hash join where the incoming batch
+    is the small side (AQE broadcasts it). A 100 TB corpus's index is
+    ~3 TB and never rescans raw history; this is why pipelines persist
+    the hash index as a first-class table (cf. the bucketed-layout
+    variant in join_bucketed_colocated)."""
+    d = load_table(spark, sf_dir, "documents")
+    index_hashes = (
+        d.filter(F.col("doc_id") % 4 != 3)
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    incoming = d.filter(F.col("doc_id") % 4 == 3).select(
+        "doc_id", F.sha2("text", 256).alias("h"), "lang"
+    )
+    return incoming.join(index_hashes, "h", "left").select(
+        "doc_id", "lang", F.col("hit").isNotNull().alias("is_duplicate")
+    )

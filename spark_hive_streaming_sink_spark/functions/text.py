@@ -675,3 +675,50 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.sum("unats")).cast("double") / 1000000.0 / F.count("*")
         ).alias("avg_surprisal"),
     )
+
+
+@register(
+    "text_html_strip",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><body><h1>' || source || '</h1><p>'
+               || replace(text, ' ', '&nbsp;') || '</p></body></html>' AS html
+      FROM documents WHERE doc_id % 11 = 0)
+    SELECT doc_id,
+           length(html) AS html_len,
+           replace(regexp_replace(html, '<[^>]*>', '', 'g'), '&nbsp;', ' ')
+             AS extracted,
+           length(replace(regexp_replace(html, '<[^>]*>', '', 'g'), '&nbsp;', ' '))
+             AS extracted_len
+    FROM h
+    """,
+    tags=("llm", "text", "extraction"),
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (the first pass of every web-corpus
+    pipeline): markup built deterministically from the fixture text,
+    then tag-stripped and entity-unescaped with codegen'd regexp — the
+    same two-step every boilerplate remover starts with. Both engines
+    run the identical regex, so the extraction is hash-checked.
+
+    Scale: pure map-side regexp over the scan — zero shuffle; at
+    100 TB the regex cost is the pipeline's floor, which is exactly
+    why it must stay JVM-side and not in a Python UDF."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    html = F.concat(
+        F.lit("<html><body><h1>"),
+        F.col("source"),
+        F.lit("</h1><p>"),
+        F.regexp_replace(F.col("text"), " ", "&nbsp;"),
+        F.lit("</p></body></html>"),
+    )
+    extracted = F.regexp_replace(
+        F.regexp_replace(html, "<[^>]*>", ""), "&nbsp;", " "
+    )
+    return d.select(
+        "doc_id",
+        F.length(html).alias("html_len"),
+        extracted.alias("extracted"),
+        F.length(extracted).alias("extracted_len"),
+    )
