@@ -169,3 +169,41 @@ def source_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.parquet(f"{base}/tbl").select(
         "event_id", "user_id", "value", F.col("event_type").cast("string").alias("event_type")
     )
+
+
+@register(
+    "source_python_datasource_reader",
+    oracle=f"""
+    WITH s AS (
+      SELECT i AS id, (i * 37) % 1000 AS val,
+             'g' || CAST(i % 4 AS VARCHAR) AS tag
+      FROM generate_series(0, {4000 - 1}) AS t(i))
+    SELECT tag,
+           COUNT(*) AS n,
+           CAST(SUM(val) AS BIGINT) AS val_sum,
+           MIN(id) AS min_id,
+           MAX(id) AS max_id
+    FROM s GROUP BY tag
+    """,
+    tags=("source", "streaming"),
+)
+def source_python_datasource_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data Source streaming READER (`format("seq-stream")`) —
+    the ingest-side complement of the ``hive-streaming`` writer: a
+    deterministic offset-replayable sequence source (Kafka's
+    offset+partition contract without a broker) drained with
+    availableNow, aggregated, and checked against the generating
+    formula restated in SQL. ``partitions()`` splits each offset range
+    8 ways, so the read parallelizes like topic-partitions."""
+    from ..streaming.ops import run_to_memory
+    from .seq_stream_source import SeqStreamDataSource
+
+    spark.dataSource.register(SeqStreamDataSource)
+    sdf = spark.readStream.format("seq-stream").load()
+    agg = sdf.groupBy("tag").agg(
+        F.count("*").alias("n"),
+        F.sum("val").cast("bigint").alias("val_sum"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+    return run_to_memory(agg, mode="complete")
