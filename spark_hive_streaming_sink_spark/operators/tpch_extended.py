@@ -1,5 +1,6 @@
-"""Extended TPC-H-shape pipeline queries (Q2/Q4/Q6/Q7/Q8/Q9/Q12/Q14/
-Q15/Q16/Q17/Q19/Q22 analogues), adapted to the driver fixture schema
+"""Extended TPC-H-shape pipeline queries (Q2/Q4/Q6/Q7/Q8/Q9/Q11/Q12/
+Q13/Q14/Q15/Q16/Q17/Q19/Q20/Q21/Q22 analogues — with tpch.py, the full
+Q1-Q22 family), adapted to the driver fixture schema
 (`FIXTURES.md` — no partsupp table, no ship/commit/receipt-date triple,
 so part-supplier facts come from lineitem and "late" is measured as
 l_shipdate vs o_orderdate).
@@ -579,4 +580,218 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             (F.sum(bal_cents).cast("double") / 100.0).alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    tags=("relational", "tpch"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer including the
+    zero bucket (left join with the filter INSIDE the join condition —
+    pushing it to WHERE would silently drop the zero-order customers,
+    the classic Q13 trap; the o_orderpriority predicate stands in for
+    the spec's comment-pattern exclusion).
+
+    Scale: customer↔orders equi join (AQE decides the build side),
+    two map-combined aggregates; the c_count histogram key space is
+    tiny so the second shuffle is negligible."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    c_orders = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return c_orders.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey < 13
+      GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_parts FROM pv)
+    SELECT l_partkey AS partkey,
+           CAST(value_cents AS DOUBLE) / 100.0 AS value
+    FROM pv CROSS JOIN tot
+    WHERE value_cents * n_parts > total_cents
+    """,
+    tags=("relational", "tpch"),
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a above-average share
+    of one nation-group's total supplied value, with the global
+    total as a scalar subquery (lineitem×supplier stands in for
+    partsupp — FIXTURES.md has no partsupp table). The significance
+    test is the exact integer cross-multiplication
+    value·n_parts > total, so no engine ever divides.
+
+    Scale: one fact aggregate on l_partkey, a single-row total
+    broadcast back; the HAVING-against-global-total shape is why the
+    total must be a broadcast, never a re-aggregation per row."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
+    pv = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(to_units("l_extendedprice", 2)).cast("bigint").alias("value_cents"))
+    )
+    tot = pv.agg(
+        F.sum("value_cents").cast("bigint").alias("total_cents"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("n_parts") > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("value_cents").cast("double") / 100.0).alias("value"),
+        )
+    )
+
+
+@register(
+    "q20_excess_promo_suppliers",
+    oracle="""
+    WITH promo AS (
+      SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+    sq AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS BIGINT)
+               AS qty_units
+      FROM lineitem JOIN promo ON l_partkey = p_partkey
+      GROUP BY l_suppkey),
+    tot AS (
+      SELECT CAST(SUM(qty_units) AS BIGINT) AS total_units,
+             COUNT(*) AS n_supp
+      FROM sq)
+    SELECT s_suppkey, s_name,
+           CAST(qty_units AS DOUBLE) / 100.0 AS promo_qty
+    FROM sq JOIN supplier ON l_suppkey = s_suppkey
+    CROSS JOIN tot
+    WHERE qty_units * n_supp > total_units
+    """,
+    tags=("relational", "tpch"),
+)
+def q20_excess_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding an above-average share
+    of promo-part quantity (the spec's excess-stock test re-anchored
+    to lineitem facts; promo part semi-join → quantity rollup →
+    scalar threshold → supplier name join). The above-average test is
+    the exact integer cross-multiplication qty·n > total.
+
+    Scale: the promo part list is a semi-join filter pushed below the
+    fact aggregate; the supplier join is AQE-sized; the threshold is a
+    single broadcast row."""
+    l = load_table(spark, sf_dir, "lineitem")
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    sq = (
+        l.join(promo, l.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(to_units("l_quantity", 2)).cast("bigint").alias("qty_units"))
+    )
+    tot = sq.agg(
+        F.sum("qty_units").cast("bigint").alias("total_units"),
+        F.count("*").alias("n_supp"),
+    )
+    return (
+        sq.join(s, sq.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(tot))
+        .filter(F.col("qty_units") * F.col("n_supp") > F.col("total_units"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("qty_units").cast("double") / 100.0).alias("promo_qty"),
+        )
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_supp,
+             CAST(SUM(late) AS BIGINT) AS n_late,
+             MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+      FROM per_supp GROUP BY l_orderkey)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM per_order JOIN supplier ON late_supp = s_suppkey
+    WHERE n_supp >= 2 AND n_late = 1
+    GROUP BY s_name
+    """,
+    tags=("relational", "tpch"),
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: for finished multi-supplier orders, the one
+    supplier who alone shipped late (> 60 days after the order date —
+    FIXTURES.md has no commit/receipt dates) — the EXISTS(other
+    supplier) AND NOT EXISTS(other late supplier) semantics computed
+    as one two-level aggregate instead of two correlated self-joins:
+    per (order, supplier) lateness, then per order the supplier count,
+    late count, and the single late supplier when there is exactly one.
+
+    Scale: this rewrite turns Q21's three lineitem scans into ONE —
+    the fact joins orders on its natural key, aggregates twice, and
+    ends in a supplier-sized dim join. n_late = 1 selects MAX(late
+    supp) deterministically (it is unique by construction)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier")
+    per_supp = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60), 1
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("late").cast("bigint").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(s, F.col("late_supp") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
     )
