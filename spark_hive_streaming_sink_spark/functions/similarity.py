@@ -551,3 +551,75 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("codes").alias("code_max"),
         F.size("codes").cast("bigint").alias("dim"),
     )
+
+
+N_MAXSIM_Q = 40  # query-token vectors (label 0, first 40 by vec_id)
+
+
+@register(
+    "sim_maxsim_multivector",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+               FROM embeddings),
+    q AS (SELECT * FROM v WHERE label = 0 ORDER BY vec_id LIMIT {N_MAXSIM_Q}),
+    d AS (SELECT * FROM v WHERE label != 0),
+    pair AS (
+      SELECT q.vec_id AS q_id, d.label AS doc,
+             round({_sql_dot('q.embedding', 'd.embedding')} / (q.nrm * d.nrm), 6)
+               AS cosine
+      FROM q CROSS JOIN d),
+    best AS (
+      SELECT q_id, doc, MAX(cosine) AS best_cos
+      FROM pair GROUP BY q_id, doc)
+    SELECT doc,
+           COUNT(*) AS n_terms,
+           CAST(SUM(CAST(best_cos AS DECIMAL(12,6))) AS DOUBLE) AS maxsim
+    FROM best GROUP BY doc
+    """,
+    tags=("llm", "similarity", "retrieval"),
+)
+def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxSim late-interaction scoring (ColBERT-style retrieval): the
+    query is a BAG of vectors (label 0's first 40, standing in for
+    query-token embeddings), each candidate document is the bag of its
+    label's vectors, and score(doc) = Σ_q max_v cos(q, v) — every query
+    token matches its best document token, then the matches sum.
+    Per-pair cosines are rounded before max; the final sum rides exact
+    decimals, so the two-level reduction is order-independent.
+
+    Scale: the query bag is a LIMIT-bounded broadcast (a real system
+    broadcasts the query's ~32 token vectors); candidates stream
+    through one (q_id, doc)-keyed aggregate — cost is |Q|·|corpus|
+    map-side flops, the same envelope as single-vector search ×|Q|,
+    and the standard pre-filter (ANN on pooled vectors, then MaxSim
+    re-rank on the shortlist — cf. sim_ann_lsh) drops |corpus| to the
+    shortlist size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = (
+        v.filter(F.col("label") == 0)
+        .orderBy("vec_id")
+        .limit(N_MAXSIM_Q)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    d = v.filter(F.col("label") != 0)
+    pair = d.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        F.col("label").alias("doc"),
+        F.round(
+            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    best = pair.groupBy("q_id", "doc").agg(F.max("cosine").alias("best_cos"))
+    return best.groupBy("doc").agg(
+        F.count("*").alias("n_terms"),
+        F.sum(F.col("best_cos").cast("decimal(12,6)")).cast("double").alias("maxsim"),
+    )

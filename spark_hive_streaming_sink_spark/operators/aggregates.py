@@ -696,3 +696,40 @@ def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("custkeys"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "agg_grouping_id_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           GROUPING(o_orderstatus) + 2 * GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregate",),
+)
+def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping-id over ROLLUP: the bit vector that tells a
+    subtotal row apart from a genuine NULL group — without it, rollup
+    outputs are ambiguous the moment a grouping column is nullable.
+    (Spark's grouping_id() bit order is implementation-defined, so the
+    portable form — used here in BOTH engines — composes GROUPING()
+    bits explicitly.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") + F.grouping("o_orderpriority") * 2
+            ).alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+        )
+    )

@@ -200,3 +200,113 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id)
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort,
+           day_offset,
+           COUNT(*) AS active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+    tags=("aggregate", "timeseries", "cohort"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics
+    rollup: users are cohorted by first-seen day, activity is bucketed
+    by day offset from the cohort day, and each (cohort, offset) cell
+    counts distinct returning users (first week only).
+
+    Scale: one aggregate to find cohort days, one user-keyed join
+    (AQE-sized — the firsts relation is one row per user, ≪ events),
+    one distinct + count. No window over the full event stream."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_day").cast("string").alias("cohort"), "day_offset"
+    ).agg(F.count("*").alias("active_users"))
+
+
+@register(
+    "window_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CASE WHEN event_type = 'click' THEN 600000000
+                  ELSE 1800000000 END AS gap
+      FROM events),
+    m AS (
+      SELECT user_id, t, gap,
+             MAX(t + gap) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM e),
+    b AS (
+      SELECT user_id, t, gap,
+             CASE WHEN prev_max IS NULL OR t >= prev_max THEN 1 ELSE 0 END AS brk
+      FROM m),
+    s AS (
+      SELECT user_id, t, gap,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM b)
+    SELECT user_id,
+           strftime(make_timestamp(MIN(t)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp(MAX(t + gap)), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("window", "timeseries", "session"),
+)
+def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC gap — the gap depends on the
+    event (10 min after a click, 30 min otherwise), which Spark's
+    native session_window supports as a gap *expression*. The oracle
+    restates the merge semantics from first principles: an event opens
+    a new session iff its time reaches the running max of previous
+    events' (ts + gap) ends; a session's end is the max merged end.
+    Matching the native operator against that independent formulation
+    is the strongest check a custom-session engine gets.
+
+    Scale: one shuffle on user_id; Spark's session operator merges
+    sort-locally exactly like the window formulation."""
+    e = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    agg = e.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return agg.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
