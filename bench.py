@@ -55,6 +55,8 @@ HEADLINE = [
     "multimodal_audio_features",
     "text_unigram_surprisal",
     "pca_power_iteration",
+    "sim_maxsim_multivector",
+    "window_session_dynamic_gap",
 ]
 
 

@@ -307,3 +307,29 @@ def test_asof_tolerance_single_shuffle(spark):
     assert count_nodes(df, "SortMergeJoin") == 0
     assert count_nodes(df, "BroadcastHashJoin") == 0
     assert count_nodes(df, "Exchange") == 1
+
+
+def test_maxsim_query_bag_is_bounded_broadcast(spark):
+    """The query side must be a GlobalLimit-bounded broadcast — a
+    static broadcast of the full (SF-scaling) embeddings table would
+    OOM at the design point."""
+    df = _df(spark, "sim_maxsim_multivector")
+    subs = broadcast_hint_subtrees(df)
+    assert subs and all("GlobalLimit" in s for s in subs)
+
+
+def test_session_dynamic_gap_single_shuffle(spark):
+    df = _df(spark, "window_session_dynamic_gap")
+    # one shuffle on user_id for the session merge + the final agg
+    # reuses it; AQE may add a coalesce read but no second key exchange
+    assert count_nodes(df, "Exchange") <= 2
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_retention_cohorts_no_window_over_events(spark):
+    """Cohorting must be join+aggregate — a window over the raw event
+    stream would sort 100 TB for what one user-keyed aggregate can do."""
+    df = _df(spark, "events_retention_cohorts")
+    assert count_nodes(df, "Window") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
