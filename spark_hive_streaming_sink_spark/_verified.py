@@ -74,10 +74,70 @@ GREEN: frozenset[str] = frozenset(
     }
 )
 
+# Round 2 (CORRECTNESS_r02.json): hash_match == true.
+GREEN = GREEN | frozenset(
+    {
+        "agg_approx_error_bounds",
+        "agg_grouping_id_rollup",
+        "agg_hll_union_error_bound",
+        "agg_listagg_ordered",
+        "array_zip_reverse",
+        "data_quality_null_profile",
+        "distinct_dropdup",
+        "dropdup_keep_first",
+        "events_funnel_analysis",
+        "events_ohlc_resample",
+        "events_retention_cohorts",
+        "explode_outer_null_preserving",
+        "intersect_except",
+        "intersect_except_all",
+        "join_bucketed_colocated",
+        "join_interval_overlap",
+        "layout_shard_export",
+        "map_explode_entries",
+        "map_transform_funcs",
+        "not_in_null_semantics",
+        "orderby_limit_topk",
+        "orderby_nulls_first",
+        "q10_returned_items",
+        "q11_important_stock",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_supplier_cnt",
+        "q17_small_quantity",
+        "q18_large_volume_customer",
+        "q19_disjunctive_filter",
+        "q20_excess_promo_suppliers",
+        "q22_sales_opportunity",
+        "q2_min_cost_supplier",
+        "q3_shipping_priority",
+        "q4_order_priority",
+        "q5_local_supplier_volume",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "sql_recursive_cte",
+        "union_all_counts",
+        "union_distinct",
+        "window_ignore_nulls_ffill",
+        "window_session_dynamic_gap",
+    }
+)
+
 # Round 1 rows-only verdicts (err == "no_oracle", by design).
 ROWS_ONLY_JUDGED: frozenset[str] = frozenset(
     {"agg_approx", "agg_hll_mergeable_sketch"}
 )
 
 # Fixed since their last (failing) verdict — emit first for a re-verdict.
-PRIORITY_RECHECK: tuple[str, ...] = ("cast_try_cast",)
+# Round-2 failures, all one root cause (tz-less parquet -> TIMESTAMP_NTZ in
+# Spark 4; io.load_table now pins inferTimestampNTZ=false + UTC): the two
+# unix_micros crashes plus the two hash mismatches from NTZ formatting drift.
+PRIORITY_RECHECK: tuple[str, ...] = (
+    "cast_try_cast",
+    "q12_priority_class",
+    "join_asof_tolerance",
+    "layout_zorder_cluster",
+)

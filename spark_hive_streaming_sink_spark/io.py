@@ -1,11 +1,11 @@
 """Fixture-table loaders.
 
 ``load_table`` is the single entry point every query builder uses; it
-normalizes the one storage quirk in the driver fixtures (``events.ts``
-is parquet TIMESTAMP(NANOS), which Spark reads as nanosecond longs
-under ``spark.sql.legacy.parquet.nanosAsLong``) so downstream code sees
-a plain ``timestamp`` column identical to what the DuckDB oracle sees
-(DuckDB truncates ns → µs on read).
+normalizes the storage quirks in the driver fixtures (timestamp columns
+are tz-less parquet TIMESTAMP — NANOS in some fixture generations,
+MICROS in others) so downstream code always sees a plain ``timestamp``
+column holding the same UTC instants the DuckDB oracle sees; see
+``pin_fixture_confs``.
 
 Reads go through ``spark.read.parquet`` so Catalyst keeps predicate
 pushdown / column pruning; nothing here materializes data.
@@ -30,12 +30,36 @@ TABLES = [
 ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def pin_fixture_confs(spark: SparkSession, name: str) -> None:
+    """Runtime-settable session confs every fixture read depends on.
+
+    Called by both the batch (``load_table``) and streaming
+    (``streaming.ops.stream_table``) read paths because the caller's
+    session (e.g. the driver harness's) may not carry them:
+
+    - ``nanosAsLong``: events.parquet has stored TIMESTAMP(NANOS) in some
+      fixture generations, which Spark rejects without this flag.
+    - ``inferTimestampNTZ=false``: the fixtures store tz-less
+      TIMESTAMP(MICROS), which Spark 4 infers as TIMESTAMP_NTZ by default.
+      NTZ (a) breaks epoch functions like unix_micros (no NTZ overload)
+      and (b) diverges from the DuckDB oracle, which treats naive
+      timestamps as UTC instants. With inference off, Spark reads the
+      stored micros directly as TIMESTAMP (UTC epoch) — the same instants
+      DuckDB sees — and filters on these columns stay eligible for parquet
+      predicate pushdown (no cast wrapping the column).
+    - session tz UTC so formatted output matches the oracle under any
+      caller session.
+    """
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark rejects unless
-        # this (runtime-settable) conf is on — the caller's session (e.g. the
-        # driver harness's) may not have it, so set it here.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    pin_fixture_confs(spark, name)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # ns → µs with integer division: ns epoch values exceed 2^53 so

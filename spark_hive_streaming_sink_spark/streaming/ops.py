@@ -22,7 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from ..io import load_table
+from ..io import load_table, pin_fixture_confs
 from ..registry import register
 from ._ts_fmt import TS_FMT_SPARK, TS_FMT_DUCK
 
@@ -30,8 +30,7 @@ from ._ts_fmt import TS_FMT_SPARK, TS_FMT_DUCK
 def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """readStream over one fixture parquet with the same normalization
     as io.load_table (streaming sources need an explicit schema)."""
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    pin_fixture_confs(spark, name)
     path = f"{sf_dir}/{name}.parquet"
     raw_schema = spark.read.parquet(path).schema
     # the file stream source requires a directory; select just this
@@ -195,11 +194,14 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–static enrichment join (the reference's users do this
     upstream of the sink): streaming events joined to the static
-    customer dimension, broadcast to avoid shuffling the stream."""
+    customer dimension. No explicit broadcast hint: customer grows
+    linearly with SF (150k×SF), so the planner must pick broadcast vs
+    shuffle from its actual size per micro-batch — tiny at test scale
+    (auto-broadcast), shuffled at the 100 TB design point."""
     ev = stream_table(spark, sf_dir, "events")
     cust = load_table(spark, sf_dir, "customer")
     joined = ev.join(
-        F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
+        cust, ev.user_id == cust.c_custkey, "inner"
     ).select("event_id", "c_mktsegment", "value")
     res = run_to_memory(joined, mode="append")
     return res.groupBy("c_mktsegment").agg(
