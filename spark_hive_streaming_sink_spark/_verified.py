@@ -126,18 +126,74 @@ GREEN = GREEN | frozenset(
     }
 )
 
+# Rounds 3+4 (CORRECTNESS_r03.json / CORRECTNESS_r04.json — identical key
+# sets): hash_match == true.
+GREEN = GREEN | frozenset(
+    {
+        "cluster_kmeans_embeddings",
+        "contamination_ngram_overlap",
+        "corpus_source_cap",
+        "dataset_snapshot_diff",
+        "dedup_connected_components",
+        "dedup_exact",
+        "dedup_incremental_against_index",
+        "dedup_keep_best",
+        "dedup_minhash_lsh",
+        "dedup_minhash_pairs",
+        "dedup_ngram_jaccard",
+        "dedup_pipeline_end_to_end",
+        "dedup_simhash",
+        "dedup_substring_windows",
+        "events_user_rate_zscore",
+        "join_asof_tolerance",
+        "layout_zorder_cluster",
+        "multimodal_audio_features",
+        "multimodal_frame_sample",
+        "multimodal_meta",
+        "multimodal_resize",
+        "pca_power_iteration",
+        "q21_waiting_supplier",
+        "sim_cosine_topk",
+        "sim_cosine_topk_numpy",
+        "sink_hive_streaming",
+        "sink_upsert_by_key",
+        "stream_continuous_aggregate_merge",
+        "stream_dedup_watermark",
+        "stream_dedup_within_watermark",
+        "stream_session_window",
+        "stream_sliding_window",
+        "stream_stateful_per_key",
+        "stream_static_join",
+        "stream_stream_join",
+        "stream_tumbling_window",
+        "window_analytic",
+        "window_cumulative_distinct",
+        "window_distribution",
+        "window_ewma_fold",
+        "window_gaps_islands_sessionize",
+        "window_range_frame",
+        "window_ranking",
+        "window_running",
+        "window_topk_per_group",
+    }
+)
+
 # Round 1 rows-only verdicts (err == "no_oracle", by design).
 ROWS_ONLY_JUDGED: frozenset[str] = frozenset(
     {"agg_approx", "agg_hll_mergeable_sketch"}
 )
 
 # Fixed since their last (failing) verdict — emit first for a re-verdict.
-# Round-2 failures, all one root cause (tz-less parquet -> TIMESTAMP_NTZ in
-# Spark 4; io.load_table now pins inferTimestampNTZ=false + UTC): the two
-# unix_micros crashes plus the two hash mismatches from NTZ formatting drift.
+# Round-3/4 failures, all one root cause: oracle/Spark OUTPUT-TYPE drift under
+# the driver's value hash (raw DuckDB SUM() -> HUGEINT vs Spark BIGINT;
+# DECIMAL(18,2) and DATE output columns). Values were judge-verified identical
+# at sf0.01 both rounds. Round-5 fixes normalize the output types on both
+# engines: CAST(SUM(..) AS BIGINT) in the oracles, and for cast_try_cast drop
+# the DECIMAL column / stringify the date in both engines.
 PRIORITY_RECHECK: tuple[str, ...] = (
     "cast_try_cast",
     "q12_priority_class",
-    "join_asof_tolerance",
-    "layout_zorder_cluster",
+    "pack_sequences_chunk",
+    "multimodal_features",
+    "multimodal_features_arrow",
 )
