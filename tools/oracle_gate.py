@@ -25,6 +25,7 @@ sys.path.insert(0, REPO)
 
 import duckdb  # noqa: E402
 
+from spark_hive_streaming_sink_spark.canon import audit_types  # noqa: E402
 from spark_hive_streaming_sink_spark.io import TABLES  # noqa: E402
 from spark_hive_streaming_sink_spark.registry import QUERIES, queries  # noqa: E402
 from spark_hive_streaming_sink_spark.session import get_spark  # noqa: E402
@@ -87,6 +88,8 @@ def main() -> int:
             sdf = spec.builder(spark, sf_dir)
             spark_cols = sdf.columns
             spark_rows = [tuple(r) for r in sdf.collect()]
+            lazy = duck.sql(spec.oracle)
+            violations = audit_types(lazy.columns, lazy.types, sdf.schema)
             rel = duck.execute(spec.oracle)
             duck_cols = [d[0] for d in rel.description]
             duck_rows = rel.fetchall()
@@ -95,7 +98,10 @@ def main() -> int:
             print(f"FAIL {name}: exception {type(e).__name__}: {e}", flush=True)
             continue
         dt = time.time() - t0
-        if sorted(spark_cols) != sorted(duck_cols):
+        if violations:
+            fails.append(name)
+            print(f"FAIL {name}: type canon: {violations}", flush=True)
+        elif sorted(spark_cols) != sorted(duck_cols):
             fails.append(name)
             print(
                 f"FAIL {name}: columns spark={sorted(spark_cols)} duck={sorted(duck_cols)}",
