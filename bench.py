@@ -6,19 +6,33 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Queries execute to a noop sink (full plan execution, no driver-side
 result transfer) after a session warm-up; per-query wall-clock plus the
 total are reported.
+
+Modes
+-----
+default (round-robin): after a full warm-up pass at sf0.001, the whole
+  headline suite is timed in TWO separate passes and each query scores
+  the MIN across passes (plus a tie-break third run where the passes
+  disagree >1.5x). Round 4 proved back-to-back repeats of one query
+  share transient JVM state (C2 compiler queue, GC phase, page cache):
+  identical code moved 0.44x-3.6x per query between rounds. Two
+  decorrelated passes bound that — a query only scores slow if it was
+  slow in BOTH passes, minutes apart with different co-resident work.
+
+--isolate: each query runs in its own subprocess (fresh JVM, own
+  warm-up, 2 timed runs, min). Slow (~full JVM spin-up per query) but
+  removes every cross-query effect; use it to adjudicate any per-query
+  regression the default mode reports before acting on it.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from spark_hive_streaming_sink_spark.registry import queries  # noqa: E402
-from spark_hive_streaming_sink_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -59,44 +73,107 @@ HEADLINE = [
     "window_session_dynamic_gap",
 ]
 
+WARM_DIR = "/root/testdata/sf0.001"
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _run_shared(sf_dir: str, cpus: str) -> dict[str, float]:
+    """Round-robin mode: warm-up pass, then two decorrelated timed
+    passes over the whole suite; per-query min, tie-break third run."""
+    from spark_hive_streaming_sink_spark.registry import queries
+    from spark_hive_streaming_sink_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+    qs = queries()
+
+    for name in HEADLINE:
+        try:
+            _noop(qs[name](spark, WARM_DIR))
+        except Exception:
+            pass
+
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            _noop(qs[name](spark, sf_dir))
+            runs[name].append(time.time() - t0)
+    for name in HEADLINE:
+        r = runs[name]
+        if max(r) > 1.5 * min(r) or min(r) > 3.0:
+            t0 = time.time()
+            _noop(qs[name](spark, sf_dir))
+            r.append(time.time() - t0)
+
+    timings = {name: round(min(r), 3) for name, r in runs.items()}
+    spark.stop()
+    return timings
+
+
+def _run_one_isolated(name: str, sf_dir: str, cpus: str) -> None:
+    """Child-process body for --isolate: fresh JVM, warm-up, min of 2."""
+    from spark_hive_streaming_sink_spark.registry import queries
+    from spark_hive_streaming_sink_spark.session import get_spark
+
+    spark = get_spark(f"bench-{name}", cpus=cpus)
+    qs = queries()
+    try:
+        _noop(qs[name](spark, WARM_DIR))
+    except Exception:
+        pass
+    runs = []
+    for _ in range(2):
+        t0 = time.time()
+        _noop(qs[name](spark, sf_dir))
+        runs.append(time.time() - t0)
+    print(json.dumps({"query": name, "sec": round(min(runs), 3)}))
+    spark.stop()
+
+
+def _run_isolated(sf_dir: str, cpus: str, names: list[str]) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in names:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True,
+            text=True,
+            env=os.environ,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            timings[name] = json.loads(line)["sec"]
+        except Exception:
+            print(
+                f"isolate child failed for {name}: {proc.stderr[-2000:]}",
+                file=sys.stderr,
+            )
+            timings[name] = float("nan")
+    return timings
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
-    spark = get_spark("bench", cpus=cpus)
-    qs = queries()
+    argv = sys.argv[1:]
 
-    # warm up JVM, codegen, broadcast machinery and footer caches outside
-    # the timed region: run every headline query once at the smallest SF
-    warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
-        try:
-            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass
+    if argv[:1] == ["--one"]:
+        _run_one_isolated(argv[1], sf_dir, cpus)
+        return
 
-    # min of 2 runs per query: single-shot local[32] timings have heavy
-    # GC/JIT tails (observed 2.4 s vs 12 s for the same plan back to
-    # back) — the minimum measures plan capability, not collector luck.
-    # If the two runs still disagree by >1.5x the C2 compiler queue was
-    # likely congested for both (observed on cold page cache right after
-    # a long pytest run); one extra run settles it.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(2):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        if max(runs) > 1.5 * min(runs) or min(runs) > 3.0:
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
+    isolate = "--isolate" in argv
+    names = [a for a in argv if not a.startswith("--")] or HEADLINE
+    if isolate:
+        timings = _run_isolated(sf_dir, cpus, names)
+        mode = "isolate"
+    else:
+        timings = _run_shared(sf_dir, cpus)
+        mode = "roundrobin"
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t == t), 3)
     print(
         json.dumps(
             {
@@ -106,10 +183,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": int(cpus),
+                "mode": mode,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":
