@@ -105,6 +105,19 @@ class HiveSinkOptions:
             raise HiveStreamingSinkError(
                 f"Missing required sink option(s): {', '.join(missing)}"
             )
+        secured = [k for k in ("principal", "keytab") if opts.get(k)]
+        if secured:
+            # HiveOptions.scala:61-75 runs a UGI keytab login from these
+            # options; a Spark-native sink cannot (and must not) do its own
+            # UGI dance per writer. Refuse rather than silently skipping
+            # auth on a kerberized cluster.
+            raise HiveStreamingSinkError(
+                f"Sink option(s) {', '.join(secured)} are not supported: "
+                "Kerberos login is cluster-level in Spark — submit the "
+                "application with spark-submit --principal/--keytab (or "
+                "spark.kerberos.principal/keytab) so every executor holds "
+                "delegation tokens, instead of per-sink credentials"
+            )
         return cls(
             db=opts.pop("db"),
             table=opts.pop("table"),

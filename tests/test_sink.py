@@ -98,6 +98,22 @@ def test_metastore_option_validated_not_silently_ignored():
     )
 
 
+def test_kerberos_options_fail_loudly():
+    # HiveOptions.scala:61-75 logs in from principal/keytab per writer;
+    # Spark-native auth is cluster-level (spark-submit --principal/--keytab).
+    # Accepting-and-ignoring these would silently skip auth on a
+    # kerberized cluster, so the sink refuses them with a pointer.
+    with pytest.raises(HiveStreamingSinkError, match="--principal/--keytab"):
+        HiveSinkOptions.from_options(
+            {"db": "d", "table": "t", "principal": "svc@EXAMPLE.COM"}
+        )
+    with pytest.raises(HiveStreamingSinkError, match="principal, keytab"):
+        HiveSinkOptions.from_options(
+            {"db": "d", "table": "t",
+             "principal": "svc@EXAMPLE.COM", "keytab": "/tmp/svc.keytab"}
+        )
+
+
 def test_batch_replay_idempotent(spark):
     """Same batch id applied twice must not duplicate rows — the
     improvement over the reference's at-least-once (§1.4)."""
