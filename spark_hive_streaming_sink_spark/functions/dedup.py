@@ -392,24 +392,45 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists — the standard greedy rule MinHash-LSH dedup uses; no
     transitive chaining, so no iteration). Every stage is bucket-local:
     candidates only form inside band buckets, Jaccard only runs on
-    candidates — the all-pairs quadratic never appears at any scale."""
+    candidates — the all-pairs quadratic never appears at any scale.
+
+    One-pass plan: the verify stage's 60-bit shingle longs ARE the h1
+    halves the minhash fold consumes, so ONE hx projection feeds both
+    (the original computed shingle+md5 separately for each — a full
+    extra corpus pass), and the shingle array rides along through the
+    band explode so verification needs no doc_id-keyed re-join with
+    the corpus at all. Both sides of the band self-join exchange the
+    SAME subtree on the same keys, which Spark's ReuseExchange
+    deduplicates — the corpus is shingled/hashed once, plus one
+    column-pruned doc_id scan for the final keep-list
+    (tests/test_plans.py pins the scan count)."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    sh = d.select(
-        "doc_id",
-        F.transform(
-            _shingles(F.col("text")),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
-        ).alias("shingles"),
-    )
-    mh = d.select(
+    feat = d.select(
         "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
-    ).select("doc_id", *_minhash_cols())
+    ).select(
+        "doc_id",
+        F.transform(F.col("hx"), lambda p: p.getField("h1")).alias("shingles"),
+        *_minhash_cols(),
+    )
     b0 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)]))
     b1 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)]))
-    bands = mh.select(
-        "doc_id", F.lit(0).alias("band_no"), b0.alias("band_key")
-    ).unionByName(mh.select("doc_id", F.lit(1).alias("band_no"), b1.alias("band_key")))
-    a, b = bands.alias("a"), bands.alias("b")
+    bands = feat.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band_no"), b0.alias("band_key")),
+                F.struct(F.lit(1).alias("band_no"), b1.alias("band_key")),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "shingles", "bk.band_no", "bk.band_key")
+    # merge-join hint, NOT planner choice: bands is corpus-sized (docs ×
+    # 2, carrying shingle arrays), so broadcasting one side — what the
+    # planner picks at test SFs from its tiny file-size estimate — is
+    # exactly wrong at 100 TB AND forfeits exchange reuse. With a
+    # sort-merge self-join both sides shuffle the identical subtree on
+    # (band_key, band_no) and ReuseExchange computes it once.
+    a, b = bands.alias("a"), bands.hint("shuffle_merge").alias("b")
     cand = (
         a.join(
             b,
@@ -417,19 +438,18 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.any_value(F.col("a.shingles")).alias("sa_sh"),
+            F.any_value(F.col("b.shingles")).alias("sb_sh"),
+        )
     )
-    sa = sh.select(F.col("doc_id").alias("sa_id"), F.col("shingles").alias("sa_sh"))
-    sb = sh.select(F.col("doc_id").alias("sb_id"), F.col("shingles").alias("sb_sh"))
     inter = F.size(F.array_intersect(F.col("sa_sh"), F.col("sb_sh")))
     union = F.size("sa_sh") + F.size("sb_sh") - inter
     verified = (
-        cand.join(sa, cand.doc_a == F.col("sa_id"))
-        .join(sb, cand.doc_b == F.col("sb_id"))
-        .filter(2 * inter >= union)
-        .select("doc_b")
-        .distinct()
+        cand.filter(2 * inter >= union).select("doc_b").distinct()
     )
     return d.select("doc_id").join(
         verified.withColumnRenamed("doc_b", "dropped_id"),

@@ -41,6 +41,21 @@ def read_schemas(df: DataFrame) -> list[str]:
     ]
 
 
+def executed_final_plan(df: DataFrame) -> str:
+    """Execute the DataFrame (collect) and return the FINAL adaptive
+    plan string. Needed for runtime-only facts — AQE applies exchange
+    reuse when shuffle query stages materialize, so ``ReusedExchange``
+    only appears after execution (an unexecuted adaptive plan prints
+    every self-join subtree twice even when one side will be reused)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, "plan did not finalize under AQE"
+    # AdaptiveSparkPlan.toString appends the pre-execution "Initial
+    # Plan" section, which duplicates every subtree reuse collapsed —
+    # return only the final (actually executed) section.
+    return plan.split("== Initial Plan ==")[0]
+
+
 def broadcast_hint_subtrees(df: DataFrame) -> list[str]:
     """Subtree text under each explicit broadcast hint in the ANALYZED
     logical plan (i.e. every ``F.broadcast``/``/*+ BROADCAST */`` the

@@ -333,3 +333,29 @@ def test_retention_cohorts_no_window_over_events(spark):
     df = _df(spark, "events_retention_cohorts")
     assert count_nodes(df, "Window") == 0
     assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_dedup_pipeline_shingles_corpus_once(spark):
+    """The end-to-end dedup pipeline must shingle+hash the corpus ONCE:
+    the band self-join is pinned sort-merge (bands is corpus-sized at
+    100 TB — broadcast would be wrong AND forfeit reuse), so AQE's
+    ReuseExchange materializes the shingle/minhash subtree a single
+    time. The only other corpus access is the column-pruned doc_id
+    scan for the final keep-list."""
+    from spark_hive_streaming_sink_spark.plans import executed_final_plan
+
+    df = _df(spark, "dedup_pipeline_end_to_end")
+    plan = executed_final_plan(df)
+    assert plan.count("ReusedExchange") >= 1, plan
+    # the band self-join must stay sort-merge (no broadcast of the
+    # corpus-sized band side)
+    assert "SortMergeJoin" in plan, plan
+    import re
+
+    heavy = [
+        m.group(0)
+        for m in re.finditer(r"FileScan parquet [^\n]*text[^\n]*", plan)
+    ]
+    # one executed heavy scan; the ReusedExchange references it rather
+    # than duplicating the subtree
+    assert len(heavy) <= 1, heavy
