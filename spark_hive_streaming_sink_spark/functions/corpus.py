@@ -125,15 +125,15 @@ PACK_BUDGET = 2048  # tokens per training sequence
       FROM t),
     p AS (
       SELECT lang, doc_id, n_tok,
-             cum_prev // {PACK_BUDGET} AS chunk_id,
+             CAST(cum_prev // {PACK_BUDGET} AS BIGINT) AS chunk_id,
              CASE WHEN cum_prev // {PACK_BUDGET}
                        != (cum_prev + n_tok - 1) // {PACK_BUDGET}
                   THEN 1 ELSE 0 END AS straddles
       FROM c)
     SELECT lang, chunk_id,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS chunk_tokens,
-           SUM(straddles) AS n_straddlers
+           CAST(SUM(n_tok) AS BIGINT) AS chunk_tokens,
+           CAST(SUM(straddles) AS BIGINT) AS n_straddlers
     FROM p GROUP BY lang, chunk_id
     """,
     tags=("llm", "curation", "packing"),
@@ -477,4 +477,222 @@ def events_user_rate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             F.round((F.col("n") - F.col("mean_n")) / F.sqrt(var), 6).alias("z"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# cross-source overlap matrix (inter-crawl duplication diagnostic)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_cross_source_overlap",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks
+               FROM documents),
+    sh AS (SELECT DISTINCT source,
+                  unnest(list_transform(
+                      list_distinct(list_transform(
+                          generate_series(1, len(toks)-2),
+                          i -> array_to_string(toks[i:i+2], ' '))),
+                      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))
+                    AS dg
+           FROM t)
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared_shingles
+    FROM sh a JOIN sh b ON a.dg = b.dg AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content-overlap matrix between sources: count distinct
+    3-gram shingle digests shared by each source pair — the
+    which-crawls-duplicate-each-other diagnostic run before choosing
+    dedup order / source priorities (complement of
+    contamination_ngram_overlap, which probes one split against
+    another rather than all pairs).
+
+    Scale: distinct (source, digest) is one map-side-distinct shuffle
+    on the digest; the self-join is co-partitioned on the digest and
+    pair fan-out per digest is bounded by the source count, never the
+    corpus size; the final count aggregate is map-combined."""
+    from .dedup import _shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "source",
+            F.explode(
+                F.transform(
+                    _shingles(F.col("text")),
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                        "bigint"
+                    ),
+                )
+            ).alias("dg"),
+        )
+        .distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.dg") == F.col("b.dg"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+
+
+# --------------------------------------------------------------------------
+# per-source adaptive quality threshold (drop the bottom quartile)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_quality_adaptive_threshold",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split(trim(text), ' ') AS toks
+      FROM documents),
+    s AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(toks)) AS BIGINT) * 1000000
+               // CAST(len(toks) AS BIGINT) AS score
+      FROM t WHERE len(toks) > 0),
+    r AS (
+      SELECT doc_id, source, score,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS grp_n
+      FROM s)
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(MIN(score) AS BIGINT) AS min_kept_score,
+           CAST(MAX(score) AS BIGINT) AS max_kept_score,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_ids_sum
+    FROM r WHERE 4 * rn > grp_n
+    GROUP BY source
+    """,
+    tags=("llm", "curation", "quality"),
+)
+def corpus_quality_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality filtering: score every document by
+    lexical diversity (distinct-token ratio, scaled to exact integer
+    parts-per-million) and drop each source's bottom quartile — the
+    per-domain calibrated cut real pipelines use instead of one global
+    threshold (a threshold tuned on web text would gut code or forum
+    sources; per-source quantiles self-calibrate).
+
+    All arithmetic is integer-exact (ppm score via integer division,
+    rank-vs-count quartile rule — no float percentile). Scale: one
+    shuffle on source for the rank window (WindowGroupLimit does not
+    apply, but the sort is per-source); the final rollup is
+    map-combined on the same partitioning, so the corpus shuffles
+    once."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    s = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    ).filter(F.col("n_tok") > 0)
+    s = s.select(
+        "doc_id",
+        "source",
+        F.expr("CAST(n_uniq AS BIGINT) * 1000000 div CAST(n_tok AS BIGINT)").alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    wn = Window.partitionBy("source")
+    kept = (
+        s.select(
+            "doc_id",
+            "source",
+            "score",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wn).alias("grp_n"),
+        )
+        .filter(4 * F.col("rn") > F.col("grp_n"))
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("score").cast("bigint").alias("min_kept_score"),
+        F.max("score").cast("bigint").alias("max_kept_score"),
+        F.sum("doc_id").cast("bigint").alias("kept_ids_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# time-decayed engagement score (ordered fold, exact powers of two)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_decay_time_weighted",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v,
+             datediff('day', CAST(ts AS DATE),
+                      MAX(CAST(ts AS DATE)) OVER (PARTITION BY user_id))
+               AS age_days
+      FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           list_reduce(
+             list_prepend(0.0e0,
+               list(v * pow(0.5e0, age_days) ORDER BY ts, event_id)),
+             (acc, x) -> acc + x) AS decayed_score
+    FROM e
+    GROUP BY user_id
+    """,
+    tags=("llm", "curation", "fold"),
+)
+def events_decay_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed engagement score per user: each event's value
+    is weighted by 0.5^age_days (age relative to the user's most
+    recent event) and summed in (ts, event_id) order — the recency
+    weighting feedback pipelines use to score contributors/documents
+    without a full recompute as the corpus ages.
+
+    Determinism without rounding: 0.5^k is an exact power of two, so
+    each weighted term is an exact IEEE scaling of the raw value, and
+    the sum is an ordered fold over identically-ordered terms in both
+    engines — bit-identical, like window_ewma_fold. Scale: one shuffle
+    on user_id; the window max reuses the same partitioning as the
+    groupBy (single exchange), state per group is one double."""
+    e = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    aged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+        F.datediff(F.max(F.to_date("ts")).over(wu), F.to_date("ts")).alias(
+            "age_days"
+        ),
+    )
+    ordered_terms = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("t"),
+                    F.col("event_id").alias("i"),
+                    (F.col("v") * F.pow(F.lit(0.5), F.col("age_days"))).alias("w"),
+                )
+            )
+        ),
+        lambda s: s.getField("w"),
+    )
+    return aged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.aggregate(
+            ordered_terms, F.lit(0.0), lambda acc, x: acc + x
+        ).alias("decayed_score"),
     )

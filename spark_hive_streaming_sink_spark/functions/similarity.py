@@ -623,3 +623,51 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_terms"),
         F.sum(F.col("best_cos").cast("decimal(12,6)")).cast("double").alias("maxsim"),
     )
+
+
+TRUNC_DIM = 16  # matryoshka prefix length
+
+
+@register(
+    "embed_matryoshka_truncate",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, label, embedding, embedding[1:{TRUNC_DIM}] AS trunc
+      FROM embeddings)
+    SELECT vec_id, label,
+           {TRUNC_DIM} AS trunc_dim,
+           round(sqrt({_sql_dot('embedding', 'embedding')}), 6) AS full_norm,
+           round(sqrt({_sql_dot('trunc', 'trunc')}), 6) AS trunc_norm,
+           round(sqrt({_sql_dot('trunc', 'trunc')})
+                 / sqrt({_sql_dot('embedding', 'embedding')}), 6) AS energy_ratio
+    FROM s
+    WHERE sqrt({_sql_dot('embedding', 'embedding')}) > 0
+    """,
+    tags=("llm", "embedding", "matryoshka"),
+)
+def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: slice each embedding to its
+    first TRUNC_DIM dimensions and report full norm, truncated norm,
+    and the retained-energy ratio — the check run before serving
+    truncated vectors from an MRL-trained model (how much of the norm
+    survives the cut decides the serve-time dimension).
+
+    Map-side only — no shuffle, no UDF: slice + the same sequential
+    double folds both engines evaluate identically (sqrt and divide on
+    bit-identical doubles; rounded to 6 dp like every similarity op).
+    At 100 TB this runs as a pure scan-projection at parquet speed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    trunc = F.slice(F.col("embedding"), 1, TRUNC_DIM)
+    full_nrm = _norm(F.col("embedding"))
+    trunc_nrm = _norm(trunc)
+    return (
+        emb.filter(full_nrm > 0)
+        .select(
+            "vec_id",
+            "label",
+            F.lit(TRUNC_DIM).alias("trunc_dim"),
+            F.round(full_nrm, 6).alias("full_norm"),
+            F.round(trunc_nrm, 6).alias("trunc_norm"),
+            F.round(trunc_nrm / full_nrm, 6).alias("energy_ratio"),
+        )
+    )

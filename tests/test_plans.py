@@ -359,3 +359,37 @@ def test_dedup_pipeline_shingles_corpus_once(spark):
     # one executed heavy scan; the ReusedExchange references it rather
     # than duplicating the subtree
     assert len(heavy) <= 1, heavy
+
+
+def test_matryoshka_truncate_map_side_only(spark):
+    """MRL truncation must stay a pure scan-projection: no shuffle, no
+    Python eval — parquet-speed at 100 TB."""
+    df = _df(spark, "embed_matryoshka_truncate")
+    assert count_nodes(df, "Exchange") == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_threshold_single_corpus_shuffle(spark):
+    """Per-source quantile filtering: the rank window and the final
+    rollup share the source partitioning — the corpus shuffles once."""
+    df = _df(spark, "corpus_quality_adaptive_threshold")
+    assert count_nodes(df, "Exchange") == 1
+
+
+def test_decay_fold_single_user_shuffle(spark):
+    """Window max(date) and the groupBy fold share the user_id
+    partitioning: one exchange, no Python in the fold."""
+    df = _df(spark, "events_decay_time_weighted")
+    assert count_nodes(df, "Exchange") == 1
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cross_source_overlap_no_cartesian(spark):
+    """Source-pair mining must stay digest-bucket-local: equi join on
+    the digest, never a cross product of sources × sources."""
+    df = _df(spark, "corpus_cross_source_overlap")
+    assert count_nodes(df, "CartesianProduct") == 0
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan
