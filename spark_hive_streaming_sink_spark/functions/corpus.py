@@ -696,3 +696,114 @@ def events_decay_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ordered_terms, F.lit(0.0), lambda acc, x: acc + x
         ).alias("decayed_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# per-source token budget (greedy running-sum trim)
+# --------------------------------------------------------------------------
+
+TOKEN_BUDGET = 6000  # tokens each source may contribute
+
+
+@register(
+    "corpus_token_budget_trim",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+           CAST(MAX(cum) AS BIGINT) AS budget_used,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_ids_sum
+    FROM c WHERE cum <= {TOKEN_BUDGET}
+    GROUP BY source
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def corpus_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN budget: keep documents in doc_id order until
+    the source's cumulative token count would exceed TOKEN_BUDGET —
+    the mix-building primitive when the recipe says "at most N tokens
+    from this source" (corpus_source_cap caps document COUNT; training
+    mixes are specified in tokens, not documents).
+
+    All-integer running sum; one shuffle on source (the same
+    partitioning the rollup reuses). At 100 TB the per-source sort is
+    the shard-writer's sort — no extra pass."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w)).filter(
+        F.col("cum") <= TOKEN_BUDGET
+    )
+    return c.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+        F.max("cum").cast("bigint").alias("budget_used"),
+        F.sum("doc_id").cast("bigint").alias("kept_ids_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# robust outlier screen: median absolute deviation on event rates
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    pop AS (
+      SELECT quantile_cont(n, 0.5) AS med FROM per_user),
+    dev AS (
+      SELECT user_id, n, med, abs(n - med) AS adev
+      FROM per_user CROSS JOIN pop),
+    m AS (SELECT quantile_cont(adev, 0.5) AS mad FROM dev)
+    SELECT user_id, n,
+           round(adev, 6) AS abs_dev,
+           (adev > 3 * mad) AS is_outlier
+    FROM dev CROSS JOIN m
+    """,
+    tags=("llm", "curation", "robust"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen on per-user event
+    rates — the robust sibling of events_user_rate_zscore (a handful
+    of bots inflate mean AND stddev, masking themselves from z-scores;
+    medians don't move).
+
+    Exactness: counts are integers; both engines interpolate the
+    median identically (average of two middle integers — an exact
+    .5-grid double), so deviations and the 3×MAD rule compare
+    bit-identical values. Scale: one count aggregate, two 1-row
+    median aggregates broadcast back — the events table is scanned
+    once, medians run on the (tiny) per-user table."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    pop = per_user.agg(F.expr("percentile(n, 0.5D)").alias("med"))
+    dev = per_user.crossJoin(F.broadcast(pop)).select(
+        "user_id", "n", (F.abs(F.col("n") - F.col("med"))).alias("adev")
+    )
+    m = dev.agg(F.expr("percentile(adev, 0.5D)").alias("mad"))
+    return dev.crossJoin(F.broadcast(m)).select(
+        "user_id",
+        "n",
+        F.round("adev", 6).alias("abs_dev"),
+        (F.col("adev") > 3 * F.col("mad")).alias("is_outlier"),
+    )

@@ -722,3 +722,74 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         extracted.alias("extracted"),
         F.length(extracted).alias("extracted_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# bigram conditional-probability table (n-gram LM construction)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_conditional_topk",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(trim(text), ' ') AS toks FROM documents),
+    bg AS (
+      SELECT toks[i] AS w1, toks[i+1] AS w2
+      FROM t CROSS JOIN unnest(generate_series(1, len(toks)-1)) AS u(i)),
+    cnt AS (
+      SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY w1, w2),
+    tot AS (
+      SELECT w1, CAST(SUM(n) AS BIGINT) AS w1_total FROM cnt GROUP BY w1),
+    scored AS (
+      SELECT cnt.w1, cnt.w2, cnt.n, tot.w1_total,
+             CAST(cnt.n * 1000000 // tot.w1_total AS BIGINT) AS p_ppm,
+             row_number() OVER (PARTITION BY cnt.w1
+                                ORDER BY cnt.n DESC, cnt.w2) AS rn
+      FROM cnt JOIN tot USING (w1))
+    SELECT w1, w2, n, w1_total, p_ppm
+    FROM scored WHERE rn <= 3
+    """,
+    tags=("llm", "text", "ngram"),
+)
+def text_bigram_conditional_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-probability table, top-3 continuations per
+    word: P(w2|w1) in exact integer parts-per-million — the n-gram-LM
+    construction step (the model behind classic perplexity filters and
+    autocomplete baselines; the unigram analogue is
+    text_unigram_surprisal).
+
+    Scale: bigrams explode map-side; one shuffle on (w1, w2) with
+    map-side combine; the per-w1 totals aggregate the (much smaller)
+    bigram table, not the corpus; Catalyst turns the rn<=3 filter into
+    WindowGroupLimit so no full per-w1 sort materializes. Integer
+    division keeps every value exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    bg = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    from pyspark.sql import Window
+
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("w1").agg(F.sum("n").cast("bigint").alias("w1_total"))
+    w = Window.partitionBy("w1").orderBy(F.col("n").desc(), "w2")
+    return (
+        cnt.join(tot, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n",
+            "w1_total",
+            F.expr("CAST(n * 1000000 div w1_total AS BIGINT)").alias("p_ppm"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

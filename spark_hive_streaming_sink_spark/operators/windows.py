@@ -350,3 +350,83 @@ def window_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
         ).alias("ewma_value"),
     )
+
+
+@register(
+    "window_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list(struct_pack(t := epoch_us(ts), i := event_id,
+                              v := CAST(value AS DOUBLE))
+                  ORDER BY ts, event_id) AS ev
+      FROM events GROUP BY user_id),
+    f AS (
+      SELECT user_id, len(ev) AS n_events,
+             ev[len(ev)].t - ev[1].t AS span_us,
+             list_reduce(
+               list_prepend(0.0e0,
+                 list_transform(generate_series(2, len(ev)),
+                   i -> (ev[i-1].v + ev[i].v) * (ev[i].t - ev[i-1].t))),
+               (acc, x) -> acc + x) AS area2
+      FROM s WHERE len(ev) >= 2)
+    SELECT user_id, n_events,
+           round(area2 / (2.0e0 * span_us), 6) AS twa
+    FROM f WHERE span_us > 0
+    """,
+    tags=("window", "fold", "timeseries"),
+)
+def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal time-weighted average per user — the
+    irregular-sampling mean (TimescaleDB's time_weight('linear')
+    analogue) that plain AVG gets wrong when observations cluster:
+    each consecutive pair contributes (v_i + v_{i+1})·Δt_us, and the
+    total area divides by twice the covered span.
+
+    Determinism without rounding crutches: Δt is an exact integer of
+    microseconds, each trapezoid is the same two IEEE ops in both
+    engines, and the sum is an ordered fold over identically-ordered
+    terms (the window_ewma_fold pattern); the final divide+round runs
+    on bit-identical doubles. Scale: one shuffle on user_id; state per
+    group is the user's event list — same bound as any ordered per-key
+    fold (cap history or go streaming beyond it)."""
+    e = load_table(spark, sf_dir, "events")
+    ev = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").alias("i"),
+                F.col("value").cast("double").alias("v"),
+            )
+        )
+    )
+    s = e.groupBy("user_id").agg(ev.alias("ev"))
+    n = F.size("ev")
+    span = F.element_at("ev", -1).getField("t") - F.element_at("ev", 1).getField("t")
+    trapezoids = F.transform(
+        F.sequence(F.lit(2), n),
+        lambda i: (
+            F.element_at(F.col("ev"), (i - 1).cast("int")).getField("v")
+            + F.element_at(F.col("ev"), i.cast("int")).getField("v")
+        )
+        * (
+            F.element_at(F.col("ev"), i.cast("int")).getField("t")
+            - F.element_at(F.col("ev"), (i - 1).cast("int")).getField("t")
+        ),
+    )
+    area2 = F.aggregate(trapezoids, F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        s.filter(n >= 2)
+        .select(
+            "user_id",
+            n.alias("n_events"),
+            span.alias("span_us"),
+            area2.alias("area2"),
+        )
+        .filter(F.col("span_us") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("area2") / (2.0 * F.col("span_us")), 6).alias("twa"),
+        )
+    )

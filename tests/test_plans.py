@@ -393,3 +393,43 @@ def test_cross_source_overlap_no_cartesian(spark):
     assert count_nodes(df, "CartesianProduct") == 0
     plan = formatted_plan(df)
     assert "NestedLoop" not in plan
+
+
+def test_token_budget_trim_single_corpus_shuffle(spark):
+    """Running-sum trim: the per-source window and the rollup share the
+    source partitioning — the corpus shuffles once."""
+    df = _df(spark, "corpus_token_budget_trim")
+    assert count_nodes(df, "Exchange") == 1
+
+
+def test_anomaly_mad_scans_events_once(spark):
+    """MAD screen: the per-user count subtree repeats in four logical
+    branches (dev, pop, mad, output), but AQE's exchange reuse must
+    collapse them — events is scanned exactly once at runtime."""
+    from spark_hive_streaming_sink_spark.plans import executed_final_plan
+
+    df = _df(spark, "events_anomaly_mad")
+    plan = executed_final_plan(df)
+    assert plan.count("ReusedExchange") >= 3, plan
+    scans = sum(
+        1
+        for line in plan.splitlines()
+        if "Location" in line and "events.parquet" in line
+    )
+    assert scans == 1, plan
+
+
+def test_bigram_topk_uses_window_group_limit(spark):
+    """The rn<=3 filter must become WindowGroupLimit — no full per-w1
+    sort of the bigram table at scale."""
+    df = _df(spark, "text_bigram_conditional_topk")
+    assert count_nodes(df, "WindowGroupLimit") >= 1
+
+
+def test_time_weighted_avg_single_shuffle_no_python(spark):
+    """Trapezoid fold: one user_id shuffle, everything else array
+    expressions inside codegen — no Python eval anywhere."""
+    df = _df(spark, "window_time_weighted_avg")
+    assert count_nodes(df, "Exchange") == 1
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
