@@ -71,6 +71,8 @@ HEADLINE = [
     "pca_power_iteration",
     "sim_maxsim_multivector",
     "window_session_dynamic_gap",
+    "corpus_cross_source_overlap",
+    "text_bigram_conditional_topk",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"
