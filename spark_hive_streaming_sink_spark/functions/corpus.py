@@ -513,38 +513,62 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination_ngram_overlap, which probes one split against
     another rather than all pairs).
 
-    Scale: distinct (source, digest) is one map-side-distinct shuffle
-    on the digest; the self-join is co-partitioned on the digest and
-    pair fan-out per digest is bounded by the source count, never the
-    corpus size; the final count aggregate is map-combined."""
+    Scale: NO self-join at all — the digest groupBy collects each
+    digest's distinct source set (collect_set partially aggregates
+    map-side, so duplicate (source, digest) observations collapse
+    before the wire), and the a<b pairs expand per-row from the
+    sorted set: fan-out bounded by the source count squared, never
+    the corpus size. One heavy map-combined shuffle on the digest +
+    one tiny map-combined shuffle on the pair set. (A digest-keyed
+    self-join of the distinct (source, digest) set computes the same
+    thing but shuffles that set twice and sorts both sides; isolated
+    bench at sf0.1: ~3.0 s for the join formulation vs ~1.2-1.9 s for
+    this one.) The scan is spread via parallelize_scan so the
+    md5-per-shingle map work uses every core even on the
+    single-row-group fixture files."""
     from .dedup import _shingles
+    from ..io import parallelize_scan
 
-    d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.select(
-            "source",
-            F.explode(
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    sh = d.select(
+        "source",
+        F.explode(
+            F.transform(
+                _shingles(F.col("text")),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("dg"),
+    )
+    per_dg = (
+        sh.groupBy("dg")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    n = F.size("ss")
+    pairs = per_dg.select(
+        F.explode(
+            F.flatten(
                 F.transform(
-                    _shingles(F.col("text")),
-                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
-                        "bigint"
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, n),
+                        lambda j: F.struct(
+                            F.element_at(F.col("ss"), i.cast("int")).alias(
+                                "source_a"
+                            ),
+                            F.element_at(F.col("ss"), j.cast("int")).alias(
+                                "source_b"
+                            ),
+                        ),
                     ),
                 )
-            ).alias("dg"),
-        )
-        .distinct()
-    )
-    a, b = sh.alias("a"), sh.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.dg") == F.col("b.dg"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
-        )
-        .agg(F.count("*").alias("n_shared_shingles"))
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_shared_shingles")
     )
 
 
@@ -592,9 +616,13 @@ def corpus_quality_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataF
     rank-vs-count quartile rule — no float percentile). Scale: one
     shuffle on source for the rank window (WindowGroupLimit does not
     apply, but the sort is per-source); the final rollup is
-    map-combined on the same partitioning, so the corpus shuffles
-    once."""
-    d = load_table(spark, sf_dir, "documents")
+    map-combined on the same partitioning, so the scored projection
+    shuffles once. parallelize_scan spreads the tokenize+distinct
+    scoring across cores on single-row-group fixture files (no-op
+    cost on a real multi-file corpus)."""
+    from ..io import parallelize_scan
+
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), " ")
     s = d.select(
         "doc_id",
@@ -734,10 +762,14 @@ def corpus_token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from this source" (corpus_source_cap caps document COUNT; training
     mixes are specified in tokens, not documents).
 
-    All-integer running sum; one shuffle on source (the same
+    All-integer running sum; one key shuffle on source (the same
     partitioning the rollup reuses). At 100 TB the per-source sort is
-    the shard-writer's sort — no extra pass."""
-    d = load_table(spark, sf_dir, "documents")
+    the shard-writer's sort — no extra pass. parallelize_scan spreads
+    the tokenize map work across cores on single-row-group fixture
+    files (no-op cost on a real multi-file corpus)."""
+    from ..io import parallelize_scan
+
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     t = d.select(
         "doc_id",
         "source",

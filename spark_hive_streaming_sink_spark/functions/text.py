@@ -763,8 +763,10 @@ def text_bigram_conditional_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine; the per-w1 totals aggregate the (much smaller)
     bigram table, not the corpus; Catalyst turns the rn<=3 filter into
     WindowGroupLimit so no full per-w1 sort materializes. Integer
-    division keeps every value exact."""
-    d = load_table(spark, sf_dir, "documents")
+    division keeps every value exact. parallelize_scan spreads the
+    tokenize+explode map work across cores on single-row-group
+    fixture files (no-op cost on a real multi-file corpus)."""
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), " ")
     bg = d.select(
         F.explode(

@@ -372,9 +372,10 @@ def test_matryoshka_truncate_map_side_only(spark):
 
 def test_quality_threshold_single_corpus_shuffle(spark):
     """Per-source quantile filtering: the rank window and the final
-    rollup share the source partitioning — the corpus shuffles once."""
+    rollup share the source partitioning — one key shuffle (plus the
+    parallelize_scan round-robin that spreads tokenize work)."""
     df = _df(spark, "corpus_quality_adaptive_threshold")
-    assert count_nodes(df, "Exchange") == 1
+    assert count_nodes(df, "Exchange") == 2
 
 
 def test_decay_fold_single_user_shuffle(spark):
@@ -397,9 +398,10 @@ def test_cross_source_overlap_no_cartesian(spark):
 
 def test_token_budget_trim_single_corpus_shuffle(spark):
     """Running-sum trim: the per-source window and the rollup share the
-    source partitioning — the corpus shuffles once."""
+    source partitioning — one key shuffle (plus the parallelize_scan
+    round-robin that spreads tokenize work)."""
     df = _df(spark, "corpus_token_budget_trim")
-    assert count_nodes(df, "Exchange") == 1
+    assert count_nodes(df, "Exchange") == 2
 
 
 def test_anomaly_mad_scans_events_once(spark):
