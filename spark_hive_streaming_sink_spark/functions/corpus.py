@@ -228,8 +228,13 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-distinct before its single shuffle, and the probe is one
     hash join digest-to-digest — never text-to-text. At 100 TB the
     train-distinct relation is the big side and the eval probe set is
-    comparatively tiny, so AQE broadcasts the probe."""
-    d = load_table(spark, sf_dir, "documents")
+    comparatively tiny, so AQE broadcasts the probe. parallelize_scan
+    spreads the md5-per-shingle map work — the op's dominant cost —
+    across cores on single-row-group fixture files (no-op cost on a
+    real multi-file corpus)."""
+    from ..io import parallelize_scan
+
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     tk = F.split(F.trim(F.col("text")), " ")
     sh = d.select(
         "doc_id",
@@ -350,8 +355,14 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python), digests are uniform md5 keys, and the only shuffles
     are the groupBy h and the digest self-join. A suffix-array exact
     pass needs a global sort; this windowed form is the standard
-    shuffle-light stand-in with stride-bounded miss length."""
-    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= WIN)
+    shuffle-light stand-in with stride-bounded miss length.
+    parallelize_scan spreads the per-window md5 map work across cores
+    on single-row-group fixture files."""
+    from ..io import parallelize_scan
+
+    d = parallelize_scan(
+        load_table(spark, sf_dir, "documents").filter(F.length("text") >= WIN)
+    )
     # positions 1, 1+STRIDE, ... while p + WIN - 1 <= len
     pos = F.sequence(
         F.lit(1), F.length("text") - (WIN - 1), F.lit(STRIDE)

@@ -59,8 +59,10 @@ def _toks(col: str = "text") -> Column:
 def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality scoring: token stats, type-token ratio,
     stopword ratio, length factor → weighted score. All ratios are
-    int/int double divisions (bit-identical cross-engine)."""
-    d = load_table(spark, sf_dir, "documents")
+    int/int double divisions (bit-identical cross-engine).
+    parallelize_scan spreads the per-doc token analysis across cores
+    on single-row-group fixture files."""
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     toks = _toks()
     s = d.select(
         "doc_id",
@@ -272,7 +274,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 6 decimals in BOTH engines (ln of identical doubles —
     the one non-fixed-point step). The canonical keyword-extraction /
     quality-signal pipeline over a crawl."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
     ).filter(F.length("tok") > 0)
@@ -657,7 +659,7 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     The join key is Zipf-skewed ("the" dominates); at 100 TB either
     AQE skew-join handles it or the vocab relation (≪ corpus,
     ~10⁷ rows) broadcasts — both knobs are config, not plan changes."""
-    d = load_table(spark, sf_dir, "documents")
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
     )
