@@ -495,10 +495,16 @@ def events_user_rate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-source overlap matrix (inter-crawl duplication diagnostic)
 # --------------------------------------------------------------------------
 
+# Ignore shingles shared by more sources than this: near-ubiquitous
+# shingles are boilerplate, not overlap signal, and at corpus scale
+# (thousands of sources) their per-digest pair fan-out is quadratic in
+# the source count — the cap bounds it.
+OVERLAP_SOURCE_CAP = 16
+
 
 @register(
     "corpus_cross_source_overlap",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks
                FROM documents),
     sh AS (SELECT DISTINCT source,
@@ -508,10 +514,14 @@ def events_user_rate_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                           i -> array_to_string(toks[i:i+2], ' '))),
                       s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))
                     AS dg
-           FROM t)
+           FROM t),
+    keep AS (
+      SELECT dg FROM sh GROUP BY dg
+      HAVING COUNT(*) BETWEEN 2 AND {OVERLAP_SOURCE_CAP})
     SELECT a.source AS source_a, b.source AS source_b,
            COUNT(*) AS n_shared_shingles
-    FROM sh a JOIN sh b ON a.dg = b.dg AND a.source < b.source
+    FROM sh a JOIN keep USING (dg) JOIN sh b
+      ON a.dg = b.dg AND a.source < b.source
     GROUP BY a.source, b.source
     """,
     tags=("llm", "curation", "dedup"),
@@ -522,7 +532,9 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     which-crawls-duplicate-each-other diagnostic run before choosing
     dedup order / source priorities (complement of
     contamination_ngram_overlap, which probes one split against
-    another rather than all pairs).
+    another rather than all pairs). Shingles present in more than
+    OVERLAP_SOURCE_CAP sources are excluded as boilerplate — which is
+    also what bounds the pair fan-out (see the constant's comment).
 
     Scale: NO self-join at all — the digest groupBy collects each
     digest's distinct source set (collect_set partially aggregates
@@ -555,7 +567,9 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_dg = (
         sh.groupBy("dg")
         .agg(F.array_sort(F.collect_set("source")).alias("ss"))
-        .filter(F.size("ss") >= 2)
+        .filter(
+            (F.size("ss") >= 2) & (F.size("ss") <= OVERLAP_SOURCE_CAP)
+        )
     )
     n = F.size("ss")
     pairs = per_dg.select(
