@@ -400,3 +400,97 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(within, gap).alias("gap_us"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT p.event_id, p.user_id, p.ts, c.ts AS prior_ts
+      FROM purch p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts),
+    f AS (
+      SELECT p.event_id, c.ts AS next_ts
+      FROM purch p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts <= c.ts),
+    j AS (
+      SELECT b.event_id, b.user_id, b.ts, b.prior_ts, f.next_ts,
+             CASE
+               WHEN b.prior_ts IS NULL THEN f.next_ts
+               WHEN f.next_ts IS NULL THEN b.prior_ts
+               WHEN epoch_us(b.ts) - epoch_us(b.prior_ts)
+                    <= epoch_us(f.next_ts) - epoch_us(b.ts) THEN b.prior_ts
+               ELSE f.next_ts
+             END AS chosen
+      FROM b JOIN f USING (event_id)
+      WHERE b.prior_ts IS NOT NULL OR f.next_ts IS NOT NULL)
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(chosen, '%Y-%m-%d %H:%M:%S') AS nearest_click_ts,
+           CAST(epoch_us(ts) - epoch_us(chosen) AS BIGINT) AS gap_us,
+           CASE WHEN chosen <= ts THEN 'prior' ELSE 'next' END AS direction
+    FROM j
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction (pandas merge_asof
+    direction='nearest'): each purchase matches its closest click in
+    EITHER direction, ties to the prior side. Completes the as-of
+    family (backward = join_asof, backward+tolerance =
+    join_asof_tolerance).
+
+    Same single-sort scale shape: union both event roles, ONE shuffle
+    on user_id, then two frames over the same ordering — running max
+    of click time (nearest prior) and reversed running min (nearest
+    following). No range self-join, no candidate pairs; a user's
+    history is one partition of state. The direction label derives
+    from the SIGN of the gap, so an exactly-simultaneous click is
+    'prior' in both engines regardless of which frame surfaced it."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    prior = F.max(click_ts).over(wb)
+    nxt = F.min(click_ts).over(wf)
+    gap_prior = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prior_ts"))
+    gap_next = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("ts"))
+    chosen = (
+        F.when(F.col("prior_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prior_ts"))
+        .when(gap_prior <= gap_next, F.col("prior_ts"))
+        .otherwise(F.col("next_ts"))
+    )
+    return (
+        e.withColumn("prior_ts", prior)
+        .withColumn("next_ts", nxt)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("prior_ts").isNotNull() | F.col("next_ts").isNotNull())
+        )
+        .withColumn("chosen", chosen)
+        .select(
+            "event_id",
+            "user_id",
+            ts_str("ts").alias("purchase_ts"),
+            ts_str("chosen").alias("nearest_click_ts"),
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("chosen"))).alias(
+                "gap_us"
+            ),
+            F.when(F.col("chosen") <= F.col("ts"), F.lit("prior"))
+            .otherwise(F.lit("next"))
+            .alias("direction"),
+        )
+    )

@@ -430,3 +430,142 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("area2") / (2.0 * F.col("span_us")), 6).alias("twa"),
         )
     )
+
+
+def _arr_median(arr):
+    """Exact median of a sorted numeric array column: middle element
+    (odd n) or the IEEE-exact average of the two middles (even n) —
+    identical in both engines, no percentile interpolation needed."""
+    s = F.array_sort(arr)
+    n = F.size(s)
+    mid = (n / 2).cast("int")
+    odd = F.element_at(s, ((n + 1) / 2).cast("int"))
+    even = (F.element_at(s, mid) + F.element_at(s, mid + 1)) / 2
+    return F.when(n % 2 == 1, odd).otherwise(even)
+
+
+_SQL_ARR_MEDIAN = """
+    CASE WHEN len({s}) % 2 = 1
+         THEN list_sort({s})[CAST((len({s})+1)//2 AS INTEGER)]
+         ELSE (list_sort({s})[CAST(len({s})//2 AS INTEGER)]
+               + list_sort({s})[CAST(len({s})//2 + 1 AS INTEGER)]) / 2
+    END"""
+
+
+@register(
+    "window_hampel_filter",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+             list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nb
+      FROM events),
+    m AS (
+      SELECT user_id, event_id, v, nb,
+             {_SQL_ARR_MEDIAN.format(s='nb')} AS med
+      FROM w),
+    d AS (
+      SELECT user_id, event_id, v, med,
+             {_SQL_ARR_MEDIAN.format(s="list_transform(nb, x -> abs(x - med))")} AS mad
+      FROM m)
+    SELECT user_id, event_id, v, med,
+           (abs(v - med) > 3 * mad AND mad > 0) AS is_spike,
+           CASE WHEN abs(v - med) > 3 * mad AND mad > 0 THEN med ELSE v END
+             AS cleaned
+    FROM d
+    """,
+    tags=("window", "timeseries", "robust"),
+)
+def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel despiking filter: each event's value is compared to the
+    median of its ±3-row neighborhood; points beyond 3×MAD of that
+    median are spikes and get replaced by it — the standard robust
+    cleaning pass for sensor/metric streams before they feed training
+    features (a mean-based rolling filter drags toward the spike it is
+    supposed to remove).
+
+    Exactness: medians are order statistics on the sorted neighborhood
+    (middle element, or the exact IEEE half-sum of the two middles) —
+    no percentile interpolation, bit-identical cross-engine. Scale:
+    one shuffle on user_id; the ±3 frame is constant-size state, so
+    the window never buffers a user's full history."""
+    e = load_table(spark, sf_dir, "events")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    nb = F.collect_list(F.col("value").cast("double")).over(wf)
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+        nb.alias("nb"),
+    )
+    m = base.withColumn("med", _arr_median(F.col("nb")))
+    d = m.withColumn(
+        "mad",
+        _arr_median(F.transform(F.col("nb"), lambda x: F.abs(x - F.col("med")))),
+    )
+    spike = (F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad")) & (
+        F.col("mad") > 0
+    )
+    return d.select(
+        "user_id",
+        "event_id",
+        "v",
+        "med",
+        spike.alias("is_spike"),
+        F.when(spike, F.col("med")).otherwise(F.col("v")).alias("cleaned"),
+    )
+
+
+RATE_WINDOW_S = 3600  # trailing window
+RATE_LIMIT = 5  # max events allowed inside it
+
+
+@register(
+    "events_windowed_rate_limit",
+    oracle=f"""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {RATE_WINDOW_S * 1_000_000} PRECEDING
+                       AND CURRENT ROW) AS n_in_window,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {RATE_WINDOW_S * 1_000_000} PRECEDING
+                       AND CURRENT ROW) > {RATE_LIMIT} AS throttled
+    FROM events
+    """,
+    tags=("window", "rate-limit"),
+)
+def events_windowed_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate limiting: count each user's events in the
+    trailing hour (inclusive RANGE frame over microsecond offsets) and
+    flag everything beyond the cap — the abuse/bot screen applied
+    before user-generated content enters a corpus, and the batch
+    mirror of what a streaming limiter enforces online.
+
+    Exact integer counts over a numeric RANGE frame (identical frame
+    semantics in both engines — ties in ts share a frame, so the flag
+    is deterministic without an event_id tie-break). One shuffle on
+    user_id."""
+    e = load_table(spark, sf_dir, "events")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-RATE_WINDOW_S * 1_000_000, 0)
+    )
+    n = F.count("*").over(wr)
+    from ._helpers import ts_str
+
+    return e.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("ts_str"),
+        n.alias("n_in_window"),
+        (n > RATE_LIMIT).alias("throttled"),
+    )

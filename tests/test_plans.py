@@ -435,3 +435,30 @@ def test_time_weighted_avg_single_shuffle_no_python(spark):
     assert count_nodes(df, "Exchange") == 1
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_nearest_single_shuffle(spark):
+    """Nearest-direction as-of: both frames share the user_id ordering
+    — one exchange, no range self-join, no candidate pairs."""
+    df = _df(spark, "join_asof_nearest")
+    assert count_nodes(df, "Exchange") == 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_hampel_filter_single_shuffle_no_python(spark):
+    """Hampel despiking: one user_id shuffle; the ±3 neighborhood is
+    constant-size window state and the medians are array expressions
+    inside codegen — no Python eval."""
+    df = _df(spark, "window_hampel_filter")
+    assert count_nodes(df, "Exchange") == 1
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rate_limit_single_shuffle(spark):
+    """Sliding-window rate limit: one user_id shuffle, a RANGE frame —
+    no self-join expansion of the events table."""
+    df = _df(spark, "events_windowed_rate_limit")
+    assert count_nodes(df, "Exchange") == 1
+    assert count_nodes(df, "SortMergeJoin") == 0
