@@ -470,9 +470,8 @@ _SQL_ARR_MEDIAN = """
              {_SQL_ARR_MEDIAN.format(s="list_transform(nb, x -> abs(x - med))")} AS mad
       FROM m)
     SELECT user_id, event_id, v, med,
-           (abs(v - med) > 3 * mad AND mad > 0) AS is_spike,
-           CASE WHEN abs(v - med) > 3 * mad AND mad > 0 THEN med ELSE v END
-             AS cleaned
+           (abs(v - med) > 3 * mad) AS is_spike,
+           CASE WHEN abs(v - med) > 3 * mad THEN med ELSE v END AS cleaned
     FROM d
     """,
     tags=("window", "timeseries", "robust"),
@@ -487,9 +486,13 @@ def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: medians are order statistics on the sorted neighborhood
     (middle element, or the exact IEEE half-sum of the two middles) —
-    no percentile interpolation, bit-identical cross-engine. Scale:
-    one shuffle on user_id; the ±3 frame is constant-size state, so
-    the window never buffers a user's full history."""
+    no percentile interpolation, bit-identical cross-engine. A flat
+    neighborhood has MAD 0, and then ANY deviation is a spike (the
+    standard Hampel convention — a constant window makes every
+    departure anomalous; equal-to-median points stay clean because
+    0 > 0 is false). Scale: one shuffle on user_id; the ±3 frame is
+    constant-size state, so the window never buffers a user's full
+    history."""
     e = load_table(spark, sf_dir, "events")
     wf = (
         Window.partitionBy("user_id")
@@ -508,9 +511,7 @@ def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad",
         _arr_median(F.transform(F.col("nb"), lambda x: F.abs(x - F.col("med")))),
     )
-    spike = (F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad")) & (
-        F.col("mad") > 0
-    )
+    spike = F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad")
     return d.select(
         "user_id",
         "event_id",

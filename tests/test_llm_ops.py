@@ -343,3 +343,100 @@ def test_kmeans_clusters_partition_the_corpus(spark):
     for r in rows:
         dims_per_cluster[r["cluster_id"]] = dims_per_cluster.get(r["cluster_id"], 0) + 1
     assert all(v == 64 for v in dims_per_cluster.values())
+
+
+def test_arr_median_exact_odd_and_even(spark):
+    """_arr_median must be an exact order statistic: middle element for
+    odd sizes, exact IEEE half-sum of the two middles for even sizes —
+    this is what keeps window_hampel_filter bit-identical to DuckDB."""
+    from spark_hive_streaming_sink_spark.operators.windows import _arr_median
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 1.0, 2.0]), (2, [4.0, 1.0, 3.0, 2.0]), (3, [5.0])],
+        "id long, a array<double>",
+    )
+    got = {r.id: r.m for r in df.select("id", _arr_median(F.col("a")).alias("m")).collect()}
+    assert got == {1: 2.0, 2: 2.5, 3: 5.0}
+
+
+def test_hampel_replaces_planted_spike(spark, tmp_path):
+    """A single huge spike in an otherwise-flat series must be flagged
+    and replaced by the local median; flat neighbors (MAD=0) must NOT
+    be flagged."""
+    import datetime
+
+    rows = [
+        (i, 1, datetime.datetime(2024, 1, 1, 0, 0, i), 10.0 if i != 5 else 500.0)
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    out = {
+        r.event_id: r
+        for r in QUERIES["window_hampel_filter"].builder(spark, str(tmp_path)).collect()
+    }
+    assert out[5].is_spike and out[5].cleaned == 10.0
+    assert not out[4].is_spike and out[4].cleaned == 10.0
+
+
+def test_rate_limit_trailing_window_boundary(spark, tmp_path):
+    """RANGE frame is inclusive: an event exactly RATE_WINDOW_S older
+    still counts; one microsecond older falls out."""
+    import datetime
+
+    from spark_hive_streaming_sink_spark.operators.windows import (
+        RATE_LIMIT,
+        RATE_WINDOW_S,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    # one event exactly at the window edge + a burst of RATE_LIMIT+1
+    # events at base, base+1s, ..., base+RATE_LIMIT s
+    rows = [(0, 1, base - datetime.timedelta(seconds=RATE_WINDOW_S), 1.0)]
+    rows += [
+        (i + 1, 1, base + datetime.timedelta(seconds=i), 1.0)
+        for i in range(RATE_LIMIT + 1)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    out = {
+        r.event_id: r
+        for r in QUERIES["events_windowed_rate_limit"].builder(spark, str(tmp_path)).collect()
+    }
+    # event 1 (at base): the edge event is exactly RATE_WINDOW_S older
+    # and the frame is inclusive → counts itself + the edge
+    assert out[1].n_in_window == 2 and not out[1].throttled
+    # last burst event: the edge event has fallen out of its window,
+    # leaving exactly the RATE_LIMIT+1 burst events → throttled
+    assert out[RATE_LIMIT + 1].n_in_window == RATE_LIMIT + 1
+    assert out[RATE_LIMIT + 1].throttled
+
+
+def test_asof_nearest_tie_goes_prior(spark, tmp_path):
+    """A purchase equidistant between two clicks must match the PRIOR
+    one in both engines (the documented tie rule)."""
+    import datetime
+
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 7, t - datetime.timedelta(seconds=30), "click", 0.0),
+        (2, 7, t, "purchase", 0.0),
+        (3, 7, t + datetime.timedelta(seconds=30), "click", 0.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    out = QUERIES["join_asof_nearest"].builder(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].direction == "prior" and out[0].gap_us == 30_000_000
