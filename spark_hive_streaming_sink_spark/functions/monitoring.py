@@ -1,0 +1,176 @@
+"""Corpus/embedding monitoring operators — the drift-and-diversity
+dashboards a long-running ingestion pipeline watches.
+
+Registered LAST (see ``registry._load_all``): these land after the
+sources family in never-judged emission order, so queries that have
+waited longer for a driver verdict keep their budget slots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ..io import load_table, parallelize_scan
+from ..registry import register
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(
+                      list_distinct(list_transform(
+                          generate_series(1, len(toks)-2),
+                          i -> array_to_string(toks[i:i+2], ' '))),
+                      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))
+                    AS dg
+           FROM t),
+    totals AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    firsts AS (SELECT dg, MIN(doc_id) AS first_doc FROM sh GROUP BY dg),
+    novel AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+              FROM firsts GROUP BY first_doc)
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(n.n_novel, 0) AS n_novel,
+           COALESCE(n.n_novel, 0) * 1000000 // t.n_shingles AS novelty_ppm
+    FROM totals t LEFT JOIN novel n USING (doc_id)
+    """,
+    tags=("llm", "curation", "monitoring"),
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty curve: how many of a document's distinct
+    3-gram shingles appear for the FIRST time (no earlier doc_id has
+    them) — the diversity-over-ingestion-order metric that shows when
+    a crawl stops adding fresh content and starts re-collecting what
+    the corpus already has.
+
+    Scale: shingle digests explode map-side; MIN(doc_id) per digest is
+    one map-combined shuffle on the (uniform) digest; the novel-count
+    rollup aggregates the much smaller first-occurrence set; per-doc
+    totals join back on doc_id. All-integer output (ppm by integer
+    division)."""
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    from .dedup import _shingles
+
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                _shingles(F.col("text")),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+            )
+        ).alias("dg"),
+    )
+    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    firsts = sh.groupBy("dg").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_novel")
+    )
+    return (
+        totals.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.expr(
+                "CAST(coalesce(n_novel, 0) * 1000000 div n_shingles AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+@register(
+    "embed_centroid_drift",
+    oracle="""
+    WITH dims AS (
+      SELECT label, vec_id % 2 AS snap, i AS dim,
+             CAST(round(embedding[i]::DOUBLE, 6) AS DECIMAL(12,6)) AS v
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+      WHERE i <= len(embedding)),
+    cents AS (
+      SELECT label, dim,
+             CAST(SUM(CASE WHEN snap = 0 THEN v END) AS DOUBLE)
+               / COUNT(CASE WHEN snap = 0 THEN 1 END) AS ca,
+             CAST(SUM(CASE WHEN snap = 1 THEN v END) AS DOUBLE)
+               / COUNT(CASE WHEN snap = 1 THEN 1 END) AS cb,
+             COUNT(CASE WHEN snap = 0 THEN 1 END) AS na,
+             COUNT(CASE WHEN snap = 1 THEN 1 END) AS nb
+      FROM dims GROUP BY label, dim),
+    folded AS (
+      SELECT label, MIN(na) AS n_a, MIN(nb) AS n_b,
+             list_reduce(
+               list_prepend(0.0e0,
+                 list((ca - cb) * (ca - cb) ORDER BY dim)),
+               (acc, x) -> acc + x) AS ssq
+      FROM cents GROUP BY label)
+    SELECT label, n_a, n_b, round(sqrt(ssq), 6) AS centroid_l2_drift
+    FROM folded
+    """,
+    tags=("llm", "embedding", "monitoring"),
+)
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split the corpus into two
+    pseudo-snapshots (vec_id parity stands in for yesterday/today),
+    compute each label's centroid in both, and report the L2 distance
+    between them — the cheap early-warning that an embedding model or
+    upstream content mix changed.
+
+    Exactness: centroids are exact decimal means (the embed_avg_pool
+    rule: round components to 6 dp, sum as DECIMAL — order-independent
+    — divide once in double); the squared-difference sum folds in dim
+    order, so both engines run the identical IEEE sequence. Scale: the
+    two snapshots pivot inside ONE aggregate (conditional sums), so
+    the corpus scans once and shuffles once on (label, dim) — a
+    filter-per-snapshot branch pair would push the snapshot predicate
+    below the aggregate and scan the corpus twice; K·D-sized
+    everything after."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select(
+        "label",
+        "snap",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("val").cast("double"), 6).cast("decimal(12,6)").alias("v"),
+    )
+    va = F.when(F.col("snap") == 0, F.col("v"))
+    vb = F.when(F.col("snap") == 1, F.col("v"))
+    paired = dims.groupBy("label", "dim").agg(
+        (F.sum(va).cast("double") / F.count(va)).alias("ca"),
+        (F.sum(vb).cast("double") / F.count(vb)).alias("cb"),
+        F.count(va).alias("na"),
+        F.count(vb).alias("nb"),
+    )
+    ordered_sq = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("dim").alias("d"),
+                    ((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))).alias(
+                        "sq"
+                    ),
+                )
+            )
+        ),
+        lambda s: s.getField("sq"),
+    )
+    return (
+        paired.groupBy("label")
+        .agg(
+            F.min("na").alias("n_a"),
+            F.min("nb").alias("n_b"),
+            F.aggregate(ordered_sq, F.lit(0.0), lambda acc, x: acc + x).alias("ssq"),
+        )
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(F.sqrt("ssq"), 6).alias("centroid_l2_drift"),
+        )
+    )

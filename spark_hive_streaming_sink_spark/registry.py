@@ -66,11 +66,18 @@ def register(
 
 
 def _load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    ``functions.monitoring`` imports LAST, after ``sources``: rank-1
+    (never-judged) emission preserves registration order, so queries
+    that have waited longest for a driver verdict (the sources family)
+    keep their slots in the driver's finite verdict budget ahead of
+    newly added operators."""
     from . import operators  # noqa: F401
     from . import streaming  # noqa: F401
     from . import functions  # noqa: F401
     from . import sources  # noqa: F401
+    from .functions import monitoring  # noqa: F401
 
 
 def _ordered_specs() -> list[QuerySpec]:

@@ -462,3 +462,26 @@ def test_rate_limit_single_shuffle(spark):
     df = _df(spark, "events_windowed_rate_limit")
     assert count_nodes(df, "Exchange") == 1
     assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_ngram_novelty_no_cartesian_single_digest_shuffle(spark):
+    """Novelty: min-doc-per-digest is the only corpus-sized shuffle;
+    the join back is doc_id-keyed, never a cross product."""
+    df = _df(spark, "corpus_ngram_novelty")
+    assert count_nodes(df, "CartesianProduct") == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_centroid_drift_kd_sized_after_explode(spark):
+    """Drift: after the (label, snap, dim) aggregate everything is
+    K·D-sized — the pair join and fold must not touch the corpus
+    again (exactly one embeddings scan in the plan)."""
+    df = _df(spark, "embed_centroid_drift")
+    plan = formatted_plan(df)
+    scans = sum(
+        1
+        for line in plan.splitlines()
+        if "Location" in line and "embeddings.parquet" in line
+    )
+    assert scans == 1, plan
