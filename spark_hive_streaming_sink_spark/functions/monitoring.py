@@ -87,10 +87,12 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_centroid_drift",
     oracle="""
     WITH dims AS (
-      SELECT label, vec_id % 2 AS snap, i AS dim,
-             CAST(round(embedding[i]::DOUBLE, 6) AS DECIMAL(12,6)) AS v
-      FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
-      WHERE i <= len(embedding)),
+      SELECT label, snap, i AS dim,
+             CAST(round(val::DOUBLE, 6) AS DECIMAL(12,6)) AS v
+      FROM (SELECT label, vec_id % 2 AS snap,
+                   unnest(generate_series(1, len(embedding))) AS i,
+                   unnest(embedding) AS val
+            FROM embeddings)),
     cents AS (
       SELECT label, dim,
              CAST(SUM(CASE WHEN snap = 0 THEN v END) AS DOUBLE)

@@ -457,7 +457,8 @@ _SQL_ARR_MEDIAN = """
     oracle=f"""
     WITH w AS (
       SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
-             list(CAST(value AS DOUBLE)) OVER (
+             list(CAST(value AS DOUBLE))
+               FILTER (WHERE value IS NOT NULL) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nb
       FROM events),
@@ -490,9 +491,13 @@ def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood has MAD 0, and then ANY deviation is a spike (the
     standard Hampel convention — a constant window makes every
     departure anomalous; equal-to-median points stay clean because
-    0 > 0 is false). Scale: one shuffle on user_id; the ±3 frame is
-    constant-size state, so the window never buffers a user's full
-    history."""
+    0 > 0 is false). Null handling is explicit on both sides: Spark's
+    collect_list drops NULL values, so the oracle's list() carries
+    FILTER (WHERE value IS NOT NULL) — a NULL reading shrinks its
+    neighbors' windows instead of poisoning their medians, and its own
+    row keeps v/is_spike/cleaned NULL in both engines. Scale: one
+    shuffle on user_id; the ±3 frame is constant-size state, so the
+    window never buffers a user's full history."""
     e = load_table(spark, sf_dir, "events")
     wf = (
         Window.partitionBy("user_id")
