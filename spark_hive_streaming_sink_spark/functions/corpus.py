@@ -224,14 +224,19 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     and score each eval doc by the fraction of its distinct 5-grams that
     appear anywhere in training.
 
-    Scale: shingles are md5 digests (uniform keys), the train side is
-    map-side-distinct before its single shuffle, and the probe is one
-    hash join digest-to-digest — never text-to-text. At 100 TB the
-    train-distinct relation is the big side and the eval probe set is
-    comparatively tiny, so AQE broadcasts the probe. parallelize_scan
-    spreads the md5-per-shingle map work — the op's dominant cost —
-    across cores on single-row-group fixture files (no-op cost on a
-    real multi-file corpus)."""
+    Scale: shingles are md5 digests (uniform keys), and the join is
+    digest-to-digest — never text-to-text. The plan is shaped so the
+    100 TB train side NEVER shuffles: the (tiny) eval probe set is
+    explicitly broadcast and raw train shingle occurrences stream
+    map-side through the broadcast hash join — no train-side distinct,
+    no train-side exchange. Only the matched (eval doc, shingle) pairs
+    — bounded by the eval set, not the corpus — reach a shuffle, where
+    a partial-aggregating distinct collapses multiple train occurrences
+    of the same shingle before the per-doc count. Per-doc totals come
+    from size(shingles), join-free. parallelize_scan spreads the
+    md5-per-shingle map work — the op's dominant cost — across cores
+    on single-row-group fixture files (and is a no-op on a real
+    multi-split corpus)."""
     from ..io import parallelize_scan
 
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
@@ -245,18 +250,23 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingles"),
     ).filter(F.size(tk) >= NGRAM)
-    train = (
-        sh.filter(F.col("doc_id") % EVAL_MOD != 0)
-        .select(F.explode("shingles").alias("h"))
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    train_occ = sh.filter(~is_eval).select(F.explode("shingles").alias("h"))
+    ev = sh.filter(is_eval).select("doc_id", F.explode("shingles").alias("h"))
+    totals = sh.filter(is_eval).select(
+        "doc_id", F.size("shingles").cast("bigint").alias("n_shingles")
+    )
+    hits = (
+        train_occ.join(F.broadcast(ev), "h", "inner")
+        .select("doc_id", "h")
         .distinct()
-    )
-    ev = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select(
-        "doc_id", F.explode("shingles").alias("h")
-    )
-    m = (
-        ev.join(train.withColumn("hit", F.lit(1)), "h", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shingles"), F.count("hit").alias("n_matched"))
+        .agg(F.count("*").alias("n_matched"))
+    )
+    m = totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_matched"), F.lit(0).cast("bigint")).alias("n_matched"),
     )
     return m.select(
         "doc_id",

@@ -69,19 +69,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def parallelize_scan(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Spread a small-but-compute-heavy input across the cluster.
+    """Spread a small-but-compute-heavy input across the cluster —
+    only when the scan is actually under-split.
 
     The fixture tables are single-row-group parquet files, which caps
     the scan at one task no matter how many cores exist — so per-row
     CPU-heavy operators (minhash shingling, simhash, per-doc hashing)
-    would serialize. This explicit repartition moves only the raw input
-    rows (cheap) to unlock full parallelism for the expensive map work.
-    On a real cluster the corpus arrives as many files/row groups and
-    this becomes a no-op-cost round-robin; never use it in front of
-    plain scans/aggregations where Catalyst's split planning is enough.
+    would serialize. For those, an explicit repartition moves the raw
+    input rows once to unlock full parallelism for the expensive map
+    work.
+
+    A ``repartition`` is NEVER free — it is a full exchange of the raw
+    input, which at corpus scale means shuffling the whole dataset
+    before any map work. On a real cluster the corpus arrives as many
+    files/row groups and Catalyst's split planning already yields one
+    task per split, so this helper checks the scan's actual partition
+    count first and returns the input UNCHANGED when it already meets
+    the target parallelism — the shuffle exists only in the
+    single-file-fixture regime that needs it. Never use it in front of
+    plain scans/aggregations where split planning is enough.
     """
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= partitions:
+        return df
     return df.repartition(partitions)
 
 

@@ -215,16 +215,13 @@ def test_snapshot_diff_is_shuffle_join_not_broadcast(spark):
 
 
 def test_contamination_probe_is_hash_join(spark):
-    """Digest-to-digest probe: hash/sort-merge join on md5 keys, never
-    a cartesian; shingle generation is codegen'd array work."""
+    """Digest-to-digest probe with the eval set broadcast: the corpus-
+    sized train occurrence stream must flow through a BroadcastHashJoin
+    (train never shuffles for the probe), never a cartesian; shingle
+    generation is codegen'd array work."""
     df = _df(spark, "contamination_ngram_overlap")
     assert count_nodes(df, "CartesianProduct") == 0
-    assert (
-        count_nodes(df, "BroadcastHashJoin")
-        + count_nodes(df, "SortMergeJoin")
-        + count_nodes(df, "ShuffledHashJoin")
-        >= 1
-    )
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -485,3 +482,30 @@ def test_centroid_drift_kd_sized_after_explode(spark):
         if "Location" in line and "embeddings.parquet" in line
     )
     assert scans == 1, plan
+
+
+def test_parallelize_scan_skips_multi_split_input(spark, tmp_path):
+    """parallelize_scan exists for single-row-group fixture files; on a
+    real multi-split corpus it must NOT insert an Exchange — an
+    unconditional repartition would shuffle the whole 100 TB input
+    before any map work."""
+    from spark_hive_streaming_sink_spark.io import load_table, parallelize_scan
+
+    d = load_table(spark, SF_DIR, "documents")
+
+    # single-file fixture: under-split, helper must still repartition
+    widened = parallelize_scan(d)
+    assert (
+        widened.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+    # multi-split input already at/above target: unchanged, no Exchange
+    many = str(tmp_path / "many")
+    d.limit(200).repartition(8).write.parquet(many)
+    m = spark.read.parquet(many)
+    splits = m.rdd.getNumPartitions()
+    assert splits >= 4, f"fixture setup under-split: {splits}"
+    out = parallelize_scan(m, partitions=4)
+    assert out is m
+    assert count_nodes(out, "Exchange") == 0
