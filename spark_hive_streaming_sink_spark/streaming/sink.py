@@ -299,6 +299,21 @@ def write_stream_to_table(
                                   trigger={"availableNow": True})
         q.awaitTermination()
     """
+    if trigger and "continuous" in trigger:
+        # RateStreamingExample.scala:81 advertises Trigger.Continuous;
+        # this engine is micro-batch BY DESIGN (permanent decision, see
+        # README "Continuous trigger (B6)"): foreachBatch is
+        # incompatible with continuous mode by Spark's API contract,
+        # and continuous processing supports no Python Data Source or
+        # file sinks. Refuse loudly rather than let Spark fail with an
+        # unrelated planner error.
+        raise HiveStreamingSinkError(
+            "continuous trigger is not supported: the exactly-once sink "
+            "commits whole micro-batches via foreachBatch. Use "
+            "trigger={'processingTime': '<interval>'} for low latency — "
+            "epoch semantics here are stronger than the reference's "
+            "no-op continuous commit (at-least-once)"
+        )
     opts = HiveSinkOptions.from_options(options)
     spark = df.sparkSession
     part_cols = validate_destination(spark, df.columns, opts, output_mode)

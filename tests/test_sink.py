@@ -425,3 +425,135 @@ def test_shared_ledger_dir_no_cross_query_collision(spark, tmp_path):
         counts[table] = spark.table(table).count()
         spark.sql(f"DROP TABLE {table}")
     assert counts == {"ledger_iso_a": expected, "ledger_iso_b": expected}
+
+
+class _FaultInjectedLedger(BatchCommitLedger):
+    """Ledger that simulates a crash around the marker write — once.
+
+    ``crash="before"`` dies between the insert's job commit and the
+    marker write (the documented at-least-once window,
+    streaming/sink.py:183-191); ``crash="after"`` dies once the marker
+    is durable but before foreachBatch returns (so Spark's commit log
+    never records the batch either).
+    """
+
+    def __init__(self, ledger_dir: str, crash: str):
+        super().__init__(ledger_dir)
+        self.crash = crash
+        self.tripped = False
+
+    def record(self, batch_id: int) -> None:
+        if self.crash == "before" and not self.tripped:
+            self.tripped = True
+            raise RuntimeError("injected crash before ledger marker")
+        super().record(batch_id)
+        if self.crash == "after" and not self.tripped:
+            self.tripped = True
+            raise RuntimeError("injected crash after ledger marker")
+
+
+def _run_events_stream(spark, table, ckpt, ledger):
+    opts = HiveSinkOptions(db="default", table=table)
+    part_cols = validate_destination(
+        spark, ["event_id", "user_id", "value", "event_type"], opts
+    )
+    ev = stream_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    q = (
+        ev.writeStream.foreachBatch(make_batch_writer(opts, part_cols, ledger, []))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark.catalog.refreshTable(table)
+    return spark.table(table).count()
+
+
+def test_crash_between_job_commit_and_marker_is_at_least_once(spark, tmp_path):
+    """The documented crash window (streaming/sink.py:183-191) must
+    behave exactly as documented: a crash AFTER the insert's job commit
+    but BEFORE the ledger marker replays that one batch as a duplicate
+    append on restart (at-least-once fallback), and the stated recovery
+    guidance — dedup on the natural key — restores exactly-once
+    contents."""
+    from pyspark.errors import StreamingQueryException
+
+    table, _ = _mk_table(spark)
+    ledger_dir = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+
+    with pytest.raises(StreamingQueryException, match="before ledger marker"):
+        _run_events_stream(
+            spark, table, ckpt, _FaultInjectedLedger(ledger_dir, crash="before")
+        )
+    spark.catalog.refreshTable(table)
+    # the insert's job commit already landed; the marker did not
+    assert spark.table(table).count() == expected
+    assert not BatchCommitLedger(ledger_dir).committed(0)
+
+    # restart from the same checkpoint: Spark replays the uncommitted
+    # batch, the ledger has no marker -> duplicate append
+    total = _run_events_stream(
+        spark, table, ckpt, BatchCommitLedger(ledger_dir)
+    )
+    assert total > expected, "replay inside the window must duplicate (at-least-once)"
+    # the documented dedup-on-replay guidance recovers exactly-once
+    assert spark.table(table).dropDuplicates(["event_id"]).count() == expected
+    # window is one batch wide: marker now durable, a further restart
+    # from a fresh checkpoint adds nothing
+    assert BatchCommitLedger(ledger_dir).committed(0)
+    assert (
+        _run_events_stream(
+            spark, table, str(tmp_path / "ckpt2"), BatchCommitLedger(ledger_dir)
+        )
+        == total
+    )
+
+
+def test_crash_after_marker_replays_exactly_once(spark, tmp_path):
+    """Other side of the window: once the marker is durable, a crash
+    before Spark records the batch in its commit log replays the batch
+    on restart but the ledger skips it — no duplicates, exactly-once."""
+    from pyspark.errors import StreamingQueryException
+
+    table, _ = _mk_table(spark)
+    ledger_dir = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+
+    with pytest.raises(StreamingQueryException, match="after ledger marker"):
+        _run_events_stream(
+            spark, table, ckpt, _FaultInjectedLedger(ledger_dir, crash="after")
+        )
+    spark.catalog.refreshTable(table)
+    assert spark.table(table).count() == expected
+    assert BatchCommitLedger(ledger_dir).committed(0)
+
+    # restart: batch replays (commit log never recorded it) but the
+    # ledger marker skips the re-insert
+    assert (
+        _run_events_stream(spark, table, ckpt, BatchCommitLedger(ledger_dir))
+        == expected
+    )
+
+
+def test_continuous_trigger_rejected_with_guidance(spark, tmp_path):
+    """B6 closure (permanent): continuous mode is incompatible with the
+    foreachBatch exactly-once design — the sink must refuse it loudly
+    with the processingTime pointer, not fall through to an unrelated
+    Spark planner error."""
+    table, _ = _mk_table(spark)
+    ev = stream_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    with pytest.raises(HiveStreamingSinkError, match="processingTime"):
+        write_stream_to_table(
+            ev,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            db="default",
+            table=table,
+            trigger={"continuous": "3 seconds"},
+        )
