@@ -658,8 +658,12 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one explode + one vocab aggregate + one token-keyed join.
     The join key is Zipf-skewed ("the" dominates); at 100 TB either
     AQE skew-join handles it or the vocab relation (≪ corpus,
-    ~10⁷ rows) broadcasts — both knobs are config, not plan changes."""
-    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    ~10⁷ rows) broadcasts — both knobs are config, not plan changes.
+    No parallelize_scan here: tokenize/explode is light map work and
+    the vocab aggregate's own exchange distributes everything heavy,
+    so a pre-shuffle of the raw text only added cost (isolated r6
+    timing: 0.97 s without vs 1.23 s with)."""
+    d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
     )
@@ -796,4 +800,88 @@ def text_bigram_conditional_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 3)
         .drop("rn")
+    )
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    v AS (
+      SELECT COUNT(DISTINCT w) AS vocab
+      FROM (SELECT unnest(toks) AS w FROM t)),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      FROM t CROSS JOIN unnest(generate_series(1, len(toks)-1)) AS u(i)),
+    cnt AS (
+      SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+    tot AS (
+      SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM cnt GROUP BY w1),
+    sc AS (
+      SELECT bg.doc_id,
+             CAST(round(ln((cnt.n12 + 1) / CAST(tot.n1 + v.vocab AS DOUBLE))
+                        * 1000000, 0) AS BIGINT) AS unats
+      FROM bg JOIN cnt USING (w1, w2) JOIN tot USING (w1) CROSS JOIN v)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(-SUM(unats) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_surprisal
+    FROM sc GROUP BY doc_id
+    """,
+    tags=("llm", "text", "lm"),
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM surprisal with add-one smoothing — the
+    second-order upgrade of text_unigram_surprisal: score each document
+    by −mean ln P(w2|w1), P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V). Documents
+    whose word TRANSITIONS are corpus-rare score high even when every
+    individual word is common — the signal that catches shuffled/
+    machine-garbled text a unigram filter passes.
+
+    Determinism: per-occurrence surprisal rounds to integer micro-nats
+    before the per-doc sum (merge-order independent), mirroring the
+    unigram query's contract.
+
+    Scale: bigram pairs explode map-side; the (w1,w2) model table and
+    its per-w1 totals aggregate with map-side combine; the scoring
+    join is occurrence-to-model on Zipf-skewed keys — the model
+    relation (≪ corpus) broadcasts at moderate vocabularies or AQE
+    skew-splits the shuffle, both config-level. The vocab size V is a
+    1-row aggregate, broadcast for free."""
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.col("text")), " ")
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    vocab = d.select(F.explode(toks).alias("w")).agg(
+        F.count_distinct("w").alias("vocab")
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    tot = cnt.groupBy("w1").agg(F.sum("n12").cast("bigint").alias("n1"))
+    model = cnt.join(tot, "w1").crossJoin(F.broadcast(vocab))
+    scored = bg.join(model, ["w1", "w2"]).select(
+        "doc_id",
+        F.round(
+            F.log(
+                (F.col("n12") + 1).cast("double")
+                / (F.col("n1") + F.col("vocab")).cast("double")
+            )
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("unats"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        ((-F.sum("unats")).cast("double") / 1000000.0 / F.count("*")).alias(
+            "avg_surprisal"
+        ),
     )

@@ -733,3 +733,83 @@ def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+N_DEPTH_BUCKETS = 8
+
+
+@register(
+    "agg_histogram_equidepth",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_extendedprice AS v,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                l_linenumber) AS rk,
+             COUNT(*) OVER () AS n
+      FROM lineitem)
+    SELECT CAST((rk - 1) * {N_DEPTH_BUCKETS} // n AS BIGINT) AS bucket,
+           COUNT(*) AS cnt,
+           MIN(v) AS lo,
+           MAX(v) AS hi
+    FROM ranked GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (equal-frequency) histogram of l_extendedprice —
+    the boundary source for range-bucketed layouts and skew-aware
+    partitioning, where equi-WIDTH buckets (agg_histogram_bucket) are
+    useless on heavy-tailed values.
+
+    Scale: an exact global rank WITHOUT a single-partition sort — the
+    naive ``row_number() OVER (ORDER BY v)`` collapses 100 TB into one
+    task. Instead: range-repartition on the (deterministically
+    tie-broken) sort key, take per-partition row_numbers, and add each
+    partition's start offset computed from the per-partition counts —
+    a K-row relation (K = shuffle partitions) that cumulates in one
+    tiny window and broadcasts back. Rank values are independent of
+    the sampled range boundaries, so the result is exact and
+    deterministic while every stage stays distributed. Bucket id is
+    floor((rank-1)·B/N) in pure integer math — identical in both
+    engines (the oracle's global window is fine at DuckDB's scale)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    key = [F.col("v"), F.col("l_orderkey"), F.col("l_linenumber")]
+    parts = li.repartitionByRange(*key).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wp = Window.partitionBy("pid").orderBy(*key)
+    local = parts.withColumn("lrn", F.row_number().over(wp))
+    pc = parts.groupBy("pid").agg(F.count("*").alias("pn"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = pc.select(
+        "pid",
+        F.coalesce(F.sum("pn").over(wo), F.lit(0)).alias("offset"),
+        F.sum("pn").over(
+            Window.orderBy("pid").rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "v",
+        (F.col("lrn") + F.col("offset")).alias("rk"),
+        "n",
+    )
+    return (
+        ranked.select(
+            ((F.col("rk") - 1) * N_DEPTH_BUCKETS / F.col("n"))
+            .cast("bigint")
+            .alias("bucket"),
+            "v",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )

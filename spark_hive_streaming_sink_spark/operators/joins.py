@@ -494,3 +494,49 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("direction"),
         )
     )
+
+
+@register(
+    "join_runtime_bloom_pruned",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "runtime-filter"),
+)
+def join_runtime_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join where a selective predicate sits on ONE side:
+    the 100 TB plan must not shuffle the unfiltered lineitem side in
+    full — Spark's runtime bloom filter (InjectRuntimeFilter) builds a
+    bloom over the filtered orders keys and applies might_contain at
+    the lineitem scan, pruning ~80% of the shuffle input before it
+    moves.
+
+    The plan is deliberately hint-free so it adapts across scales:
+    at fixture scale the filtered orders side is broadcastable and
+    Catalyst picks a straight BroadcastHashJoin (injection is
+    correctly skipped — a bloom adds nothing a broadcast hash probe
+    doesn't already do); at 100 TB the filtered side exceeds the
+    broadcast threshold, the join becomes shuffle-based, and
+    InjectRuntimeFilter blooms the lineitem scan with default confs
+    (the 10 GB applicationSideScanSizeThreshold passes naturally).
+    tests/test_plans.py pins the might_contain marker by simulating
+    the at-scale regime (broadcast disabled, scan threshold zeroed)
+    in a scoped conf block."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        )
+    )

@@ -214,15 +214,23 @@ def test_snapshot_diff_is_shuffle_join_not_broadcast(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_contamination_probe_is_hash_join(spark):
-    """Digest-to-digest probe with the eval set broadcast: the corpus-
-    sized train occurrence stream must flow through a BroadcastHashJoin
-    (train never shuffles for the probe), never a cartesian; shingle
+def test_contamination_probe_is_semi_shuffle_join(spark):
+    """Digest-to-digest probe: both sides scale with the corpus (the
+    pseudo-holdout is ~6% of it), so the probe must be a SHUFFLE
+    left-semi join on the digest — never a broadcast of a scaling
+    side, never a cartesian — with the train side deduped by a
+    partial-aggregating distinct before its exchange; shingle
     generation is codegen'd array work."""
     df = _df(spark, "contamination_ngram_overlap")
     assert count_nodes(df, "CartesianProduct") == 0
-    assert count_nodes(df, "BroadcastHashJoin") >= 1
     plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    # two-stage distinct on the train side: partial dedup before the
+    # digest exchange (the map-side combine the 100 TB shuffle needs)
+    assert count_nodes(df, "HashAggregate") >= 2
+    # the probe join itself is planner-adaptive (broadcast of the
+    # post-distinct train set at fixture scale, SMJ at corpus scale);
+    # the no-static-broadcast audit guards the scaling-side hint case
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -509,3 +517,47 @@ def test_parallelize_scan_skips_multi_split_input(spark, tmp_path):
     out = parallelize_scan(m, partitions=4)
     assert out is m
     assert count_nodes(out, "Exchange") == 0
+
+
+def test_runtime_bloom_filter_prunes_probe_scan(spark):
+    """Both regimes of join_runtime_bloom_pruned: at fixture scale the
+    filtered orders side broadcasts (bloom correctly skipped); in the
+    at-scale regime (broadcast off, scan threshold zeroed — what a
+    100 TB run hits with default confs) the selective predicate must
+    reach the lineitem side as a runtime bloom filter (might_contain)
+    so the unfiltered side is pruned before its shuffle."""
+    df = _df(spark, "join_runtime_bloom_pruned")
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+
+    conf = spark.conf
+    saved_abj = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    thresh_key = (
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    saved_thresh = conf.get(thresh_key)
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(thresh_key, "0")
+        at_scale = _df(spark, "join_runtime_bloom_pruned")
+        plan = formatted_plan(at_scale)
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert (
+            count_nodes(at_scale, "SortMergeJoin")
+            + count_nodes(at_scale, "ShuffledHashJoin")
+            >= 1
+        )
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved_abj)
+        conf.set(thresh_key, saved_thresh)
+
+
+def test_equidepth_histogram_rank_is_distributed(spark):
+    """Exact global rank must ride a range repartition + per-partition
+    row_number — never a single-partition window over the full table.
+    The only SinglePartition exchange allowed is the K-row offsets
+    relation (K = shuffle partitions), which then broadcasts back."""
+    df = _df(spark, "agg_histogram_equidepth")
+    plan = formatted_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    assert plan.lower().count("exchange singlepartition") <= 1
+    assert count_nodes(df, "BroadcastHashJoin") >= 1  # offsets join
