@@ -9,19 +9,19 @@ total are reported.
 
 Modes
 -----
-default (round-robin): after a full warm-up pass at sf0.001, the whole
-  headline suite is timed in TWO separate passes and each query scores
-  the MIN across passes (plus a tie-break third run where the passes
-  disagree >1.5x). Round 4 proved back-to-back repeats of one query
-  share transient JVM state (C2 compiler queue, GC phase, page cache):
-  identical code moved 0.44x-3.6x per query between rounds. Two
-  decorrelated passes bound that — a query only scores slow if it was
-  slow in BOTH passes, minutes apart with different co-resident work.
+default (--isolate): each query runs in its own subprocess (fresh JVM,
+  own warm-up, 2 timed runs, min). Slower (~full JVM spin-up per
+  query) but removes every cross-query effect — rounds 4-5 proved the
+  shared-JVM numbers swing 0.44x-3.6x per query on identical code
+  (C2 compiler queue, GC phase, page cache), which repeatedly burned
+  adjudication time on phantom regressions. Isolation is the default
+  since round 6 so the recorded per-round numbers are comparable.
 
---isolate: each query runs in its own subprocess (fresh JVM, own
-  warm-up, 2 timed runs, min). Slow (~full JVM spin-up per query) but
-  removes every cross-query effect; use it to adjudicate any per-query
-  regression the default mode reports before acting on it.
+--roundrobin: the old shared-JVM mode — one session, a full warm-up
+  pass at sf0.001, then two decorrelated timed passes over the suite
+  with per-query min (tie-break third run where passes disagree
+  >1.5x). ~5x faster wall-clock; use for quick local iteration, never
+  for cross-round comparisons.
 """
 
 from __future__ import annotations
@@ -73,6 +73,9 @@ HEADLINE = [
     "window_session_dynamic_gap",
     "corpus_cross_source_overlap",
     "text_bigram_conditional_topk",
+    "join_runtime_bloom_pruned",
+    "agg_histogram_equidepth",
+    "text_bigram_surprisal",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"
@@ -82,7 +85,7 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _run_shared(sf_dir: str, cpus: str) -> dict[str, float]:
+def _run_shared(sf_dir: str, cpus: str, names: list[str]) -> dict[str, float]:
     """Round-robin mode: warm-up pass, then two decorrelated timed
     passes over the whole suite; per-query min, tie-break third run."""
     from spark_hive_streaming_sink_spark.registry import queries
@@ -91,19 +94,19 @@ def _run_shared(sf_dir: str, cpus: str) -> dict[str, float]:
     spark = get_spark("bench", cpus=cpus)
     qs = queries()
 
-    for name in HEADLINE:
+    for name in names:
         try:
             _noop(qs[name](spark, WARM_DIR))
         except Exception:
             pass
 
-    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    runs: dict[str, list[float]] = {name: [] for name in names}
     for _pass in range(2):
-        for name in HEADLINE:
+        for name in names:
             t0 = time.time()
             _noop(qs[name](spark, sf_dir))
             runs[name].append(time.time() - t0)
-    for name in HEADLINE:
+    for name in names:
         r = runs[name]
         if max(r) > 1.5 * min(r) or min(r) > 3.0:
             t0 = time.time()
@@ -163,16 +166,30 @@ def main() -> None:
     argv = sys.argv[1:]
 
     if argv[:1] == ["--one"]:
+        if len(argv) < 2:
+            sys.exit("usage: bench.py --one <query-name>")
+        from spark_hive_streaming_sink_spark.registry import queries
+
+        if argv[1] not in queries():
+            sys.exit(
+                f"unknown query {argv[1]!r}; see registry.queries() "
+                "for the registered names"
+            )
         _run_one_isolated(argv[1], sf_dir, cpus)
         return
 
-    isolate = "--isolate" in argv
+    isolate = "--roundrobin" not in argv
     names = [a for a in argv if not a.startswith("--")] or HEADLINE
+    from spark_hive_streaming_sink_spark.registry import queries
+
+    unknown = [n for n in names if n not in queries()]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}; see registry.queries()")
     if isolate:
         timings = _run_isolated(sf_dir, cpus, names)
         mode = "isolate"
     else:
-        timings = _run_shared(sf_dir, cpus)
+        timings = _run_shared(sf_dir, cpus, names)
         mode = "roundrobin"
 
     total = round(sum(t for t in timings.values() if t == t), 3)

@@ -77,6 +77,18 @@ HEADLINE = [
     "events_ohlc_resample",
     "join_interval_overlap",
     "multimodal_audio_features",
+    # round-5 additions (first stress-covered in round 6)
+    "window_hampel_filter",
+    "events_windowed_rate_limit",
+    "window_time_weighted_avg",
+    "text_bigram_conditional_topk",
+    "corpus_cross_source_overlap",
+    "corpus_ngram_novelty",
+    "embed_centroid_drift",
+    # round-6 additions
+    "join_runtime_bloom_pruned",
+    "agg_histogram_equidepth",
+    "text_bigram_surprisal",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
