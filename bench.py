@@ -76,6 +76,8 @@ HEADLINE = [
     "join_runtime_bloom_pruned",
     "agg_histogram_equidepth",
     "text_bigram_surprisal",
+    "dedup_chunks_reconstruct",
+    "multimodal_image_ahash",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -875,3 +875,73 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("adev", 6).alias("abs_dev"),
         (F.col("adev") > 3 * F.col("mad")).alias("is_outlier"),
     )
+
+
+@register(
+    "corpus_stratified_hash_sample",
+    oracle="""
+    WITH cnt AS (
+      SELECT source, COUNT(*) AS n_docs
+      FROM documents GROUP BY source),
+    floor_n AS (
+      SELECT MIN(n_docs) AS min_docs FROM cnt),
+    rates AS (
+      SELECT source, n_docs,
+             LEAST(1000000, min_docs * 1000000 // n_docs) AS rate_ppm
+      FROM cnt CROSS JOIN floor_n),
+    sampled AS (
+      SELECT d.source
+      FROM documents d JOIN rates r USING (source)
+      WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 1000000 < r.rate_ppm)
+    SELECT r.source, r.n_docs, r.rate_ppm,
+           COALESCE(s.n_sampled, 0) AS n_sampled
+    FROM rates r
+    LEFT JOIN (SELECT source, COUNT(*) AS n_sampled
+               FROM sampled GROUP BY source) s USING (source)
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def corpus_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling to a balanced source mix —
+    the standard way a pre-training pipeline rebalances over-crawled
+    sources: every source gets a keep-rate of min_source_count/its
+    count (in exact integer ppm), and a document survives iff
+    md5(doc_id) mod 1e6 falls under its source's rate. Hash-gating
+    (vs ORDER BY rank caps, corpus_source_cap) keeps selection stable
+    under corpus growth: adding documents never flips earlier keep
+    decisions, so incremental re-runs only touch new docs.
+
+    Scale: one small per-source count aggregate; the rate table is
+    source-cardinality and broadcasts; the sample pass is a map-side
+    filter over the corpus scan (hash + compare, no shuffle of
+    documents); the final per-source rollup aggregates the kept set.
+    Everything integer-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    floor_n = cnt.agg(F.min("n_docs").alias("min_docs"))
+    rates = cnt.crossJoin(F.broadcast(floor_n)).select(
+        "source",
+        "n_docs",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.expr("min_docs * 1000000 div n_docs"),
+        ).alias("rate_ppm"),
+    )
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 1000000
+    )
+    sampled = (
+        d.join(F.broadcast(rates), "source")
+        .filter(gate < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return rates.join(sampled, "source", "left").select(
+        "source",
+        "n_docs",
+        "rate_ppm",
+        F.coalesce("n_sampled", F.lit(0).cast("bigint")).alias("n_sampled"),
+    )

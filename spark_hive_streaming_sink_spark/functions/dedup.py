@@ -497,3 +497,115 @@ def dedup_incremental_against_index(spark: SparkSession, sf_dir: str) -> DataFra
     return incoming.join(index_hashes, "h", "left").select(
         "doc_id", "lang", F.col("hit").isNotNull().alias("is_duplicate")
     )
+
+
+CHUNK_TOKENS = 10  # pseudo-sentence size for chunk-level dedup
+
+
+@register(
+    "dedup_chunks_reconstruct",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    ch AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(
+               toks[(i * {CHUNK_TOKENS} + 1):(i * {CHUNK_TOKENS} + {CHUNK_TOKENS})],
+               ' ') AS chunk
+      FROM t CROSS JOIN
+           unnest(generate_series(0,
+               CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT) - 1)) AS u(i)),
+    ranked AS (
+      SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, idx) AS rn
+      FROM ch),
+    kept AS (
+      SELECT doc_id, idx, chunk FROM ranked WHERE rn = 1),
+    tot AS (
+      SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id),
+    re AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             md5(string_agg(chunk, ' ' ORDER BY idx)) AS kept_fingerprint
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, t.n_chunks,
+           COALESCE(re.n_kept, 0) AS n_kept,
+           (t.n_chunks - COALESCE(re.n_kept, 0)) * 1000000 // t.n_chunks
+             AS dropped_ppm,
+           re.kept_fingerprint
+    FROM tot t LEFT JOIN re USING (doc_id)
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def dedup_chunks_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level (line-level) dedup with document reconstruction —
+    the CCNet/RefinedWeb-style pass that removes repeated boilerplate
+    SEGMENTS (headers, footers, licence blocks) while keeping the rest
+    of the document: split each doc into 10-token pseudo-sentences,
+    keep only each chunk's FIRST occurrence corpus-wide ((doc_id, idx)
+    order), and reassemble the survivors in position order. Exact-doc
+    and window dedup either drop whole documents or only flag them;
+    this one rewrites their text.
+
+    Output is (doc_id, n_chunks, n_kept, dropped_ppm, fingerprint of
+    the reconstructed text) — the fingerprint keeps the driver payload
+    small while pinning the exact reassembled bytes.
+
+    Scale: chunks explode map-side; ONE corpus-sized shuffle on the
+    (uniform) chunk digest for the first-occurrence window (constant
+    per-group state via row_number over a bounded frame); the
+    reassembly groupBy rides the doc_id key and the totals join is
+    doc-cardinality. No all-pairs anything; a doc whose every chunk is
+    boilerplate survives as a row with n_kept=0 and NULL fingerprint
+    in both engines. parallelize_scan spreads the chunk/md5 map work
+    on single-row-group fixtures (no-op on a real multi-split
+    corpus)."""
+    from pyspark.sql import Window
+
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_chunks_col = F.ceil(F.size(toks) / F.lit(float(CHUNK_TOKENS))).cast("bigint")
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks_col - 1).cast("int")),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("idx"),
+                    F.concat_ws(
+                        " ", F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.idx", "c.chunk")
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "idx")
+    kept = (
+        ch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    tot = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    re = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "chunk"))
+                    ),
+                    lambda s: s.getField("chunk"),
+                ),
+                " ",
+            )
+        ).alias("kept_fingerprint"),
+    )
+    return tot.join(re, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        F.expr(
+            "CAST((n_chunks - coalesce(n_kept, 0)) * 1000000 div n_chunks AS BIGINT)"
+        ).alias("dropped_ppm"),
+        "kept_fingerprint",
+    )

@@ -561,3 +561,37 @@ def test_equidepth_histogram_rank_is_distributed(spark):
     assert "rangepartitioning" in plan.lower()
     assert plan.lower().count("exchange singlepartition") <= 1
     assert count_nodes(df, "BroadcastHashJoin") >= 1  # offsets join
+
+
+def test_chunk_dedup_single_digest_shuffle_no_python(spark):
+    """Chunk-level dedup: chunks explode map-side, first-occurrence
+    selection shuffles once on the uniform chunk digest, reassembly
+    rides doc_id — never a cartesian, never Python."""
+    df = _df(spark, "dedup_chunks_reconstruct")
+    assert count_nodes(df, "CartesianProduct") == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_is_map_side_gate(spark):
+    """The sampler must broadcast the source-cardinality rate table and
+    filter the corpus scan map-side: no shuffle of documents for the
+    sampling decision (the only corpus-sized aggregate is the
+    per-source count)."""
+    df = _df(spark, "corpus_stratified_hash_sample")
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "CartesianProduct") == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_image_ahash_broadcast_bucket_join(spark):
+    """aHash dedup: the ≤16-row bucket table must broadcast (the corpus
+    never shuffles for the dedup decision), and the documented
+    two-branch shape runs the decode kernel exactly twice — a third
+    Python stage or a corpus shuffle on the skewed 16-key ahash column
+    is a regression."""
+    df = _df(spark, "multimodal_image_ahash")
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "MapInPandas") == 2

@@ -89,6 +89,9 @@ HEADLINE = [
     "join_runtime_bloom_pruned",
     "agg_histogram_equidepth",
     "text_bigram_surprisal",
+    "dedup_chunks_reconstruct",
+    "corpus_stratified_hash_sample",
+    "multimodal_image_ahash",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
