@@ -753,7 +753,7 @@ N_DEPTH_BUCKETS = 8
            MAX(v) AS hi
     FROM ranked GROUP BY 1
     """,
-    tags=("agg", "histogram"),
+    tags=("aggregate", "histogram"),
 )
 def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact equi-depth (equal-frequency) histogram of l_extendedprice —
