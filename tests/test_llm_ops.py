@@ -440,3 +440,115 @@ def test_asof_nearest_tie_goes_prior(spark, tmp_path):
     out = QUERIES["join_asof_nearest"].builder(spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert out[0].direction == "prior" and out[0].gap_us == 30_000_000
+
+
+def test_equidepth_buckets_balanced_and_contiguous(spark):
+    """Equal-frequency contract: every bucket holds floor(N/B) or
+    ceil(N/B) rows, the counts sum to N, and bucket value ranges are
+    contiguous (lo of bucket b >= hi of bucket b-1)."""
+    from spark_hive_streaming_sink_spark.operators.aggregates import (
+        N_DEPTH_BUCKETS,
+        agg_histogram_equidepth,
+    )
+    from .conftest import SF_DIR
+
+    rows = sorted(
+        agg_histogram_equidepth(spark, SF_DIR).collect(), key=lambda r: r["bucket"]
+    )
+    n = sum(r["cnt"] for r in rows)
+    lo_n, hi_n = n // N_DEPTH_BUCKETS, -(-n // N_DEPTH_BUCKETS)
+    assert [r["bucket"] for r in rows] == list(range(N_DEPTH_BUCKETS))
+    assert all(r["cnt"] in (lo_n, hi_n) for r in rows)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["lo"] >= prev["hi"]
+
+
+def test_chunk_dedup_keeps_each_chunk_exactly_once(spark):
+    """Corpus-wide: the number of kept chunks equals the number of
+    DISTINCT chunks, every doc keeps at most what it had, and the
+    lowest doc_id never loses a chunk to a later doc."""
+    from spark_hive_streaming_sink_spark.functions.dedup import (
+        dedup_chunks_reconstruct,
+    )
+    from .conftest import SF_DIR
+
+    out = dedup_chunks_reconstruct(spark, SF_DIR).collect()
+    assert all(0 <= r["n_kept"] <= r["n_chunks"] for r in out)
+    assert all(0 <= r["dropped_ppm"] <= 1_000_000 for r in out)
+    # distinct-chunk count recomputed independently
+    from spark_hive_streaming_sink_spark.io import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_chunks_col = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    distinct_chunks = (
+        d.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks_col - 1),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i * 10 + 1, 10)),
+                )
+            ).alias("chunk")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_kept"] for r in out) == distinct_chunks
+
+
+def test_stratified_sample_rates_and_bounds(spark):
+    """The smallest source keeps everything (rate 1e6); every source
+    samples at most its size; rates are exact integer ppm of
+    min_docs/n_docs."""
+    from spark_hive_streaming_sink_spark.functions.corpus import (
+        corpus_stratified_hash_sample,
+    )
+    from .conftest import SF_DIR
+
+    out = corpus_stratified_hash_sample(spark, SF_DIR).collect()
+    min_docs = min(r["n_docs"] for r in out)
+    for r in out:
+        assert r["rate_ppm"] == min(1_000_000, min_docs * 1_000_000 // r["n_docs"])
+        assert 0 <= r["n_sampled"] <= r["n_docs"]
+        if r["n_docs"] == min_docs:
+            assert r["n_sampled"] == r["n_docs"]
+
+
+def test_image_ahash_range_and_bucket_consistency(spark):
+    """ahash is a 4-bit value; bucket_size matches the actual bucket
+    cardinalities; identical payload text => identical hash."""
+    from spark_hive_streaming_sink_spark.functions.multimodal import (
+        multimodal_image_ahash,
+    )
+    from .conftest import SF_DIR
+
+    out = multimodal_image_ahash(spark, SF_DIR).collect()
+    assert all(0 <= r["ahash"] <= 15 for r in out)
+    from collections import Counter
+
+    sizes = Counter(r["ahash"] for r in out)
+    assert all(r["bucket_size"] == sizes[r["ahash"]] for r in out)
+
+
+def test_bigram_surprisal_covers_multi_token_docs(spark):
+    """Every document with >= 2 tokens scores; n_bigrams is exactly
+    token_count - 1; smoothing keeps every surprisal positive."""
+    from spark_hive_streaming_sink_spark.functions.text import (
+        text_bigram_surprisal,
+    )
+    from spark_hive_streaming_sink_spark.io import load_table
+    from .conftest import SF_DIR
+
+    out = {r["doc_id"]: r for r in text_bigram_surprisal(spark, SF_DIR).collect()}
+    d = load_table(spark, SF_DIR, "documents")
+    ntok = {
+        r["doc_id"]: r["n"]
+        for r in d.select(
+            "doc_id", F.size(F.split(F.trim(F.col("text")), " ")).alias("n")
+        ).collect()
+    }
+    multi = {k for k, n in ntok.items() if n >= 2}
+    assert set(out) == multi
+    for k in multi:
+        assert out[k]["n_bigrams"] == ntok[k] - 1
+        assert out[k]["avg_surprisal"] > 0
