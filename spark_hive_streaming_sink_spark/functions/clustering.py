@@ -370,3 +370,121 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("nrm").alias("growth"),
     ).select((F.col("pos") + 1).alias("dim"), "loading", "growth")
+
+
+# --------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster cells + within-cell cosine
+# --------------------------------------------------------------------------
+
+SEM_TAU = 0.38  # within-cell cosine threshold for "semantic duplicate"
+
+_SQL_DOT_CL = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
+@register(
+    "dedup_semantic_cluster",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {KM_K}),
+    {_SQL_ASSIGN.format(out="a1", cents="c0", d2=_SQL_D2.format(v="e.v", c="c0.c"))},
+    m AS (SELECT vec_id, v, cid,
+                 sqrt({_SQL_DOT_CL.format(a='v', b='v')}) AS nrm
+          FROM a1 WHERE rn = 1),
+    p AS (SELECT a.cid, b.vec_id AS dup_id, a.vec_id AS partner_id,
+                 round({_SQL_DOT_CL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm), 6)
+                   AS cos
+          FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+    SELECT dup_id, cid AS cluster_id,
+           MIN(partner_id) AS keeper_id,
+           COUNT(*) AS n_matches,
+           MAX(cos) AS best_cos
+    FROM p WHERE cos >= {SEM_TAU}
+    GROUP BY dup_id, cid
+    """,
+    tags=("llm", "dedup", "embedding", "clustering"),
+)
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding corpus into cluster
+    cells, then mark a vector as a semantic duplicate iff some
+    lower-id vector in the SAME cell has cosine >= SEM_TAU with it
+    (keep-lowest-id rule; the keeper reported is the minimum such
+    partner). Pairwise comparison never crosses cell boundaries —
+    that is the whole point of the method: at 100 TB you raise K so
+    cells hold ~10^3-10^4 vectors and the quadratic term stays local
+    while the shuffle is a single exchange on the cell id.
+
+    Cells here are the K seed centroids (vec_id < K, squared-L2
+    argmin with the same (round(d2,6), cid) tie-break the k-means
+    operator uses) — i.e. an IVF coarse quantizer, which is exactly
+    how production SemDeDup assigns cells."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = e.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "d2",
+        F.aggregate(
+            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), "cid")
+    member = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "v",
+            "cid",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+                )
+            ).alias("nrm"),
+        )
+    )
+    rhs = member.select(
+        F.col("vec_id").alias("dup_id"),
+        F.col("v").alias("b_v"),
+        F.col("cid").alias("b_cid"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pairs = member.join(
+        rhs,
+        (F.col("cid") == F.col("b_cid")) & (F.col("vec_id") < F.col("dup_id")),
+    ).select(
+        "dup_id",
+        F.col("cid").alias("cluster_id"),
+        F.col("vec_id").alias("partner_id"),
+        F.round(
+            F.aggregate(
+                F.zip_with("v", "b_v", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / (F.col("nrm") * F.col("b_nrm")),
+            6,
+        ).alias("cos"),
+    )
+    return (
+        pairs.filter(F.col("cos") >= SEM_TAU)
+        .groupBy("dup_id", "cluster_id")
+        .agg(
+            F.min("partner_id").alias("keeper_id"),
+            F.count("*").alias("n_matches"),
+            F.max("cos").alias("best_cos"),
+        )
+    )

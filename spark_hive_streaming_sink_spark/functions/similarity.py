@@ -671,3 +671,74 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(trunc_nrm / full_nrm, 6).alias("energy_ratio"),
         )
     )
+
+
+K_NN_GRAPH = 3  # neighbors kept per node
+
+
+@register(
+    "sim_knn_graph_lsh",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+                      {_sql_bucket('embedding')} AS bucket
+               FROM embeddings),
+    p AS (SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id, a.bucket,
+                 round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cosine
+          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+    SELECT node_id, neighbor_id, bucket, cosine, rnk FROM (
+      SELECT node_id, neighbor_id, bucket, cosine,
+             row_number() OVER (PARTITION BY node_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM p)
+    WHERE rnk <= {K_NN_GRAPH}
+    """,
+    tags=("llm", "similarity", "ann", "graph"),
+)
+def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction over the whole corpus — the input to
+    graph-based semantic curation (SemDeDup-style cluster pruning,
+    diversity sampling, label propagation). Unlike sim_ann_lsh (a few
+    query vectors vs the corpus), here EVERY vector is a query node:
+    the corpus is bucketed by random-hyperplane sign bits and each
+    node keeps its top-K_NN_GRAPH cosine neighbors *within its
+    bucket* — a self-join on the bucket key, never corpus x corpus.
+
+    Scale shape: one shuffle on the bucket key co-locates each cell,
+    pair scoring is cell-local (cell size is tuned by N_PLANES: at
+    100 TB you add planes until cells hold ~10^3 vectors, and union
+    several plane-sets as OR-bands to recover recall). The top-k is a
+    per-node window over only the node's own cell pairs."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        F.col("bucket").alias("b_bucket"),
+    )
+    pairs = v.join(
+        b,
+        (F.col("bucket") == F.col("b_bucket"))
+        & (F.col("vec_id") != F.col("neighbor_id")),
+    ).select(
+        F.col("vec_id").alias("node_id"),
+        "neighbor_id",
+        "bucket",
+        F.round(
+            _dot(F.col("embedding"), F.col("b_emb")) / (F.col("nrm") * F.col("b_nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("node_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return pairs.select(
+        "node_id", "neighbor_id", "bucket", "cosine",
+        F.row_number().over(w).alias("rnk"),
+    ).filter(F.col("rnk") <= K_NN_GRAPH)

@@ -885,3 +885,202 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_surprisal"
         ),
     )
+
+
+PMI_MIN_COUNT = 10  # bigram count floor before a pair is scored
+PMI_TOP_K = 20
+
+
+@register(
+    "text_token_pmi_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks CROSS JOIN unnest(generate_series(1, len(t)-1)) AS g(i)),
+    uni AS (
+      SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT doc_id, t[i] AS w1
+            FROM toks CROSS JOIN unnest(generate_series(1, len(t))) AS g(i))
+      GROUP BY w1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM uni),
+    big AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM bg GROUP BY w1, w2),
+    scored AS (
+      SELECT b.w1, b.w2, b.n12, u1.n AS n1, u2.n AS n2,
+             CAST(round(ln((b.n12::DOUBLE * tot.nn) / (u1.n::DOUBLE * u2.n))
+                        * 1000000, 0) AS BIGINT) AS pmi_unats
+      FROM big b
+      JOIN uni u1 ON u1.w = b.w1
+      JOIN uni u2 ON u2.w = b.w2
+      CROSS JOIN tot
+      WHERE b.n12 >= {PMI_MIN_COUNT})
+    SELECT w1, w2, n12, n1, n2, pmi_unats, rnk FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi_unats DESC, w1, w2) AS rnk
+      FROM scored)
+    WHERE rnk <= {PMI_TOP_K}
+    """,
+    tags=("llm", "text", "collocation"),
+)
+def text_token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining: the top-K
+    adjacent token pairs by PMI = ln(N * c(w1,w2) / (c(w1) * c(w2))),
+    with a c(w1,w2) >= PMI_MIN_COUNT support floor (the standard
+    guard against PMI's low-count explosion). This is the classic
+    corpus-linguistics pass pipelines run to find multi-word
+    expressions worth protecting from tokenizer splits.
+
+    Determinism: PMI is one ln on a ratio of exact bigint counts
+    (identical double ops in both engines), rounded to integer
+    micro-nats before ranking; ties break on the pair text.
+
+    Scale: two token-keyed aggregates (unigrams, bigrams — both
+    map-side-combinable) + two joins against the unigram vocab.
+    The vocab is tiny relative to the corpus (<=10^7 rows at 100 TB)
+    so both joins broadcast; the global top-K is a single-partition
+    window over the already-aggregated pair table, which is bounded
+    by vocab^2 intersected with observed pairs, not by corpus size."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.trim(F.col("text")), " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = uni.agg(F.sum("n").cast("bigint").alias("nn"))
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("n12"))
+    u1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n").alias("n1")))
+    u2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n").alias("n2")))
+    scored = (
+        big.filter(F.col("n12") >= PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "n12", "n1", "n2",
+            F.round(
+                F.log(
+                    (F.col("n12").cast("double") * F.col("nn"))
+                    / (F.col("n1").cast("double") * F.col("n2"))
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("pmi_unats"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi_unats").desc(), "w1", "w2")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= PMI_TOP_K)
+    )
+
+
+ZIPF_TOP_RANKS = 25
+
+
+@register(
+    "text_zipf_rank_frequency",
+    oracle=f"""
+    WITH uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+      GROUP BY w),
+    ranked AS (
+      SELECT w, n_w,
+             CAST(row_number() OVER (ORDER BY n_w DESC, w) AS BIGINT) AS rnk
+      FROM uni),
+    lo AS (
+      SELECT w, n_w, rnk,
+             CAST(round(ln(rnk::DOUBLE) * 1000000, 0) AS BIGINT) AS x_u,
+             CAST(round(ln(n_w::DOUBLE) * 1000000, 0) AS BIGINT) AS y_u
+      FROM ranked),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(x_u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(y_u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x_u AS DECIMAL(38,0)) * y_u) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(x_u AS DECIMAL(38,0)) * x_u) AS DECIMAL(38,0)) AS sxx
+      FROM lo)
+    SELECT lo.w, lo.rnk, lo.n_w,
+           round(CAST(fit.k * fit.sxy - fit.sx * fit.sy AS DOUBLE)
+                 / CAST(fit.k * fit.sxx - fit.sx * fit.sx AS DOUBLE), 6)
+             AS zipf_slope
+    FROM lo CROSS JOIN fit
+    WHERE lo.rnk <= {ZIPF_TOP_RANKS}
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostic: the top-ranked vocabulary with
+    the least-squares slope of ln(freq) on ln(rank) over the WHOLE
+    vocabulary (natural text ~= -1; synthetic/boilerplate corpora
+    deviate sharply, making the slope a cheap corpus-health metric).
+
+    Determinism: ln(rank)/ln(freq) round to integer micro-nats, the
+    OLS moment sums accumulate those bigints exactly as DECIMAL(38,0)
+    (order-independent), and the slope is a single double divide of
+    two exact decimals — bit-identical cross-engine.
+
+    Scale: one token aggregate (map-side combinable) + a global
+    ranking window over the vocab (vocab << corpus; at 10^7 terms a
+    single-partition sort is still trivial) + one 5-number moment
+    aggregate; the corpus itself is touched exactly once."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n_w"))
+    )
+    ranked = uni.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("n_w").desc(), "w")).cast("bigint"),
+    )
+    lo = ranked.select(
+        "w", "n_w", "rnk",
+        F.round(F.log(F.col("rnk").cast("double")) * 1000000, 0)
+        .cast("bigint")
+        .alias("x_u"),
+        F.round(F.log(F.col("n_w").cast("double")) * 1000000, 0)
+        .cast("bigint")
+        .alias("y_u"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    fit = lo.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(dec("x_u")).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec("y_u")).cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x_u") * F.col("y_u")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dec("x_u") * F.col("x_u")).cast("decimal(38,0)").alias("sxx"),
+    )
+    return (
+        lo.filter(F.col("rnk") <= ZIPF_TOP_RANKS)
+        .crossJoin(F.broadcast(fit))
+        .select(
+            "w", "rnk", "n_w",
+            F.round(
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("zipf_slope"),
+        )
+    )

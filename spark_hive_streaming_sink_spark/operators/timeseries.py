@@ -310,3 +310,99 @@ def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_events",
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, event_id, ts, round(value, 6) AS v
+      FROM events),
+    st AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu
+      FROM base GROUP BY user_id),
+    dev AS (
+      SELECT b.user_id, b.event_id, b.ts, st.n_events,
+             CAST(round((b.v - st.mu) * 1000000, 0) AS BIGINT) AS dev_u
+      FROM base b JOIN st ON st.user_id = b.user_id),
+    cs AS (
+      SELECT user_id, event_id, ts, n_events,
+             CAST(SUM(dev_u) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_u,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS pos
+      FROM dev)
+    SELECT user_id, n_events,
+           round(CAST(abs(s_u) AS DOUBLE) / 1000000.0, 6) AS max_abs_cusum,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS changepoint_ts,
+           round(CAST(pos AS DOUBLE) / n_events, 6) AS changepoint_frac
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY abs(s_u) DESC, ts, event_id) AS rn
+          FROM cs)
+    WHERE rn = 1
+    """,
+    tags=("timeseries", "monitoring"),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per user: the cumulative sum of
+    mean-centered values S_i = sum_{j<=i}(x_j - mean) peaks (in
+    absolute value) at the most likely single change-point — the
+    standard offline CUSUM estimator monitoring pipelines run over
+    per-entity metric streams. Reports each user's peak |S|, where it
+    happened, and how far through the series (a mid-series peak with
+    large |S| is a genuine level shift; peaks near the edges are
+    noise).
+
+    Determinism: deviations are centered on an exact decimal-sum mean
+    and rounded to integer micro-units BEFORE the cumulative sum, so
+    every running value is an exact bigint in both engines; ties in
+    the peak break on (ts, event_id).
+
+    Scale: two user_id exchanges — the mean aggregate's partial/final
+    pair and the join's probe side — then both windows reuse the
+    join's user_id partitioning (plan-pinned: 2 Exchanges total); all
+    window work is partition-local. No iteration, no driver state."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("user_id", "event_id", "ts", F.round("value", 6).alias("v"))
+    st = base.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double") / F.count("*")
+        ).alias("mu"),
+    )
+    dev = base.join(st, "user_id").select(
+        "user_id", "event_id", "ts", "n_events",
+        F.round((F.col("v") - F.col("mu")) * 1000000, 0)
+        .cast("bigint")
+        .alias("dev_u"),
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cs = dev.select(
+        "user_id", "event_id", "ts", "n_events",
+        F.sum("dev_u").over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("s_u"),
+        F.row_number().over(wseq).cast("bigint").alias("pos"),
+    )
+    wpeak = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("s_u")).desc(), "ts", "event_id"
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(wpeak))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "n_events",
+            F.round(F.abs(F.col("s_u")).cast("double") / 1000000.0, 6).alias(
+                "max_abs_cusum"
+            ),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("changepoint_ts"),
+            F.round(F.col("pos").cast("double") / F.col("n_events"), 6).alias(
+                "changepoint_frac"
+            ),
+        )
+    )

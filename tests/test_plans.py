@@ -595,3 +595,70 @@ def test_image_ahash_broadcast_bucket_join(spark):
     assert count_nodes(df, "BroadcastHashJoin") >= 1
     assert count_nodes(df, "SortMergeJoin") == 0
     assert count_nodes(df, "MapInPandas") == 2
+
+
+def test_knn_graph_bucket_local_no_cartesian(spark):
+    """k-NN graph: pair generation must ride the bucket equi-key (hash
+    join — AQE may broadcast at fixture scale, SMJ at 100 TB), never a
+    cartesian/nested-loop; the per-node top-k must compile to
+    WindowGroupLimit so cells never materialize full pair lists."""
+    df = _df(spark, "sim_knn_graph_lsh")
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert (
+        count_nodes(df, "BroadcastHashJoin") + count_nodes(df, "SortMergeJoin") >= 1
+    )
+    assert count_nodes(df, "WindowGroupLimit") >= 1
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_cell_local(spark):
+    """SemDeDup: the only nested-loop joins are the K-row centroid
+    broadcasts (cell assignment); the quadratic pair join itself must
+    be an equi-join on the cell id. No Python, no cartesian."""
+    df = _df(spark, "dedup_semantic_cluster")
+    assert count_nodes(df, "CartesianProduct") == 0
+    # centroid broadcast appears once per member branch, never more
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 2
+    assert (
+        count_nodes(df, "SortMergeJoin") + count_nodes(df, "BroadcastHashJoin") >= 1
+    )
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pmi_vocab_joins_broadcast(spark):
+    """PMI: both unigram-marginal joins against the pair table must
+    broadcast (vocab << corpus) and the single scalar-total join is the
+    only nested-loop; the corpus is never shuffled for scoring — only
+    the two token aggregates exchange."""
+    df = _df(spark, "text_token_pmi_topk")
+    assert count_nodes(df, "BroadcastHashJoin") >= 2
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1
+    assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_zipf_moments_exact_no_python(spark):
+    """Zipf fit: the OLS moment aggregate and the rank window run over
+    the vocab (corpus touched once by the token aggregate); the slope
+    joins back via a 1-row broadcast. No Python, no cartesian."""
+    df = _df(spark, "text_zipf_rank_frequency")
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cusum_two_exchanges_windows_reuse_join_partitioning(spark):
+    """CUSUM: the mean aggregate and the join each exchange on user_id;
+    the cumulative-sum and peak windows must reuse the join's
+    partitioning (2 Exchanges total — a third means a window stopped
+    riding the join output)."""
+    df = _df(spark, "events_cusum_changepoint")
+    assert count_nodes(df, "Exchange") <= 2
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "WindowGroupLimit") >= 1  # peak argmax rn=1
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
