@@ -78,6 +78,9 @@ HEADLINE = [
     "text_bigram_surprisal",
     "dedup_chunks_reconstruct",
     "multimodal_image_ahash",
+    "sim_knn_graph_lsh",
+    "dedup_semantic_cluster",
+    "events_cusum_changepoint",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -176,3 +176,90 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt("ssq"), 6).alias("centroid_l2_drift"),
         )
     )
+
+
+_SQL_PROBE = (
+    "(list_reduce(list_transform(embedding, x -> x::DOUBLE), (a, b) -> a + b)"
+    " / sqrt(len(embedding)::DOUBLE))"
+)
+
+
+@register(
+    "embed_text_consistency_corr",
+    oracle=f"""
+    WITH j AS (
+      SELECT d.source, CAST(d.n_chars AS DECIMAL(18,0)) AS x,
+             CAST(round({_SQL_PROBE}, 4) AS DECIMAL(18,4)) AS y
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+    m AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(round(SUM(y * y), 4) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM j GROUP BY source)
+    SELECT source, n,
+           round(((sxy - sx*sy/n)/n)
+                 / (sqrt((sxx - sx*sx/n)/n) * sqrt((syy - sy*sy/n)/n)), 6)
+             AS corr_chars_probe,
+           round((sxy - sx*sy/n) / (sxx - sx*sx/n), 6) AS beta_probe_per_char
+    FROM m
+    """,
+    tags=("llm", "monitoring", "embedding", "stats"),
+)
+def embed_text_consistency_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality consistency audit: join the text table to its
+    embedding table (doc_id = vec_id) and report, per source, the
+    Pearson correlation and regression slope between document length
+    and the embedding's projection onto a fixed probe direction
+    (all-ones/sqrt(D) — the norms themselves carry no signal on a
+    unit-normalized corpus, a projection does). A source whose
+    correlation suddenly departs from the corpus band is the classic
+    symptom of an embedding-job version skew or a text/vector
+    misalignment upstream — caught here before it poisons similarity
+    search.
+
+    Determinism: the agg_stats recipe — exact decimal moment sums
+    (projections quantized to 4 dp first; the scale-8 square sum
+    rounds back to 4 dp before its double cast so the unscaled value
+    stays under 2^53), then one shared IEEE formula.
+
+    Scale: the doc->vec join is key-to-key on the primary id (bucketed
+    tables co-locate it for free); the moment aggregate is map-side
+    combinable per source. One scan of each table, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = F.aggregate(
+        F.transform("embedding", lambda v: v.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    ) / F.sqrt(F.size("embedding").cast("double"))
+    j = d.join(e, d.doc_id == e.vec_id).select(
+        "source",
+        F.col("n_chars").cast("decimal(18,0)").alias("x"),
+        F.round(probe, 4).cast("decimal(18,4)").alias("y"),
+    )
+    m = j.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.round(F.sum(F.col("y") * F.col("y")), 4).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (
+        F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"]
+    )
+    return m.select(
+        "source",
+        "n",
+        F.round(
+            ((sxy - sx * sy / n) / n)
+            / (F.sqrt((sxx - sx * sx / n) / n) * F.sqrt((syy - sy * sy / n) / n)),
+            6,
+        ).alias("corr_chars_probe"),
+        F.round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6).alias(
+            "beta_probe_per_char"
+        ),
+    )

@@ -689,3 +689,94 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.join(F.broadcast(buckets), "ahash").select(
         "doc_id", "width", "height", "ahash", "bucket_size"
     )
+
+
+# --------------------------------------------------------------------------
+# energy-gate VAD segmentation (speech-data curation primitive)
+# --------------------------------------------------------------------------
+
+VAD_FRAME = 8  # samples per analysis frame
+VAD_THRESHOLD = 45_000_000  # frame energy gate (~mean for this signal)
+
+VAD_FRAME_SCHEMA = "doc_id long, frame_idx int, energy long"
+
+
+def vad_frame_energies(payloads: DataFrame) -> DataFrame:
+    """mapInPandas kernel: real WAV decode → per-frame exact integer
+    energy (sum of squared PCM16 samples per VAD_FRAME-sample frame)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, n, s = decode_wav(bytes(p))
+                for f in range(n // VAD_FRAME):
+                    frame = s[f * VAD_FRAME : (f + 1) * VAD_FRAME]
+                    rows.append((doc_id, f, sum(x * x for x in frame)))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "energy"])
+
+    return payloads.mapInPandas(kernel, VAD_FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    oracle=f"""
+    WITH fr AS (
+      SELECT doc_id, CAST(f AS INT) AS frame_idx,
+             CAST(list_sum(list_transform(
+                 generate_series(f * {VAD_FRAME}, f * {VAD_FRAME} + {VAD_FRAME - 1}),
+                 i -> ((doc_id * 31 + i * 17) % 8192 - 4096)
+                      * ((doc_id * 31 + i * 17) % 8192 - 4096))) AS BIGINT)
+               AS energy
+      FROM documents
+      CROSS JOIN unnest(generate_series(0, {N_SAMPLES // VAD_FRAME - 1})) AS t(f)),
+    act AS (
+      SELECT doc_id, frame_idx, energy,
+             frame_idx - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx) AS grp
+      FROM fr WHERE energy > {VAD_THRESHOLD})
+    SELECT doc_id,
+           CAST(MIN(frame_idx) AS INT) AS seg_start,
+           CAST(MAX(frame_idx) AS INT) AS seg_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS seg_energy
+    FROM act GROUP BY doc_id, grp
+    """,
+    tags=("llm", "multimodal", "audio", "pandas_udf"),
+)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-gate voice-activity segmentation: decode each WAV clip
+    (real RIFF parse in the Arrow-batched kernel), frame the PCM into
+    VAD_FRAME-sample frames with exact integer energy, gate on
+    VAD_THRESHOLD, and merge consecutive active frames into segments
+    with the gaps-islands trick (frame_idx − row_number is constant
+    within a run). This is the speech-curation primitive that turns
+    raw audio into trainable utterance spans — the silence trimmer in
+    front of every ASR data pipeline.
+
+    Determinism: energies are exact bigints from the synthetic PCM's
+    generating formula, so the oracle reproduces every frame and
+    segment boundary; no float anywhere.
+
+    Scale: one Python map stage (decode + frame energies — the
+    irreducible codec step, Arrow-batched), then JVM-side window +
+    aggregate partitioned on doc_id. Frames shuffle once on doc_id;
+    segment merge is partition-local. Swap the kernel body for
+    soundfile/webrtcvad on real audio; the Spark plumbing is
+    unchanged."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    frames = vad_frame_energies(wav_payloads(d))
+    act = frames.filter(F.col("energy") > VAD_THRESHOLD)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    grouped = act.withColumn(
+        "grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    return grouped.groupBy("doc_id", "grp").agg(
+        F.min("frame_idx").cast("int").alias("seg_start"),
+        F.max("frame_idx").cast("int").alias("seg_end"),
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.sum("energy").cast("bigint").alias("seg_energy"),
+    ).drop("grp")

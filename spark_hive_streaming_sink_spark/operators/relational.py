@@ -596,3 +596,41 @@ def sql_table_valued_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY label
         """
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_urgent_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents_total
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    """,
+    tags=("sql", "surface"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0+, SPARK-45362): the same
+    filter → aggregate → having pipeline written as |> stages —
+    FROM orders |> WHERE ... |> AGGREGATE ... GROUP BY ... |> WHERE.
+    Pipe operators compile to the identical logical plan as the ANSI
+    form (the oracle), so this pins both the parser surface and the
+    plan equivalence. Money sums ride exact integer cents."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_pipe_view"
+    )
+    return spark.sql(
+        """
+        FROM orders_pipe_view
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_urgent_orders,
+                     CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                          AS BIGINT) AS cents_total
+           GROUP BY o_orderpriority
+        |> WHERE n_urgent_orders > 10
+        |> SELECT o_orderpriority, n_urgent_orders, cents_total
+        """
+    )

@@ -406,3 +406,60 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    cnt AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type),
+    tot AS (
+      SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+      FROM cnt GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.n_trans, t.n_from,
+           CAST(round(c.n_trans * 1000000.0 / t.n_from, 0) AS BIGINT) AS prob_ppm
+    FROM cnt c JOIN tot t ON t.prev_type = c.prev_type
+    """,
+    tags=("timeseries", "sequence"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: count (prev event_type -> next event_type) transitions
+    and their row-normalized probabilities — the behavioral-model
+    fingerprint session-anomaly and bot screens compare against (a
+    scraper's transition row diverges sharply from organic traffic).
+
+    Determinism: counts are exact bigints; probabilities are a single
+    round(n*1e6/total) — integer ppm in both engines.
+
+    Scale: one user_id shuffle for the lag window, then a transition
+    aggregate whose cardinality is |event_type|^2 (tiny — partial
+    map-side combine absorbs the volume); the row-total join
+    broadcasts. No iteration, no Python."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").cast("bigint").alias("n_trans"))
+    tot = cnt.groupBy("prev_type").agg(
+        F.sum("n_trans").cast("bigint").alias("n_from")
+    )
+    return cnt.join(F.broadcast(tot), "prev_type").select(
+        "prev_type", "next_type", "n_trans", "n_from",
+        F.round(F.col("n_trans") * 1000000.0 / F.col("n_from"), 0)
+        .cast("bigint")
+        .alias("prob_ppm"),
+    )

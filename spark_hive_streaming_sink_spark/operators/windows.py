@@ -575,3 +575,77 @@ def events_windowed_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.alias("n_in_window"),
         (n > RATE_LIMIT).alias("throttled"),
     )
+
+
+@register(
+    "window_max_drawdown",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(round(value, 6) * 1000000, 0) AS BIGINT) AS v_u
+      FROM events),
+    c1 AS (
+      SELECT user_id, event_id, ts,
+             CAST(SUM(v_u) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_u
+      FROM u),
+    cs AS (
+      SELECT user_id, event_id, ts, cum_u,
+             CAST(MAX(cum_u) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak_u
+      FROM c1)
+    SELECT user_id,
+           round((peak_u - cum_u) / 1000000.0, 6) AS max_drawdown,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS trough_ts,
+           round(cum_u / 1000000.0, 6) AS cum_at_trough,
+           round(peak_u / 1000000.0, 6) AS peak_before_trough
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY peak_u - cum_u DESC, ts, event_id)
+                      AS rn
+          FROM cs)
+    WHERE rn = 1
+    """,
+    tags=("window", "timeseries"),
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user: the deepest drop of the cumulative
+    value series below its running peak — the classic risk statistic,
+    and in pipeline monitoring the sharpest detector of a metric that
+    ramped and then collapsed (a plain min/max never sees it because
+    it ignores ordering).
+
+    Determinism: values quantize to integer micro-units BEFORE the
+    cumulative sum, so cum/peak/drawdown are exact bigints; the trough
+    row breaks ties on (ts, event_id).
+
+    Scale: one user_id shuffle; the cumulative sum and running max
+    share the (ts, event_id) sort and the trough argmax re-sorts
+    partition-locally — plan-pinned at exactly 1 Exchange."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.select(
+        "user_id", "event_id", "ts",
+        F.round(F.round("value", 6) * 1000000, 0).cast("bigint").alias("v_u"),
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cs = u.select(
+        "user_id", "event_id", "ts",
+        F.sum("v_u").over(wseq).cast("bigint").alias("cum_u"),
+    ).withColumn("peak_u", F.max("cum_u").over(wseq).cast("bigint"))
+    wpk = Window.partitionBy("user_id").orderBy(
+        (F.col("peak_u") - F.col("cum_u")).desc(), "ts", "event_id"
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(wpk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.round((F.col("peak_u") - F.col("cum_u")) / 1000000.0, 6).alias(
+                "max_drawdown"
+            ),
+            ts_str("ts").alias("trough_ts"),
+            F.round(F.col("cum_u") / 1000000.0, 6).alias("cum_at_trough"),
+            F.round(F.col("peak_u") / 1000000.0, 6).alias("peak_before_trough"),
+        )
+    )

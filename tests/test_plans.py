@@ -662,3 +662,70 @@ def test_cusum_two_exchanges_windows_reuse_join_partitioning(spark):
     assert count_nodes(df, "WindowGroupLimit") >= 1  # peak argmax rn=1
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_markov_transitions_tiny_aggregate_broadcast_total(spark):
+    """Markov matrix: the lag window shuffles on user_id once; the
+    transition aggregate is |event_type|^2-sized and the row-total
+    joins back via broadcast — never a sort-merge on the tiny key."""
+    df = _df(spark, "events_markov_transitions")
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_max_drawdown_single_exchange(spark):
+    """Drawdown: cumulative sum, running max, and trough argmax must
+    all ride ONE user_id exchange (the argmax may re-sort partition-
+    locally); a second Exchange means a window fell off the shared
+    partitioning."""
+    df = _df(spark, "window_max_drawdown")
+    assert count_nodes(df, "Exchange") == 1
+    assert count_nodes(df, "WindowGroupLimit") >= 1
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_consistency_corr_single_join_single_agg_exchange(spark):
+    """Cross-modality corr: the doc->vec id join must stay hash-based
+    (broadcast at fixture scale, co-located bucketed at 100 TB) and
+    the moment aggregate is the only exchange beyond it."""
+    df = _df(spark, "embed_text_consistency_corr")
+    assert (
+        count_nodes(df, "BroadcastHashJoin") + count_nodes(df, "SortMergeJoin") >= 1
+    )
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "Exchange") <= 2
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_variant_extract_pure_projection(spark):
+    """VARIANT probing must stay a map-side scan projection — zero
+    exchanges, zero Python (parse_json/variant_get are codegen'd JVM
+    expressions)."""
+    df = _df(spark, "json_variant_extract")
+    assert count_nodes(df, "Exchange") == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pipe_syntax_compiles_to_partial_final_agg(spark):
+    """Pipe-syntax SQL must compile to the identical partial+final
+    hash-aggregate plan the ANSI form gets — one exchange, no extra
+    stages from the |> staging."""
+    df = _df(spark, "sql_pipe_syntax")
+    assert count_nodes(df, "Exchange") == 1
+    assert count_nodes(df, "HashAggregate") == 2
+
+
+def test_audio_vad_one_python_stage_one_exchange(spark):
+    """VAD: exactly one Arrow-batched Python stage (decode + frame
+    energies); gating, islands window, and segment aggregate are JVM
+    work sharing a single doc_id exchange."""
+    df = _df(spark, "multimodal_audio_vad_segments")
+    assert count_nodes(df, "MapInPandas") == 1
+    assert count_nodes(df, "Exchange") <= 2
+    assert count_nodes(df, "CartesianProduct") == 0

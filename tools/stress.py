@@ -92,6 +92,15 @@ HEADLINE = [
     "dedup_chunks_reconstruct",
     "corpus_stratified_hash_sample",
     "multimodal_image_ahash",
+    # round-6 second batch
+    "sim_knn_graph_lsh",
+    "dedup_semantic_cluster",
+    "text_token_pmi_topk",
+    "text_zipf_rank_frequency",
+    "events_cusum_changepoint",
+    "events_markov_transitions",
+    "window_max_drawdown",
+    "embed_text_consistency_corr",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
