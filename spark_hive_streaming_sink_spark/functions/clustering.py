@@ -430,8 +430,13 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    cents = e.filter(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    # .limit(KM_K) is a no-op on the K seed rows but makes the
+    # broadcast subtree provably size-bounded (GlobalLimit) — the
+    # invariant test rejects unbounded broadcasts of scaling tables
+    cents = (
+        e.filter(F.col("vec_id") < KM_K)
+        .limit(KM_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
     )
     scored = e.crossJoin(F.broadcast(cents)).withColumn(
         "d2",
@@ -487,4 +492,111 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_matches"),
             F.max("cos").alias("best_cos"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# end-to-end near-dup graph: LSH candidate pairs -> connected components
+# --------------------------------------------------------------------------
+
+from .dedup import (  # noqa: E402  (shared MinHash pipeline pieces)
+    _SQL_HX,
+    _SQL_MINHASH,
+    _SQL_SHINGLES,
+    _minhash_cols,
+    _shingle_hashes,
+    _shingles,
+)
+
+
+@register(
+    "dedup_lsh_components",
+    oracle=f"""
+    WITH RECURSIVE t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
+    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM sh),
+    mh AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt),
+    bands AS (
+      SELECT doc_id, 0 AS band_no,
+             md5(concat_ws('_', mh0, mh1, mh2, mh3)) AS band_key FROM mh
+      UNION ALL
+      SELECT doc_id, 1 AS band_no,
+             md5(concat_ws('_', mh4, mh5, mh6, mh7)) AS band_key FROM mh),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.band_no = b.band_no
+       AND a.doc_id < b.doc_id),
+    undirected AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(node, lbl) AS (
+      SELECT src, src FROM undirected
+      UNION
+      SELECT u.src, r.lbl FROM undirected u JOIN reach r ON r.node = u.dst),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT c.node, c.component, s.n_members,
+           CAST(c.node != c.component AS BOOLEAN) AS is_duplicate
+    FROM comp c
+    JOIN (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM comp GROUP BY component) s USING (component)
+    """,
+    tags=("llm", "dedup", "minhash", "iterative"),
+)
+def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup delete-list pipeline on REAL candidate pairs:
+    MinHash -> LSH band buckets -> bucket-local candidate pairs ->
+    connected components -> keep component-min, delete the rest. This
+    is the step composition production dedup (e.g. the C4/RefinedWeb
+    recipes) actually runs; dedup_connected_components pins the
+    component algorithm on a synthetic graph, THIS query pins the
+    whole chain end-to-end against a recursive-CTE oracle.
+
+    Scale: signatures are map-side; the pair join is band-bucket-local
+    (never corpus x corpus); the component loop is the same
+    join+aggregate iteration as connected_components — O(diameter)
+    rounds, and near-dup graphs are short-diameter by construction
+    (components are clouds of mutual near-copies, not long chains)."""
+    d = load_table(spark, sf_dir, "documents")
+    mh = d.select(
+        "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
+    ).select("doc_id", *_minhash_cols())
+    b0 = mh.select(
+        "doc_id",
+        F.lit(0).alias("band_no"),
+        F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)])).alias(
+            "band_key"
+        ),
+    )
+    b1 = mh.select(
+        "doc_id",
+        F.lit(1).alias("band_no"),
+        F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)])).alias(
+            "band_key"
+        ),
+    )
+    bands = b0.unionByName(b1)
+    rhs = bands.select(
+        F.col("doc_id").alias("dst"),
+        F.col("band_no").alias("b_no"),
+        F.col("band_key").alias("b_key"),
+    )
+    edges = (
+        bands.join(
+            rhs,
+            (F.col("band_key") == F.col("b_key"))
+            & (F.col("band_no") == F.col("b_no"))
+            & (F.col("doc_id") < F.col("dst")),
+        )
+        .select(F.col("doc_id").alias("src"), "dst")
+        .distinct()
+    )
+    comp = connected_components(edges)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return comp.join(sizes, "component").select(
+        "node",
+        "component",
+        "n_members",
+        (F.col("node") != F.col("component")).alias("is_duplicate"),
     )

@@ -742,3 +742,120 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node_id", "neighbor_id", "bucket", "cosine",
         F.row_number().over(w).alias("rnk"),
     ).filter(F.col("rnk") <= K_NN_GRAPH)
+
+
+PQ_M = 4  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 4  # codebook entries per subspace (vec_id < PQ_K seed rows)
+
+_SQL_SUB_D2 = (
+    "list_reduce(list_transform(generate_series(1, {n}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+
+@register(
+    "embed_pq_codes",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    sub AS (
+      SELECT vec_id, m,
+             v[1 + m * {PQ_SUB} : (m + 1) * {PQ_SUB}] AS vs
+      FROM e CROSS JOIN unnest(generate_series(0, {PQ_M - 1})) AS t(m)),
+    cents AS (
+      SELECT vec_id AS cid, m, vs AS cs
+      FROM sub WHERE vec_id < {PQ_K}),
+    scored AS (
+      SELECT s.vec_id, s.m, c.cid,
+             {_SQL_SUB_D2.format(n=PQ_SUB, a='s.vs', b='c.cs')} AS d2
+      FROM sub s JOIN cents c ON c.m = s.m),
+    best AS (
+      SELECT vec_id, m, cid, round(d2, 6) AS d2r,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY round(d2, 6), cid) AS rn
+      FROM scored)
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN m = 0 THEN cid END) AS INT) AS code0,
+           CAST(MAX(CASE WHEN m = 1 THEN cid END) AS INT) AS code1,
+           CAST(MAX(CASE WHEN m = 2 THEN cid END) AS INT) AS code2,
+           CAST(MAX(CASE WHEN m = 3 THEN cid END) AS INT) AS code3,
+           round(CAST(SUM(CAST(round(d2r, 6) AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS distortion
+    FROM best WHERE rn = 1
+    GROUP BY vec_id
+    """,
+    tags=("llm", "embedding", "ann", "quantization"),
+)
+def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the PQ of IVF-PQ): each embedding splits
+    into PQ_M subspaces, each subspace is assigned to its nearest of
+    PQ_K codebook entries (seed rows vec_id < PQ_K, squared-L2 argmin
+    with the k-means tie-break), and the vector compresses to PQ_M
+    small codes + a reconstruction distortion. This is the memory-side
+    half of billion-scale ANN: 64 floats -> 4 codes (64x compression
+    here; 256-entry codebooks at scale).
+
+    Determinism: subspace distances are sequential double folds
+    rounded to 6 dp before the argmin; the distortion sum accumulates
+    the rounded values as exact decimals.
+
+    Scale: the codebook is PQ_M*PQ_K rows — broadcast; assignment is
+    map-side argmin after a subvector explode (fan-out PQ_M, not
+    corpus^2); one vec_id-keyed aggregate folds codes back to a row.
+    Training better codebooks is cluster_kmeans_embeddings run per
+    subspace — same plan, bigger K."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.struct(
+                    m.alias("m"),
+                    F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias("vs"),
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.vs")
+    # .limit() is a no-op on the PQ_M*PQ_K codebook rows but makes the
+    # broadcast subtree provably size-bounded (GlobalLimit)
+    cents = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .limit(PQ_M * PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("m").alias("cm"),
+            F.col("vs").alias("cs"),
+        )
+    )
+    scored = sub.join(F.broadcast(cents), F.col("m") == F.col("cm")).select(
+        "vec_id",
+        "m",
+        "cid",
+        F.round(
+            F.aggregate(
+                F.zip_with("vs", "cs", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("d2r"),
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("d2r", "cid")
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("vec_id").agg(
+        F.max(F.when(F.col("m") == 0, F.col("cid"))).cast("int").alias("code0"),
+        F.max(F.when(F.col("m") == 1, F.col("cid"))).cast("int").alias("code1"),
+        F.max(F.when(F.col("m") == 2, F.col("cid"))).cast("int").alias("code2"),
+        F.max(F.when(F.col("m") == 3, F.col("cid"))).cast("int").alias("code3"),
+        F.round(
+            F.sum(F.round("d2r", 6).cast("decimal(18,6)")).cast("double"), 6
+        ).alias("distortion"),
+    )

@@ -813,3 +813,79 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("hi"),
         )
     )
+
+
+@register(
+    "agg_welch_ttest",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) FILTER (event_type = 'click') AS n1,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+                  FILTER (event_type = 'click') AS DOUBLE) AS sx1,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))
+                      * CAST(round(value, 6) AS DECIMAL(18,6)))
+                  FILTER (event_type = 'click') AS DOUBLE) AS sxx1,
+             COUNT(*) FILTER (event_type = 'purchase') AS n2,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+                  FILTER (event_type = 'purchase') AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))
+                      * CAST(round(value, 6) AS DECIMAL(18,6)))
+                  FILTER (event_type = 'purchase') AS DOUBLE) AS sxx2
+      FROM events),
+    d AS (
+      SELECT n1, n2,
+             sx1/n1 - sx2/n2 AS mean_diff,
+             ((sxx1 - sx1*sx1/n1)/(n1-1))/n1 AS a,
+             ((sxx2 - sx2*sx2/n2)/(n2-1))/n2 AS b
+      FROM m)
+    SELECT n1, n2,
+           round(mean_diff, 6) AS mean_diff,
+           round(mean_diff / sqrt(a + b), 6) AS t_stat,
+           round((a + b) * (a + b) / (a*a/(n1-1) + b*b/(n2-1)), 6) AS df_welch
+    FROM d
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) between the click
+    and purchase value distributions — the A/B-test primitive run over
+    event streams. One single-pass conditional-moment aggregate (six
+    FILTERed sums), then the t statistic and Welch–Satterthwaite
+    degrees of freedom as a shared double formula over exact decimal
+    moments (the agg_stats recipe).
+
+    Scale: one scan, one partial+final aggregate of six numbers — the
+    cheapest possible shape; works unchanged per experiment-arm key by
+    adding a groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.round("value", 6).cast("decimal(18,6)")
+    click = F.col("event_type") == "click"
+    purch = F.col("event_type") == "purchase"
+    m = e.agg(
+        F.count(F.when(click, 1)).alias("n1"),
+        F.sum(F.when(click, v)).cast("double").alias("sx1"),
+        F.sum(F.when(click, v * v)).cast("double").alias("sxx1"),
+        F.count(F.when(purch, 1)).alias("n2"),
+        F.sum(F.when(purch, v)).cast("double").alias("sx2"),
+        F.sum(F.when(purch, v * v)).cast("double").alias("sxx2"),
+    )
+    n1, sx1, sxx1, n2, sx2, sxx2 = (
+        F.col(c) for c in ["n1", "sx1", "sxx1", "n2", "sx2", "sxx2"]
+    )
+    d = m.select(
+        "n1",
+        "n2",
+        (sx1 / n1 - sx2 / n2).alias("mean_diff"),
+        (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1).alias("a"),
+        (((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2).alias("b"),
+    )
+    a, b, md = F.col("a"), F.col("b"), F.col("mean_diff")
+    return d.select(
+        "n1",
+        "n2",
+        F.round(md, 6).alias("mean_diff"),
+        F.round(md / F.sqrt(a + b), 6).alias("t_stat"),
+        F.round(
+            (a + b) * (a + b) / (a * a / (n1 - 1) + b * b / (n2 - 1)), 6
+        ).alias("df_welch"),
+    )

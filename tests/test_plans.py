@@ -729,3 +729,23 @@ def test_audio_vad_one_python_stage_one_exchange(spark):
     assert count_nodes(df, "MapInPandas") == 1
     assert count_nodes(df, "Exchange") <= 2
     assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_pq_codebook_broadcast_bounded(spark):
+    """PQ assignment: the PQ_M*PQ_K codebook broadcasts (GlobalLimit-
+    bounded); the subvector explode is the only fan-out (PQ_M, not
+    corpus^2); one vec_id aggregate folds codes back."""
+    df = _df(spark, "embed_pq_codes")
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "SortMergeJoin") == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_welch_ttest_single_pass(spark):
+    """Welch t: one scan, one partial+final aggregate, nothing else."""
+    df = _df(spark, "agg_welch_ttest")
+    assert count_nodes(df, "Exchange") == 1
+    assert count_nodes(df, "HashAggregate") == 2
+    assert count_nodes(df, "Window") == 0
