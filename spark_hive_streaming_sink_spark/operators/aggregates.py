@@ -889,3 +889,138 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             (a + b) * (a + b) / (a * a / (n1 - 1) + b * b / (n2 - 1)), 6
         ).alias("df_welch"),
     )
+
+
+@register(
+    "events_benford_digit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(left(CAST(CAST(round(value * 10000, 0) AS BIGINT) AS VARCHAR), 1)
+                  AS INT) AS digit
+      FROM events WHERE value > 0),
+    o AS (
+      SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM d GROUP BY event_type, digit),
+    t AS (SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS n_total
+          FROM o GROUP BY event_type),
+    s AS (
+      SELECT o.event_type, o.digit, o.n_obs, t.n_total,
+             CAST(round(ln(1.0 + 1.0 / o.digit) / ln(10.0) * 1000000, 0) AS BIGINT)
+               AS benford_ppm
+      FROM o JOIN t ON t.event_type = o.event_type)
+    SELECT event_type, digit, n_obs,
+           CAST(round(n_obs * 1000000.0 / n_total, 0) AS BIGINT) AS obs_ppm,
+           benford_ppm,
+           round((n_obs - n_total * benford_ppm / 1000000.0)
+                 * (n_obs - n_total * benford_ppm / 1000000.0)
+                 / (n_total * benford_ppm / 1000000.0), 6) AS chi_contrib
+    FROM s
+    """,
+    tags=("aggregate", "stats", "quality"),
+)
+def events_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit per event type: observed
+    first-significant-digit shares vs the log10(1+1/d) expectation,
+    with per-digit chi-square contributions — the classic forensic
+    screen for fabricated or clipped metric streams (organic
+    heavy-tailed values follow Benford; synthetic uniform injections
+    light up digits 5-9).
+
+    Determinism: the first digit comes from an exact integer rendering
+    (round(value*1e4) -> string head); Benford shares round to integer
+    ppm (each of the 9 constants sits >100 ppm from a rounding
+    boundary, so cross-engine ln() ulps cannot flip them); the chi
+    contribution is one shared double formula over exact ints.
+
+    Scale: one scan, a (type x 9)-cardinality aggregate (map-side
+    combinable), and a 9-row-per-type total join — broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.filter(F.col("value") > 0).select(
+        "event_type",
+        F.substring(
+            F.round(F.col("value") * 10000, 0).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit"),
+    )
+    o = d.groupBy("event_type", "digit").agg(
+        F.count("*").cast("bigint").alias("n_obs")
+    )
+    t = o.groupBy("event_type").agg(F.sum("n_obs").cast("bigint").alias("n_total"))
+    s = o.join(F.broadcast(t), "event_type").withColumn(
+        "benford_ppm",
+        F.round(F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)) * 1000000, 0)
+        .cast("bigint"),
+    )
+    exp_cnt = F.col("n_total") * F.col("benford_ppm") / 1000000.0
+    return s.select(
+        "event_type", "digit", "n_obs",
+        F.round(F.col("n_obs") * 1000000.0 / F.col("n_total"), 0)
+        .cast("bigint")
+        .alias("obs_ppm"),
+        "benford_ppm",
+        F.round((F.col("n_obs") - exp_cnt) * (F.col("n_obs") - exp_cnt) / exp_cnt, 6)
+        .alias("chi_contrib"),
+    )
+
+
+@register(
+    "agg_chi_square_independence",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(user_id % 4 AS INT) AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM events GROUP BY event_type, user_id % 4),
+    rt AS (SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS row_tot
+           FROM c GROUP BY event_type),
+    ct AS (SELECT cohort, CAST(SUM(n_obs) AS BIGINT) AS col_tot
+           FROM c GROUP BY cohort),
+    n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS grand FROM c)
+    SELECT c.event_type, c.cohort, c.n_obs,
+           round(rt.row_tot * ct.col_tot / CAST(n.grand AS DOUBLE), 6) AS expected,
+           round((c.n_obs - rt.row_tot * ct.col_tot / CAST(n.grand AS DOUBLE))
+                 * (c.n_obs - rt.row_tot * ct.col_tot / CAST(n.grand AS DOUBLE))
+                 / (rt.row_tot * ct.col_tot / CAST(n.grand AS DOUBLE)), 6)
+             AS chi_contrib
+    FROM c
+    JOIN rt ON rt.event_type = c.event_type
+    JOIN ct ON ct.cohort = c.cohort
+    CROSS JOIN n
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and a user
+    cohort (user_id mod 4): the contingency table with expected counts
+    under independence and per-cell chi contributions — the
+    segmentation sanity check run before trusting any per-cohort
+    metric difference.
+
+    Determinism: the contingency table, row/column totals, and grand
+    total are exact bigints; expected counts and contributions are a
+    shared double formula written identically in both engines.
+
+    Scale: ONE shuffle builds the (type x cohort) table — cardinality
+    |types| x 4 — and the margins derive from that tiny relation with
+    broadcast joins; the corpus is scanned once."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", (F.col("user_id") % 4).cast("int").alias("cohort")
+    ).agg(F.count("*").cast("bigint").alias("n_obs"))
+    rt = c.groupBy("event_type").agg(F.sum("n_obs").cast("bigint").alias("row_tot"))
+    ct = c.groupBy("cohort").agg(F.sum("n_obs").cast("bigint").alias("col_tot"))
+    n = c.agg(F.sum("n_obs").cast("bigint").alias("grand"))
+    s = (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "cohort")
+        .crossJoin(F.broadcast(n))
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("grand").cast("double")
+    return s.select(
+        "event_type", "cohort", "n_obs",
+        F.round(exp, 6).alias("expected"),
+        F.round((F.col("n_obs") - exp) * (F.col("n_obs") - exp) / exp, 6).alias(
+            "chi_contrib"
+        ),
+    )

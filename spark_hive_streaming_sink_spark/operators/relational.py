@@ -634,3 +634,38 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n_urgent_orders, cents_total
         """
     )
+
+
+@register(
+    "sql_distribute_cluster_by",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+    tags=("sql", "surface", "hive"),
+)
+def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HiveQL physical-layout surface: CLUSTER BY (= DISTRIBUTE BY +
+    SORT BY on the same key) — the syntax Hive users of the reference
+    sink write to control partition placement before a bucketed write.
+    The result SET is identical to the plain projection (the oracle);
+    what CLUSTER BY adds is plan shape — a hash-partition Exchange plus
+    a partition-local Sort, exactly what feeds a bucketed/sorted table
+    write without a global sort.
+
+    Scale: the Exchange is the explicit repartition a layout-control
+    write wants anyway; SORT BY stays partition-local (never a single-
+    partition global sort)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_cluster_view"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents
+        FROM lineitem_cluster_view
+        WHERE l_orderkey % 100 = 0
+        CLUSTER BY l_returnflag
+        """
+    )

@@ -749,3 +749,31 @@ def test_welch_ttest_single_pass(spark):
     assert count_nodes(df, "Exchange") == 1
     assert count_nodes(df, "HashAggregate") == 2
     assert count_nodes(df, "Window") == 0
+
+
+def test_benford_tiny_aggregate_broadcast_margins(spark):
+    """Benford audit: (type x 9) aggregate + broadcast total join; the
+    events scan is touched once, no sort-merge on the tiny keys."""
+    df = _df(spark, "events_benford_digit_audit")
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_chi_square_margins_broadcast(spark):
+    """Chi-square: one corpus shuffle builds the contingency table;
+    row/col/grand margins join back via broadcast only."""
+    df = _df(spark, "agg_chi_square_independence")
+    assert count_nodes(df, "BroadcastHashJoin") >= 2
+    assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_cluster_by_partition_local_sort(spark):
+    """CLUSTER BY must plan a hash-partition Exchange + partition-local
+    Sort — and never a global (single-partition) sort."""
+    df = _df(spark, "sql_distribute_cluster_by")
+    plan = formatted_plan(df)
+    assert "hashpartitioning" in plan.lower()
+    assert count_nodes(df, "Sort") >= 1
+    assert "exchange singlepartition" not in plan.lower()
+    assert "rangepartitioning" not in plan.lower()
