@@ -137,3 +137,65 @@ def source_partitioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFram
             / 100.0
         ).alias("total"),
     )
+
+
+@register(
+    "source_binaryfile_ingest",
+    oracle="""
+    WITH s AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS a
+               FROM documents WHERE doc_id % 7 = 0),
+    d AS (SELECT doc_id, a,
+                 GREATEST(1, CAST(FLOOR(SQRT(CAST(length(a)//3 AS DOUBLE))) AS BIGINT)) AS w
+          FROM s),
+    e AS (SELECT doc_id, a, w, (length(a)//3)//w AS h FROM d WHERE length(a)//3 >= 1),
+    p AS (SELECT doc_id, w, h,
+                 'P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+                      || chr(10) || '255' || chr(10)
+                      || substr(a, 1, CAST(w*h*3 AS INTEGER)) AS payload
+          FROM e)
+    SELECT doc_id,
+           CAST(length(payload) AS BIGINT) AS n_bytes,
+           sha256(payload) AS content_sha256
+    FROM p
+    """,
+    tags=("source", "multimodal", "binary"),
+)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal ingest path real pipelines start from: a
+    directory of opaque media files read through Spark's ``binaryFile``
+    source (path/length/content per file) — here one real PPM image
+    file per document (encoded JVM-side, written executor-side in
+    foreachPartition, the distributed-export shape; on a cluster the
+    target is the shared object store). Read back, the id is parsed
+    from the file name and the content hashed — the oracle reproduces
+    every byte from the generating formula, so the whole
+    export→ingest loop is hash-checked.
+
+    Scale: binaryFile scans parallelize per-file and prune with
+    pathGlobFilter; content hashing is map-side. The anti-pattern this
+    replaces is driver-side file loops — nothing here touches the
+    driver."""
+    from ..functions.multimodal import ppm_payloads
+
+    base = tempfile.mkdtemp(prefix="shss_binfile_")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    payloads = ppm_payloads(d)
+
+    def write_files(rows):
+        for r in rows:
+            with open(os.path.join(base, f"{r.doc_id}.ppm"), "wb") as f:
+                f.write(bytes(r.payload))
+
+    payloads.foreachPartition(write_files)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm")
+        .load(base)
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.ppm$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )

@@ -777,3 +777,12 @@ def test_cluster_by_partition_local_sort(spark):
     assert count_nodes(df, "Sort") >= 1
     assert "exchange singlepartition" not in plan.lower()
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_binaryfile_ingest_map_side_hash(spark):
+    """binaryFile ingest: id parse + content hash are map-side over the
+    file scan — no shuffle, no Python, no driver-side file loop."""
+    df = _df(spark, "source_binaryfile_ingest")
+    assert count_nodes(df, "Exchange") == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
