@@ -669,3 +669,50 @@ def sql_distribute_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         CLUSTER BY l_returnflag
         """
     )
+
+
+@register(
+    "sql_parameterized_query",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(MAX(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000.0 AND 150000.0
+      AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "surface"),
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+/4.x named parameter markers): the
+    query text carries :lo/:hi/:status placeholders and the values
+    bind at execution — the injection-safe templating surface an
+    application layer uses instead of string concatenation. Binding
+    happens in the parser, so the bound plan is byte-identical to the
+    literal form (the oracle) — constant folding, pushdown, and
+    partition pruning all see real literals.
+
+    Scale: identical to the literal query — one scan with the BETWEEN
+    and status filters pushed to parquet, one partial+final agg."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_param_view"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS min_cents,
+               CAST(MAX(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS max_cents
+        FROM orders_param_view
+        WHERE o_totalprice BETWEEN :lo AND :hi
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"lo": 1000.0, "hi": 150000.0, "status": "F"},
+    )

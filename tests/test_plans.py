@@ -786,3 +786,14 @@ def test_binaryfile_ingest_map_side_hash(spark):
     assert count_nodes(df, "Exchange") == 0
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_parameterized_query_pushes_bound_literals(spark):
+    """Named-parameter binding happens in the parser, so the bound
+    values must reach the parquet scan as pushed filters exactly like
+    literals would."""
+    df = _df(spark, "sql_parameterized_query")
+    pf = pushed_filters(df)
+    assert any("o_totalprice" in f for f in pf), f"bound range not pushed: {pf}"
+    assert any("o_orderstatus" in f for f in pf), f"bound status not pushed: {pf}"
+    assert count_nodes(df, "Exchange") == 1
