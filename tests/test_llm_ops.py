@@ -552,3 +552,170 @@ def test_bigram_surprisal_covers_multi_token_docs(spark):
     for k in multi:
         assert out[k]["n_bigrams"] == ntok[k] - 1
         assert out[k]["avg_surprisal"] > 0
+
+
+def test_knn_graph_every_node_ranked_within_bucket(spark):
+    """Each node gets at most K neighbors, ranks are 1..k dense, and a
+    node never lists itself."""
+    from spark_hive_streaming_sink_spark.functions.similarity import (
+        K_NN_GRAPH,
+        sim_knn_graph_lsh,
+    )
+    from .conftest import SF_DIR
+
+    rows = sim_knn_graph_lsh(spark, SF_DIR).collect()
+    per = {}
+    for r in rows:
+        assert r["node_id"] != r["neighbor_id"]
+        assert -1.0 <= r["cosine"] <= 1.0
+        per.setdefault(r["node_id"], []).append(r["rnk"])
+    for rnks in per.values():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= K_NN_GRAPH
+
+
+def test_semantic_dedup_keeper_precedes_duplicate(spark):
+    """The keeper always has a lower id than the duplicate it shadows,
+    best_cos clears the threshold, and a keeper is never itself listed
+    as a duplicate of a LOWER-id partner above threshold... it may be —
+    but the delete list (dup_ids) must never contain a component's
+    minimum id."""
+    from spark_hive_streaming_sink_spark.functions.clustering import (
+        SEM_TAU,
+        dedup_semantic_cluster,
+    )
+    from .conftest import SF_DIR
+
+    rows = dedup_semantic_cluster(spark, SF_DIR).collect()
+    assert rows, "threshold yields no duplicates at fixture scale"
+    for r in rows:
+        assert r["keeper_id"] < r["dup_id"]
+        assert r["best_cos"] >= SEM_TAU
+        assert r["n_matches"] >= 1
+
+
+def test_markov_rows_normalize_to_unity(spark):
+    """Per prev_type, transition probabilities sum to ~1e6 ppm (within
+    per-row rounding) and counts sum to the row total."""
+    from spark_hive_streaming_sink_spark.operators.timeseries import (
+        events_markov_transitions,
+    )
+    from .conftest import SF_DIR
+
+    rows = events_markov_transitions(spark, SF_DIR).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, rs in by_prev.items():
+        n_from = rs[0]["n_from"]
+        assert sum(r["n_trans"] for r in rs) == n_from
+        ppm = sum(r["prob_ppm"] for r in rs)
+        assert abs(ppm - 1_000_000) <= len(rs)  # each row rounds once
+
+
+def test_cusum_and_drawdown_invariants(spark):
+    """CUSUM: the peak |S| is positive unless the series is constant
+    and the change-point lies within the series. Drawdown: max_drawdown
+    >= 0 and the trough's cum <= its peak."""
+    from spark_hive_streaming_sink_spark.operators.timeseries import (
+        events_cusum_changepoint,
+    )
+    from spark_hive_streaming_sink_spark.operators.windows import (
+        window_max_drawdown,
+    )
+    from .conftest import SF_DIR
+
+    for r in events_cusum_changepoint(spark, SF_DIR).collect():
+        assert r["max_abs_cusum"] >= 0
+        assert 0 < r["changepoint_frac"] <= 1.0
+    for r in window_max_drawdown(spark, SF_DIR).collect():
+        assert r["max_drawdown"] >= 0
+        assert r["cum_at_trough"] <= r["peak_before_trough"] + 1e-9
+
+
+def test_pq_codes_in_codebook_range(spark):
+    """Every PQ code indexes a codebook entry; seed vectors quantize to
+    themselves with zero distortion."""
+    from spark_hive_streaming_sink_spark.functions.similarity import (
+        PQ_K,
+        embed_pq_codes,
+    )
+    from .conftest import SF_DIR
+
+    rows = {r["vec_id"]: r for r in embed_pq_codes(spark, SF_DIR).collect()}
+    for r in rows.values():
+        for c in ("code0", "code1", "code2", "code3"):
+            assert 0 <= r[c] < PQ_K
+        assert r["distortion"] >= 0
+    for seed in range(PQ_K):
+        r = rows[seed]
+        assert (r["code0"], r["code1"], r["code2"], r["code3"]) == (
+            seed, seed, seed, seed
+        )
+        assert r["distortion"] == 0.0
+
+
+def test_lsh_components_labels_are_component_minima(spark):
+    """Component label = min member id; exactly one non-duplicate per
+    component; every member reaches the label."""
+    from spark_hive_streaming_sink_spark.functions.clustering import (
+        dedup_lsh_components,
+    )
+    from .conftest import SF_DIR
+
+    rows = dedup_lsh_components(spark, SF_DIR).collect()
+    comps = {}
+    for r in rows:
+        comps.setdefault(r["component"], []).append(r)
+    for label, members in comps.items():
+        ids = [m["node"] for m in members]
+        assert min(ids) == label
+        keepers = [m for m in members if not m["is_duplicate"]]
+        assert len(keepers) == 1 and keepers[0]["node"] == label
+        assert all(m["n_members"] == len(members) for m in members)
+
+
+def test_benford_and_chi_square_margins(spark):
+    """Benford: digits are 1..9 and obs_ppm sums to ~1e6 per type.
+    Chi-square: expected counts sum back to the grand total."""
+    from spark_hive_streaming_sink_spark.operators.aggregates import (
+        agg_chi_square_independence,
+        events_benford_digit_audit,
+    )
+    from .conftest import SF_DIR
+
+    by_type = {}
+    for r in events_benford_digit_audit(spark, SF_DIR).collect():
+        assert 1 <= r["digit"] <= 9
+        assert r["chi_contrib"] >= 0
+        by_type.setdefault(r["event_type"], []).append(r)
+    for rs in by_type.values():
+        assert abs(sum(r["obs_ppm"] for r in rs) - 1_000_000) <= len(rs)
+    chi = agg_chi_square_independence(spark, SF_DIR).collect()
+    grand = sum(r["n_obs"] for r in chi)
+    assert abs(sum(r["expected"] for r in chi) - grand) < 1e-3
+
+
+def test_vad_segments_cover_only_active_frames(spark):
+    """Segments are within-clip, non-overlapping, ordered, and each
+    segment's energy clears n_frames * threshold."""
+    from spark_hive_streaming_sink_spark.functions.multimodal import (
+        N_SAMPLES,
+        VAD_FRAME,
+        VAD_THRESHOLD,
+        multimodal_audio_vad_segments,
+    )
+    from .conftest import SF_DIR
+
+    rows = multimodal_audio_vad_segments(spark, SF_DIR).collect()
+    assert rows
+    per_doc = {}
+    for r in rows:
+        assert 0 <= r["seg_start"] <= r["seg_end"] < N_SAMPLES // VAD_FRAME
+        assert r["n_frames"] == r["seg_end"] - r["seg_start"] + 1
+        assert r["seg_energy"] > r["n_frames"] * VAD_THRESHOLD
+        per_doc.setdefault(r["doc_id"], []).append((r["seg_start"], r["seg_end"]))
+    for segs in per_doc.values():
+        segs.sort()
+        for (s1, e1), (s2, _e2) in zip(segs, segs[1:]):
+            assert e1 + 1 < s2  # a gap separates segments (else merged)
