@@ -716,3 +716,46 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"lo": 1000.0, "hi": 150000.0, "status": "F"},
     )
+
+
+@register(
+    "join_lateral_correlated",
+    oracle="""
+    SELECT o.o_orderkey, t.l_linenumber, t.cents
+    FROM orders o, LATERAL (
+      SELECT l_linenumber,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+      FROM lineitem WHERE l_orderkey = o.o_orderkey
+      ORDER BY cents DESC, l_linenumber LIMIT 1) t
+    WHERE o.o_orderkey % 500 = 0
+    """,
+    tags=("sql", "join", "surface"),
+)
+def join_lateral_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (SQL:99 LATERAL, Spark 3.2+):
+    for each order, its single most expensive line item — the
+    top-1-per-key pattern written the way an application developer
+    ports it from Postgres. Spark decorrelates the LATERAL into a
+    window/aggregate + join under the hood, so the plan is the same
+    one window_topk_per_group gets — no per-row re-execution of the
+    inner query (which is how a naive engine runs LATERAL and why it
+    dies at scale). The deterministic ORDER BY (cents, linenumber)
+    LIMIT 1 makes the picked row unique.
+
+    Scale: decorrelation turns this into one lineitem shuffle on
+    l_orderkey + a join with orders — no nested-loop, no iteration."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_lat_v"
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.cents
+        FROM orders_lat_v o, LATERAL (
+          SELECT l_linenumber,
+                 CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+          FROM lineitem_lat_v WHERE l_orderkey = o.o_orderkey
+          ORDER BY cents DESC, l_linenumber LIMIT 1) t
+        WHERE o.o_orderkey % 500 = 0
+        """
+    )

@@ -797,3 +797,14 @@ def test_parameterized_query_pushes_bound_literals(spark):
     assert any("o_totalprice" in f for f in pf), f"bound range not pushed: {pf}"
     assert any("o_orderstatus" in f for f in pf), f"bound status not pushed: {pf}"
     assert count_nodes(df, "Exchange") == 1
+
+
+def test_lateral_correlated_decorrelates_to_hash_join(spark):
+    """Spark must decorrelate the LATERAL top-1 subquery into a window
+    + hash join — never a nested-loop per-row re-execution."""
+    df = _df(spark, "join_lateral_correlated")
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert (
+        count_nodes(df, "BroadcastHashJoin") + count_nodes(df, "SortMergeJoin") >= 1
+    )
