@@ -609,3 +609,125 @@ def dedup_chunks_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dropped_ppm"),
         "kept_fingerprint",
     )
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
+    hxt AS (SELECT doc_id, shingles, {_SQL_HX} AS hx FROM sh),
+    mh AS (SELECT doc_id, shingles, {_SQL_MINHASH} FROM hxt),
+    bands AS (
+      SELECT doc_id, 0 AS band_no,
+             md5(concat_ws('_', mh0, mh1, mh2, mh3)) AS band_key FROM mh
+      UNION ALL
+      SELECT doc_id, 1 AS band_no,
+             md5(concat_ws('_', mh4, mh5, mh6, mh7)) AS band_key FROM mh),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.band_no = b.band_no
+       AND a.doc_id < b.doc_id),
+    j AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(((x.mh0 = y.mh0)::INT + (x.mh1 = y.mh1)::INT
+                 + (x.mh2 = y.mh2)::INT + (x.mh3 = y.mh3)::INT
+                 + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT
+                 + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) AS BIGINT)
+               AS n_match_perms,
+             CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS n_inter,
+             CAST(len(x.shingles) + len(y.shingles)
+                  - len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS n_union
+      FROM pairs p
+      JOIN mh x ON x.doc_id = p.doc_a
+      JOIN mh y ON y.doc_id = p.doc_b)
+    SELECT doc_a, doc_b, n_match_perms,
+           CAST(round(n_match_perms * 1000000.0 / {N_MINHASH}, 0) AS BIGINT)
+             AS est_jaccard_ppm,
+           CAST(round(n_inter * 1000000.0 / n_union, 0) AS BIGINT)
+             AS exact_jaccard_ppm,
+           CAST(abs(CAST(round(n_match_perms * 1000000.0 / {N_MINHASH}, 0) AS BIGINT)
+                  - CAST(round(n_inter * 1000000.0 / n_union, 0) AS BIGINT)) AS BIGINT)
+             AS abs_err_ppm
+    FROM j
+    """,
+    tags=("llm", "dedup", "minhash", "audit"),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH calibration audit: for every candidate pair the band join
+    surfaces, the MinHash Jaccard ESTIMATE (matching permutations / N)
+    side by side with the EXACT shingle Jaccard and the absolute
+    error — the measurement that tells you whether your band/row
+    configuration is tuned before you trust it to delete data at
+    100 TB. Everything is integer ppm from exact set sizes, so the
+    whole audit is hash-checked.
+
+    Scale: candidate pairs only (band-bucket-local, the same join as
+    dedup_minhash_pairs); the exact-Jaccard re-check touches only
+    those pairs — this is precisely how production pipelines afford
+    exact verification: estimate to find candidates, exact-check the
+    candidates."""
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    sig = (
+        d.select(
+            "doc_id",
+            _shingles(F.col("text")).alias("shingles"),
+        )
+        .select(
+            "doc_id", "shingles", _shingle_hashes(F.col("shingles")).alias("hx")
+        )
+        .select("doc_id", "shingles", *_minhash_cols())
+        # four consumers (two band sides + both pair sides): shingle
+        # once — at 100 TB this is the persisted signature table
+        .localCheckpoint(eager=True)
+    )
+    b0 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)]))
+    b1 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)]))
+    bands = sig.select(
+        "doc_id", F.lit(0).alias("band_no"), b0.alias("band_key")
+    ).unionByName(
+        sig.select("doc_id", F.lit(1).alias("band_no"), b1.alias("band_key"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    y = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    j = pairs.join(x, "doc_a").join(y, "doc_b")
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_MINHASH)
+    ).cast("bigint")
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    n_union = (
+        F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - n_inter
+    )
+    est = F.round(n_match * 1000000.0 / N_MINHASH, 0).cast("bigint")
+    exact = F.round(n_inter * 1000000.0 / n_union, 0).cast("bigint")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        n_match.alias("n_match_perms"),
+        est.alias("est_jaccard_ppm"),
+        exact.alias("exact_jaccard_ppm"),
+        F.abs(est - exact).cast("bigint").alias("abs_err_ppm"),
+    )

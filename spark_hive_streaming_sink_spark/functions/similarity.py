@@ -859,3 +859,113 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round("d2r", 6).cast("decimal(18,6)")).cast("double"), 6
         ).alias("distortion"),
     )
+
+
+RECALL_K = 3  # matches sim_ann_lsh's depth
+
+
+@register(
+    "sim_ann_recall_audit",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+                      {_sql_bucket('embedding')} AS bucket
+               FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
+    truth AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_sql_dot('q.embedding', 'c.embedding')}
+                               / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rnk
+        FROM q JOIN v c ON c.vec_id != q.vec_id)
+      WHERE rnk <= {RECALL_K}),
+    approx AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_sql_dot('q.embedding', 'c.embedding')}
+                               / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rnk
+        FROM q JOIN v c ON c.bucket = q.bucket AND c.vec_id != q.vec_id)
+      WHERE rnk <= {RECALL_K})
+    SELECT t.query_id,
+           CAST({RECALL_K} AS INT) AS k,
+           CAST(COUNT(a.cand_id) AS BIGINT) AS n_hits,
+           CAST(round(COUNT(a.cand_id) * 1000000.0 / {RECALL_K}, 0) AS BIGINT)
+             AS recall_ppm
+    FROM truth t
+    LEFT JOIN approx a ON a.query_id = t.query_id AND a.cand_id = t.cand_id
+    GROUP BY t.query_id
+    """,
+    tags=("llm", "similarity", "ann", "audit"),
+)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit for the LSH ANN index: per query, how many of
+    the TRUE top-k neighbors (brute-force, the sim_cosine_topk path)
+    the bucket-pruned search (the sim_ann_lsh path) actually returns —
+    THE metric an ANN deployment tracks before trading exactness for
+    speed, here hash-checked end to end because both rankings use the
+    same rounded-cosine + id tie-break.
+
+    Scale: the brute-force truth side is affordable because it runs
+    over the (small) query sample only — exactly how production recall
+    monitoring works: sample queries, exact-rank them, compare the
+    index's answers. Both sides broadcast the query set; the audit
+    join is (queries x k)-sized."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).limit(N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = F.round(
+        _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
+
+    def topk(pairs):
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= RECALL_K)
+            .select("query_id", F.col("vec_id").alias("cand_id"))
+        )
+
+    truth = topk(
+        F.broadcast(q).join(v, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", cos.alias("cos"))
+    )
+    approx = topk(
+        F.broadcast(q).join(
+            v,
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        ).select("query_id", "vec_id", cos.alias("cos"))
+    )
+    t = truth.select(
+        F.col("query_id").alias("t_q"), F.col("cand_id").alias("t_c")
+    )
+    a = approx.select(
+        F.col("query_id").alias("a_q"), F.col("cand_id").alias("a_c")
+    )
+    return (
+        t.join(a, (F.col("t_q") == F.col("a_q")) & (F.col("t_c") == F.col("a_c")), "left")
+        .groupBy(F.col("t_q").alias("query_id"))
+        .agg(
+            F.lit(RECALL_K).cast("int").alias("k"),
+            F.count("a_c").cast("bigint").alias("n_hits"),
+            F.round(F.count("a_c") * 1000000.0 / RECALL_K, 0)
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )

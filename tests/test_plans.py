@@ -808,3 +808,24 @@ def test_lateral_correlated_decorrelates_to_hash_join(spark):
     assert (
         count_nodes(df, "BroadcastHashJoin") + count_nodes(df, "SortMergeJoin") >= 1
     )
+
+
+def test_minhash_calibration_pairs_only(spark):
+    """Calibration: exact-Jaccard re-check touches only band-bucket
+    candidate pairs (no cartesian, no nested-loop over the corpus);
+    the signature subtree is checkpointed once for its four consumers."""
+    df = _df(spark, "dedup_minhash_calibration")
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_recall_audit_broadcast_query_sample(spark):
+    """Recall audit: both rankings broadcast the bounded query sample;
+    per-query top-k compiles to WindowGroupLimit; never a cartesian."""
+    df = _df(spark, "sim_ann_recall_audit")
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "WindowGroupLimit") >= 2
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
