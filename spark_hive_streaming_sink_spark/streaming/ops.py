@@ -276,3 +276,75 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return res.groupBy("event_type").agg(
         F.countDistinct("event_id").alias("n_unique")
     )
+
+
+@register(
+    "stream_json_variant_etl",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts) - INTERVAL (extract(hour FROM ts) % 6) HOUR,
+                    '{TS_FMT_DUCK}') AS win_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(len(list_distinct(list(user_id))) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "json", "variant"),
+)
+def stream_json_variant_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's wire format, end to end, as a real streaming
+    query: events serialize to JSON lines (the row-as-JSON model of
+    HiveStreamDataWriter.scala:96-100), a file STREAM tails the
+    directory, each line parses ONCE to a Spark-4 VARIANT, typed
+    variant_get probes extract the fields, and a tumbling event-time
+    window aggregates — i.e. Kafka-JSON ETL with the transport swapped
+    for files. The oracle is the static SQL over the same bounded
+    events, so the whole serialize→stream→parse→window loop is
+    hash-checked.
+
+    Scale: JSON encode and VARIANT decode are codegen'd map work; the
+    single shuffle is the windowed aggregate, whose (window, type) key
+    is naturally unskewed. The VARIANT parse amortizes all four field
+    probes — the streaming twin of json_variant_extract."""
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="shss_jsonl_")
+    ev.select(
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+                F.round("value", 6).alias("value"),
+            )
+        ).alias("value")
+    ).write.mode("overwrite").text(base)
+    lines = spark.readStream.schema("value string").text(base)
+    v = lines.select(F.parse_json(F.col("value")).alias("j")).select(
+        F.variant_get("j", "$.user_id", "bigint").alias("user_id"),
+        F.variant_get("j", "$.event_type", "string").alias("event_type"),
+        F.to_timestamp(
+            F.variant_get("j", "$.ts_str", "string"), TS_FMT_SPARK
+        ).alias("ts"),
+        F.variant_get("j", "$.value", "double").alias("value"),
+    )
+    agg = v.groupBy(F.window("ts", "6 hours"), "event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        # COUNT(DISTINCT) is unsupported in streaming aggs; a set
+        # aggregate is the exact equivalent (bounded by the user
+        # cardinality per window) - approx_count_distinct is the
+        # unbounded-cardinality alternative
+        F.size(F.collect_set("user_id")).cast("bigint").alias("n_users"),
+        F.sum(F.round("value", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    res = run_to_memory(agg, mode="complete")
+    return res.select(
+        F.date_format(F.col("window.start"), TS_FMT_SPARK).alias("win_start"),
+        "event_type",
+        "n",
+        "n_users",
+        "total_value",
+    )
