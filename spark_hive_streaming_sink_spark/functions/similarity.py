@@ -969,3 +969,182 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+IVFPQ_CELLS = 4  # coarse quantizer cells (seed rows vec_id < IVFPQ_CELLS)
+
+_SQL_FULL_D2 = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+
+@register(
+    "sim_ivf_pq_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    cc AS (SELECT vec_id AS ccid, v AS cv FROM e WHERE vec_id < {IVFPQ_CELLS}),
+    acell AS (
+      SELECT vec_id, v, ccid AS cell,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY round(d2, 6), ccid) AS rn
+      FROM (SELECT e.vec_id, e.v, cc.ccid,
+                   {_SQL_FULL_D2.format(a='e.v', b='cc.cv')} AS d2
+            FROM e CROSS JOIN cc)),
+    m0 AS (SELECT vec_id, v, cell FROM acell WHERE rn = 1),
+    sub AS (
+      SELECT vec_id, cell, m, v[1 + m * {PQ_SUB} : (m + 1) * {PQ_SUB}] AS vs
+      FROM m0 CROSS JOIN unnest(generate_series(0, {PQ_M - 1})) AS t(m)),
+    cb AS (SELECT vec_id AS cid, m, vs AS cs FROM sub WHERE vec_id < {PQ_K}),
+    codes AS (
+      SELECT vec_id, cell, m, cid AS code FROM (
+        SELECT s.vec_id, s.cell, s.m, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY round({_SQL_SUB_D2.format(n=PQ_SUB, a='s.vs', b='c.cs')}, 6), c.cid) AS rn
+        FROM sub s JOIN cb c ON c.m = s.m)
+      WHERE rn = 1),
+    qcell AS (SELECT vec_id AS query_id, cell AS q_cell FROM m0
+              WHERE vec_id < {N_QUERIES}),
+    dtable AS (
+      SELECT s.vec_id AS query_id, s.m, c.cid,
+             CAST(round({_SQL_SUB_D2.format(n=PQ_SUB, a='s.vs', b='c.cs')}, 6)
+                  AS DECIMAL(18,6)) AS qd2
+      FROM sub s JOIN cb c ON c.m = s.m
+      WHERE s.vec_id < {N_QUERIES}),
+    adc AS (
+      SELECT q.query_id, k.vec_id AS cand_id, k.cell,
+             round(CAST(SUM(d.qd2) AS DOUBLE), 6) AS adc_d2
+      FROM qcell q
+      JOIN codes k ON k.cell = q.q_cell AND k.vec_id != q.query_id
+      JOIN dtable d ON d.query_id = q.query_id AND d.m = k.m AND d.cid = k.code
+      GROUP BY q.query_id, k.vec_id, k.cell)
+    SELECT query_id, cand_id, cell, adc_d2, rnk FROM (
+      SELECT query_id, cand_id, cell, adc_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, cand_id) AS rnk
+      FROM adc)
+    WHERE rnk <= {RECALL_K}
+    """,
+    tags=("llm", "similarity", "ann", "ivf", "quantization"),
+)
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search end to end — the architecture behind every
+    billion-vector ANN deployment (FAISS IndexIVFPQ): a coarse
+    quantizer routes each vector to a cell, vectors store only their
+    PQ codes, and a query (a) probes its cell and (b) scores
+    candidates with Asymmetric Distance Computation — a per-query
+    lookup table of (subspace x codebook-entry) distances, so scoring
+    a candidate is PQ_M table lookups + adds, never a full-dimension
+    dot product. Raw-vector PQ (not residual) for oracle clarity; the
+    plan shape is identical.
+
+    Determinism: per-subspace distances round to 6 dp and accumulate
+    as exact decimals; ranking ties break on cand_id.
+
+    Scale: the searchable index is (cell, PQ_M codes) per vector —
+    here 4 bytes/vector vs 256 for the raw floats, the 64x memory cut
+    that makes RAM-resident billion-vector search possible. The LUT
+    (queries x PQ_M x PQ_K distances) broadcasts; candidate scoring is
+    a broadcast join + tiny aggregate, shuffled on (query, cand) —
+    cell-local, never corpus-wide."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cc = (
+        e.filter(F.col("vec_id") < IVFPQ_CELLS)
+        .limit(IVFPQ_CELLS)
+        .select(F.col("vec_id").alias("ccid"), F.col("v").alias("cv"))
+    )
+    d2_cell = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), "ccid")
+    m0 = (
+        e.crossJoin(F.broadcast(cc))
+        .select("vec_id", "v", "ccid", d2_cell.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("ccid").alias("cell"))
+        .localCheckpoint(eager=True)  # one assignment, three consumers
+    )
+    sub = m0.select(
+        "vec_id",
+        "cell",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+                lambda m: F.struct(
+                    m.alias("m"), F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias("vs")
+                ),
+            )
+        ).alias("s"),
+    ).select("vec_id", "cell", "s.m", "s.vs")
+    cb = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .limit(PQ_M * PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("m").alias("cm"),
+            F.col("vs").alias("cs"),
+        )
+    )
+    d2_sub = F.round(
+        F.aggregate(
+            F.zip_with("vs", "cs", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        6,
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d2r", "cid")
+    codes = (
+        sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select("vec_id", "cell", "m", "cid", d2_sub.alias("d2r"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "m", F.col("cid").alias("code"))
+    )
+    qcell = (
+        m0.filter(F.col("vec_id") < N_QUERIES)
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("cell").alias("q_cell"))
+    )
+    dtable = (
+        sub.filter(F.col("vec_id") < N_QUERIES)
+        .limit(N_QUERIES * PQ_M)
+        .join(F.broadcast(cb), F.col("m") == F.col("cm"))
+        .select(
+            F.col("vec_id").alias("d_query"),
+            F.col("m").alias("d_m"),
+            F.col("cid").alias("d_cid"),
+            d2_sub.cast("decimal(18,6)").alias("qd2"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qcell),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .join(
+            F.broadcast(dtable),
+            (F.col("d_query") == F.col("query_id"))
+            & (F.col("d_m") == F.col("m"))
+            & (F.col("d_cid") == F.col("code")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"), "cell")
+        .agg(F.round(F.sum("qd2").cast("double"), 6).alias("adc_d2"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_d2", "cand_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("query_id", "cand_id", "cell", "adc_d2", "rnk")
+    )

@@ -829,3 +829,16 @@ def test_recall_audit_broadcast_query_sample(spark):
     assert count_nodes(df, "WindowGroupLimit") >= 2
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_pq_all_hash_joins_no_fulldim_rescoring(spark):
+    """IVF-PQ: the LUT, codebook, and query-cell relations all
+    broadcast (4 hash joins, zero sort-merge/nested-loop); candidate
+    scoring is lookups + a tiny aggregate — never a full-dimension
+    dot product against the corpus."""
+    df = _df(spark, "sim_ivf_pq_topk")
+    assert count_nodes(df, "BroadcastHashJoin") >= 3
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "WindowGroupLimit") >= 1
