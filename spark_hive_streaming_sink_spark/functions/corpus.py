@@ -945,3 +945,57 @@ def corpus_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         "rate_ppm",
         F.coalesce("n_sampled", F.lit(0).cast("bigint")).alias("n_sampled"),
     )
+
+
+@register(
+    "corpus_data_card",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+           CAST(round(COUNT(DISTINCT sha256(text)) * 1000000.0 / COUNT(*), 0)
+                AS BIGINT) AS distinct_text_ppm,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*)
+             AS avg_chars,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS DOUBLE) / COUNT(*)
+             AS avg_tokens_per_doc
+    FROM documents
+    """,
+    tags=("llm", "corpus", "monitoring"),
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus data card: document/source/language counts,
+    token volume, exact-duplication rate (distinct content hashes per
+    million docs), and length statistics — the summary sheet
+    responsible-data practice attaches to every training-set release
+    (Datasheets for Datasets; model-card data sections). One query, so
+    the card is regenerated atomically with each snapshot and
+    hash-checked like any operator.
+
+    Scale: a single scan with one global aggregate; the two DISTINCT
+    aggregates expand map-side (Spark's multi-distinct rewrite) and
+    the content-hash distinct rides the same uniform sha256 key that
+    dedup_exact shuffles on. No joins, no windows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), " "))
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.sum(toks).cast("bigint").alias("total_tokens"),
+        F.round(
+            F.countDistinct(F.sha2("text", 256)) * 1000000.0 / F.count("*"), 0
+        )
+        .cast("bigint")
+        .alias("distinct_text_ppm"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        (
+            F.sum(F.col("n_chars").cast("decimal(18,0)")).cast("double")
+            / F.count("*")
+        ).alias("avg_chars"),
+        (F.sum(toks).cast("double") / F.count("*")).alias("avg_tokens_per_doc"),
+    )
