@@ -15,6 +15,8 @@ the convergence counter.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
@@ -377,7 +379,10 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 SEM_TAU = 0.38  # within-cell cosine threshold for "semantic duplicate"
-SEM_K = 16  # cells — scales with corpus size so cells stay small
+# cells — must scale with corpus size (K ~ sqrt(N)) so the quadratic
+# within-cell term stays bounded; the stress harness raises it via env
+# (oracle SQL derives from the same value, so it stays consistent)
+SEM_K = int(os.environ.get("SHSS_SEM_K", "16"))
 
 _SQL_DOT_CL = (
     "list_reduce(list_transform(generate_series(1, len({a})), "

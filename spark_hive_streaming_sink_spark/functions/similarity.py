@@ -17,6 +17,7 @@ expression evaluation.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -28,7 +29,12 @@ from ..registry import register
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 TOP_K = 5
 DIM = 64
-N_PLANES = 4
+# Bucket-count knob: cells must scale with corpus size (K ~ sqrt(N)),
+# so the stress harness raises it via env; the default is the fixture
+# configuration every oracle/gate run uses. Both the Spark plan and the
+# generated oracle SQL derive from the same value, so any setting stays
+# self-consistent.
+N_PLANES = int(os.environ.get("SHSS_N_PLANES", "4"))
 
 
 def _dot(a: Column, b: Column) -> Column:

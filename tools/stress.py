@@ -23,6 +23,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Cell-count knobs for the quadratic-within-cell operators (SemDeDup,
+# LSH kNN graph): their fixture defaults (SEM_K=16, 2^4 buckets) are
+# only valid near fixture scale — the documented K ~ sqrt(N) rule says
+# cell count must grow with the corpus, or within-cell pair counts grow
+# quadratically (x30 with fixture K measured as a multi-hour stage).
+# Scale them with REPL *before* the registry import bakes the constants.
+_REPL = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+os.environ.setdefault("SHSS_SEM_K", str(16 * _REPL))
+os.environ.setdefault("SHSS_N_PLANES", str(4 + _REPL.bit_length()))
+
 import pyspark.sql.functions as F  # noqa: E402
 
 from spark_hive_streaming_sink_spark.io import load_table  # noqa: E402
@@ -125,7 +135,7 @@ def materialize(spark, repl: int, out_dir: str) -> None:
 
 
 def main() -> None:
-    repl = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    repl = _REPL
     cpus = sys.argv[2] if len(sys.argv) > 2 else "32"
     out_dir = f"/tmp/shss_stress_x{repl}"
     spark = get_spark("stress", cpus=cpus)
