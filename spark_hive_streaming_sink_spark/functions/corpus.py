@@ -999,3 +999,57 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_chars"),
         (F.sum(toks).cast("double") / F.count("*")).alias("avg_tokens_per_doc"),
     )
+
+
+@register(
+    "corpus_train_split_audit",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    c AS (SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM s GROUP BY source, split),
+    t AS (SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_source
+          FROM c GROUP BY source)
+    SELECT c.source, c.split, c.n_docs,
+           CAST(round(c.n_docs * 1000000.0 / t.n_source, 0) AS BIGINT)
+             AS share_ppm
+    FROM c JOIN t ON t.source = c.source
+    """,
+    tags=("llm", "corpus", "sample"),
+)
+def corpus_train_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split audit: every document is routed to a split
+    by a hash range over its id (~90/5/5 — 'e6'/'f3' are the 230/243
+    out of 256 byte boundaries), and the audit reports per-source split
+    shares. Hash routing makes the split a pure function of the id —
+    disjoint and complete BY CONSTRUCTION, stable under repartitioning,
+    corpus growth, and engine changes — which is why pipelines split
+    this way instead of with random() (leakage on re-run) or row
+    position (leakage on re-sort). The per-source shares are what you
+    monitor: a source whose val share drifts from ~5% signals id
+    clustering under the hash — the failure mode this audit exists to
+    catch.
+
+    Scale: one scan, one (source x 3) aggregate, broadcast total join."""
+    d = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    s = d.select(
+        "source",
+        F.when(h2 < "e6", "train").when(h2 < "f3", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    c = s.groupBy("source", "split").agg(F.count("*").cast("bigint").alias("n_docs"))
+    t = c.groupBy("source").agg(F.sum("n_docs").cast("bigint").alias("n_source"))
+    return c.join(F.broadcast(t), "source").select(
+        "source", "split", "n_docs",
+        F.round(F.col("n_docs") * 1000000.0 / F.col("n_source"), 0)
+        .cast("bigint")
+        .alias("share_ppm"),
+    )

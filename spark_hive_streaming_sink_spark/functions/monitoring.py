@@ -263,3 +263,64 @@ def embed_text_consistency_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "beta_probe_per_char"
         ),
     )
+
+
+@register(
+    "embed_label_purity",
+    oracle="""
+    WITH c AS (
+      SELECT d.source, e.label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      GROUP BY d.source, e.label),
+    t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_src,
+                 CAST(MAX(n) AS BIGINT) AS n_top,
+                 CAST(COUNT(*) AS BIGINT) AS n_labels
+          FROM c GROUP BY source)
+    SELECT source, n_src, n_labels,
+           CAST(round(n_top * 1000000.0 / n_src, 0) AS BIGINT) AS purity_ppm,
+           CAST((SELECT MIN(label) FROM c
+                 WHERE c.source = t.source AND c.n = t.n_top) AS INT)
+             AS majority_label
+    FROM t
+    """,
+    tags=("llm", "monitoring", "embedding"),
+)
+def embed_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-label purity per source: join documents to their
+    embedding labels (the cluster/topic assignment an embedding
+    pipeline emits) and report each source's majority label and its
+    share — the topical-concentration monitor. A source at high purity
+    is single-topic (fine for a curated source, alarming for a crawl);
+    purity jumps between snapshots flag an upstream labeler change.
+
+    Determinism: counts are exact; the majority label ties to the
+    MINIMUM label id (both engines state it identically).
+
+    Scale: one key-to-key join (bucket-co-locatable) + a (source x
+    label) aggregate; the purity rollup is |sources|-sized."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    c = (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("source", "label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), "label")
+    top = c.withColumn("rn", F.row_number().over(w))
+    agg = top.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_src"),
+        F.count("*").cast("bigint").alias("n_labels"),
+        F.max(F.when(F.col("rn") == 1, F.col("n"))).cast("bigint").alias("n_top"),
+        F.max(F.when(F.col("rn") == 1, F.col("label"))).cast("int").alias(
+            "majority_label"
+        ),
+    )
+    return agg.select(
+        "source", "n_src", "n_labels",
+        F.round(F.col("n_top") * 1000000.0 / F.col("n_src"), 0)
+        .cast("bigint")
+        .alias("purity_ppm"),
+        "majority_label",
+    )
