@@ -719,3 +719,91 @@ def test_vad_segments_cover_only_active_frames(spark):
         segs.sort()
         for (s1, e1), (s2, _e2) in zip(segs, segs[1:]):
             assert e1 + 1 < s2  # a gap separates segments (else merged)
+
+
+def test_minhash_calibration_bounds(spark):
+    """Estimates and exact Jaccard both live in [0, 1e6] ppm; matching
+    permutations never exceed the signature width; the reported error
+    is |est - exact|."""
+    from spark_hive_streaming_sink_spark.functions.dedup import (
+        N_MINHASH,
+        dedup_minhash_calibration,
+    )
+    from .conftest import SF_DIR
+
+    for r in dedup_minhash_calibration(spark, SF_DIR).collect():
+        assert 0 <= r["n_match_perms"] <= N_MINHASH
+        assert 0 <= r["est_jaccard_ppm"] <= 1_000_000
+        assert 0 < r["exact_jaccard_ppm"] <= 1_000_000
+        assert r["abs_err_ppm"] == abs(
+            r["est_jaccard_ppm"] - r["exact_jaccard_ppm"]
+        )
+
+
+def test_recall_audit_bounds_and_ivfpq_ranks(spark):
+    """Recall: 0 <= hits <= k for every query. IVF-PQ: dense ranks,
+    non-negative ADC distances, never self-matches."""
+    from spark_hive_streaming_sink_spark.functions.similarity import (
+        RECALL_K,
+        sim_ann_recall_audit,
+        sim_ivf_pq_topk,
+    )
+    from .conftest import SF_DIR
+
+    rows = sim_ann_recall_audit(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["k"] == RECALL_K
+        assert r["recall_ppm"] == round(r["n_hits"] * 1_000_000 / RECALL_K)
+    per = {}
+    for r in sim_ivf_pq_topk(spark, SF_DIR).collect():
+        assert r["adc_d2"] >= 0
+        assert r["cand_id"] != r["query_id"]
+        per.setdefault(r["query_id"], []).append(r["rnk"])
+    for rnks in per.values():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
+def test_split_audit_partitions_every_source(spark):
+    """Per source: shares sum to ~1e6, splits come from the fixed set,
+    and doc counts sum to the corpus size."""
+    from spark_hive_streaming_sink_spark.functions.corpus import (
+        corpus_train_split_audit,
+    )
+    from spark_hive_streaming_sink_spark.io import load_table
+    from .conftest import SF_DIR
+
+    rows = corpus_train_split_audit(spark, SF_DIR).collect()
+    total = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    by_src = {}
+    for r in rows:
+        assert r["split"] in ("train", "val", "test")
+        by_src.setdefault(r["source"], []).append(r)
+    for rs in by_src.values():
+        assert abs(sum(r["share_ppm"] for r in rs) - 1_000_000) <= len(rs)
+
+
+def test_data_card_and_purity_consistency(spark):
+    """Data card matches independent counts; purity shares are valid
+    and majority labels exist in the label domain."""
+    from spark_hive_streaming_sink_spark.functions.corpus import corpus_data_card
+    from spark_hive_streaming_sink_spark.functions.monitoring import (
+        embed_label_purity,
+    )
+    from spark_hive_streaming_sink_spark.io import load_table
+    from .conftest import SF_DIR
+
+    card = corpus_data_card(spark, SF_DIR).collect()[0]
+    d = load_table(spark, SF_DIR, "documents")
+    assert card["n_docs"] == d.count()
+    assert 0 < card["distinct_text_ppm"] <= 1_000_000
+    assert card["min_chars"] <= card["avg_chars"] <= card["max_chars"]
+    labels = {
+        r["label"]
+        for r in load_table(spark, SF_DIR, "embeddings").select("label").distinct().collect()
+    }
+    for r in embed_label_purity(spark, SF_DIR).collect():
+        assert 0 < r["purity_ppm"] <= 1_000_000
+        assert r["majority_label"] in labels
+        assert r["n_labels"] <= len(labels)
