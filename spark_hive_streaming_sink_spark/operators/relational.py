@@ -759,3 +759,55 @@ def join_lateral_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderkey % 500 = 0
         """
     )
+
+
+@register(
+    "scalar_try_functions",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN (event_id % 5) = 0 THEN NULL
+                ELSE round(value / (event_id % 5), 6) END AS safe_div,
+           CASE WHEN event_id > 0 THEN NULL
+                ELSE 9223372036854775807 + event_id END AS safe_add_overflow,
+           string_split(event_type, '_')[10] AS safe_elem_oob,
+           strftime(try_strptime(CASE WHEN event_id % 2 = 0
+                                      THEN '2024-01-15'
+                                      ELSE 'not-a-date' END, '%Y-%m-%d'),
+                    '%Y-%m-%d') AS safe_ts
+    FROM events WHERE event_id % 17 = 0
+    """,
+    tags=("scalar", "surface"),
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-mode error-handling surface: try_divide (zero divisor
+    -> NULL instead of DIVIDE_BY_ZERO), try_add (bigint overflow ->
+    NULL instead of ARITHMETIC_OVERFLOW), try_element_at (out-of-range
+    index -> NULL), try_to_timestamp (unparseable -> NULL). Spark 4
+    runs ANSI-on by default, so these are how production pipelines
+    express 'null, don't abort' per-expression — the row-level
+    companion to cast_try_cast. The oracle states the same semantics
+    with explicit guards (DuckDB nulls OOB list access and has
+    try_strptime natively).
+
+    Scale: pure map-side projection — the try_ variants codegen the
+    guard inline, no exception machinery on the hot path."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_id") % 17 == 0).select(
+        "event_id",
+        F.round(F.try_divide("value", F.col("event_id") % 5), 6).alias("safe_div"),
+        F.try_add(F.lit(9223372036854775807), F.col("event_id")).alias(
+            "safe_add_overflow"
+        ),
+        F.try_element_at(F.split("event_type", "_"), F.lit(10)).alias(
+            "safe_elem_oob"
+        ),
+        F.date_format(
+            F.try_to_timestamp(
+                F.when(F.col("event_id") % 2 == 0, "2024-01-15").otherwise(
+                    "not-a-date"
+                ),
+                F.lit("yyyy-MM-dd"),
+            ),
+            "yyyy-MM-dd",
+        ).alias("safe_ts"),
+    )
