@@ -1084,3 +1084,103 @@ def text_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("zipf_slope"),
         )
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "vector", "stream")  # fixed retrieval query
+
+
+@register(
+    "text_bm25_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dlen FROM tf GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dlen) AS BIGINT) AS total_len
+              FROM dl),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tf WHERE tok IN {BM25_QUERY!r} GROUP BY tok),
+    term AS (
+      SELECT t.doc_id,
+             CAST(round(
+               ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (t.tf * ({BM25_K1} + 1.0))
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * d.dlen / (CAST(s.total_len AS DOUBLE) / s.n_docs)))
+               * 1000000, 0) AS BIGINT) AS score_u
+      FROM tf t
+      JOIN dfreq f ON f.tok = t.tok
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+           CAST(SUM(score_u) AS DOUBLE) / 1000000.0 AS bm25
+    FROM term GROUP BY doc_id
+    """,
+    tags=("llm", "text", "retrieval"),
+)
+def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring against a fixed query — the lexical
+    ranker behind almost every RAG retrieval stack and the hard-to-beat
+    baseline dense retrieval is measured against (Robertson k1/b form
+    with the +1 IDF). TF-IDF (text_tfidf_topk) extracts keywords; BM25
+    RANKS documents for a query, saturating term frequency (k1) and
+    normalizing by document length (b).
+
+    Determinism: tf/df/doc-length/corpus stats are exact bigints; each
+    per-term score is one shared double formula rounded to integer
+    micro-units BEFORE the per-doc sum, so accumulation order cannot
+    matter.
+
+    Scale: one (doc, term) aggregate feeds term frequencies, document
+    lengths, AND document frequencies (no second corpus scan); the df
+    relation is |query|-sized and the corpus stats are one broadcast
+    row. The inner join on the query terms prunes the tf table to
+    matching rows before any scoring."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dlen"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dlen").cast("bigint").alias("total_len"),
+    )
+    dfreq = (
+        tf.filter(F.col("tok").isin(*BM25_QUERY))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score_u = F.round(
+        idf
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dlen") / avgdl)
+        )
+        * 1000000,
+        0,
+    ).cast("bigint")
+    # dl is corpus-sized (one row per doc) — never hinted broadcast;
+    # the tf->dl join rides doc_id (AQE may still broadcast at fixture
+    # scale, SMJ at 100 TB — both correct)
+    term = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", score_u.alias("score_u"))
+    )
+    return term.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_terms_matched"),
+        (F.sum("score_u").cast("double") / 1000000.0).alias("bm25"),
+    )
