@@ -614,3 +614,174 @@ def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         (F.col("node") != F.col("component")).alias("is_duplicate"),
     )
+
+
+# --------------------------------------------------------------------------
+# PageRank over the kNN similarity graph (centrality-based selection)
+# --------------------------------------------------------------------------
+
+PR_DAMP = 0.85
+PR_SCALE = 1_000_000_000  # ranks as exact integer nano-units
+
+
+def _pagerank_iter_sql(rin: str, out: str) -> str:
+    """One integer-exact PageRank iteration over CTEs edges/deg/{rin}."""
+    return f"""
+    {out} AS (
+      SELECT n.node,
+             CAST(round((1.0 - {PR_DAMP}) * {PR_SCALE} / n.n_nodes, 0) AS BIGINT)
+             + COALESCE(CAST(SUM(CAST(round({PR_DAMP} * r.r_u / d.deg, 0)
+                                      AS BIGINT)) AS BIGINT), 0) AS r_u
+      FROM (SELECT node, (SELECT COUNT(*) FROM deg) AS n_nodes
+            FROM deg) n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN {rin} r ON r.node = e.src
+      LEFT JOIN deg d ON d.node = e.src
+      GROUP BY n.node, n.n_nodes)
+    """
+
+
+_PR_DOT_VV = (
+    "list_reduce(list_transform(generate_series(1, len(embedding)), "
+    "i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)"
+)
+_PR_DOT_AB = (
+    "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
+    "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def _pr_oracle() -> str:
+    from .similarity import _sql_bucket
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({_PR_DOT_VV}) AS nrm,
+                      {_sql_bucket('embedding')} AS bucket
+               FROM embeddings),
+    p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                 row_number() OVER (PARTITION BY a.vec_id
+                                    ORDER BY round({_PR_DOT_AB} / (a.nrm * b.nrm), 6)
+                                             DESC, b.vec_id) AS rnk
+          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+    edges AS (SELECT src, dst FROM p WHERE rnk <= 3),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+    r0 AS (SELECT node,
+                  CAST(round(CAST({PR_SCALE} AS DOUBLE)
+                             / (SELECT COUNT(*) FROM deg), 0) AS BIGINT) AS r_u
+           FROM deg),
+    {_pagerank_iter_sql('r0', 'r1').strip().rstrip()},
+    {_pagerank_iter_sql('r1', 'r2').strip().rstrip()}
+    SELECT r2.node, d.deg AS out_degree,
+           COALESCE(i.in_deg, 0) AS in_degree,
+           r2.r_u AS rank_nano
+    FROM r2
+    JOIN deg d ON d.node = r2.node
+    LEFT JOIN (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_deg
+               FROM edges GROUP BY dst) i ON i.dst = r2.node
+    """
+
+
+@register(
+    "graph_pagerank_knn",
+    oracle=_pr_oracle(),
+    tags=("llm", "graph", "iterative", "embedding"),
+)
+def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the kNN similarity graph — centrality-based data
+    selection: a document whose embedding is linked by many other
+    documents' top-k lists is a representative region of the corpus
+    (high rank), an orphan is an outlier; curation pipelines use the
+    ranking for coreset selection and diversity-aware sampling. Two
+    damped iterations over the same LSH-cell-local edges
+    sim_knn_graph_lsh builds.
+
+    Determinism: ranks live as exact integer nano-units; each
+    contribution rounds r_u*d/deg once (a double op on exact ints,
+    identical cross-engine) and sums exactly — the unrolled DuckDB
+    oracle reproduces every rank bit-for-bit.
+
+    Scale: each iteration is one join of the edge list with the rank
+    vector (shuffle on node id — the standard distributed PageRank
+    shape) + a bounded-degree aggregate; edges are kNN-bounded (N*k,
+    never N^2) and cell-local by construction."""
+    from .similarity import _norm, _spark_bucket, _dot, K_NN_GRAPH
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+        F.col("bucket").alias("b_bucket"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    edges = (
+        v.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("vec_id") != F.col("dst")))
+        .select(
+            F.col("vec_id").alias("src"),
+            "dst",
+            F.round(
+                _dot(F.col("embedding"), F.col("b_emb"))
+                / (F.col("nrm") * F.col("b_nrm")),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= K_NN_GRAPH)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # edges feed deg + 2 iterations
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    r = deg.crossJoin(F.broadcast(n_nodes)).select(
+        "node",
+        F.round(F.lit(float(PR_SCALE)) / F.col("n_nodes"), 0)
+        .cast("bigint")
+        .alias("r_u"),
+    )
+    base = F.round((1.0 - PR_DAMP) * PR_SCALE / F.col("n_nodes"), 0).cast("bigint")
+    for _ in range(2):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(deg.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(PR_DAMP * F.col("r_u") / F.col("deg"), 0)
+                .cast("bigint")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("in_sum"))
+        )
+        r = (
+            deg.select("node")
+            .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (base + F.coalesce("in_sum", F.lit(0))).cast("bigint").alias("r_u"),
+            )
+        )
+    in_deg = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("bigint").alias("in_degree")
+    )
+    return (
+        r.join(deg, "node")
+        .join(in_deg, "node", "left")
+        .select(
+            "node",
+            F.col("deg").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0).cast("bigint")).alias("in_degree"),
+            F.col("r_u").alias("rank_nano"),
+        )
+    )

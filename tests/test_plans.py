@@ -842,3 +842,12 @@ def test_ivf_pq_all_hash_joins_no_fulldim_rescoring(spark):
     assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "WindowGroupLimit") >= 1
+
+
+def test_pagerank_knn_bounded_edges_no_cartesian(spark):
+    """PageRank: edges are kNN-bounded and checkpointed once; each
+    iteration is edge-join + aggregate — no cartesian, no Python."""
+    df = _df(spark, "graph_pagerank_knn")
+    assert count_nodes(df, "CartesianProduct") == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
