@@ -1024,3 +1024,109 @@ def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi_contrib"
         ),
     )
+
+
+SUBSAMPLE_B = 8  # deterministic half-sample replicas
+
+
+@register(
+    "agg_subsample_ci",
+    oracle=f"""
+    WITH r AS (
+      SELECT b, o_totalprice
+      FROM orders CROSS JOIN unnest(generate_series(0, {SUBSAMPLE_B - 1})) AS t(b)
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '_' || CAST(b AS VARCHAR)),
+                   1, 2) < '80'),
+    means AS (
+      SELECT b,
+             CAST(round(CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                             AS DOUBLE) / 100.0 / COUNT(*) * 1000000, 0)
+                  AS BIGINT) AS mean_u,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM r GROUP BY b),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(mean_u) AS BIGINT) AS s1,
+             CAST(SUM(CAST(mean_u AS DECIMAL(38,0)) * mean_u) AS DECIMAL(38,0))
+               AS s2,
+             CAST(MIN(n_rows) AS BIGINT) AS min_rows,
+             CAST(MAX(n_rows) AS BIGINT) AS max_rows
+      FROM means)
+    SELECT n_b, min_rows, max_rows,
+           round(CAST(s1 AS DOUBLE) / n_b / 1000000.0, 6) AS grand_mean,
+           round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_b)
+                      / (n_b - 1)) / 1000000.0, 6) AS sd_of_means,
+           round(1.96 * sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_b)
+                             / (n_b - 1)) / sqrt(CAST(n_b AS DOUBLE))
+                 / 1000000.0, 6) AS ci95_half_width
+    FROM m
+    """,
+    tags=("aggregate", "stats", "sample"),
+)
+def agg_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsample-ensemble confidence interval (deterministic
+    half-sample bootstrap / subagging): B hash-gated ~50% replicas of
+    the order-value mean, whose spread estimates the sampling error of
+    the full-data mean — the error bar a pipeline attaches to every
+    sampled metric WITHOUT a closed-form variance. Membership is
+    md5(id, replica) — reproducible across runs, partitionings, and
+    engines, unlike rand()-based bootstrap.
+
+    Determinism: replica means are exact cents-sums over hash-selected
+    rows, quantized to integer micro-units; the across-replica moments
+    are exact DECIMAL(38,0) sums; the final sd/CI is one shared double
+    formula.
+
+    Scale: the replica explode multiplies the scan B-fold — stated
+    cost, all map-side — then everything reduces through one B-row
+    aggregate. For B beyond ~16, switch to one-pass Poisson
+    bootstrap weights (md5-derived counts) to keep the blow-up
+    constant; the hash-gating principle is identical."""
+    o = load_table(spark, sf_dir, "orders")
+    r = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(SUBSAMPLE_B - 1))).alias("b"),
+    ).filter(
+        F.substring(
+            F.md5(
+                F.concat_ws("_", F.col("o_orderkey").cast("string"),
+                            F.col("b").cast("string"))
+            ),
+            1,
+            2,
+        )
+        < "80"
+    )
+    means = r.groupBy("b").agg(
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("double")
+            / 100.0
+            / F.count("*")
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("mean_u"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    m = means.agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.sum("mean_u").cast("bigint").alias("s1"),
+        F.sum(F.col("mean_u").cast("decimal(38,0)") * F.col("mean_u"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+        F.min("n_rows").cast("bigint").alias("min_rows"),
+        F.max("n_rows").cast("bigint").alias("max_rows"),
+    )
+    n_b, s1, s2 = F.col("n_b"), F.col("s1"), F.col("s2")
+    var = (s2.cast("double") - s1.cast("double") * s1 / n_b) / (n_b - 1)
+    return m.select(
+        "n_b", "min_rows", "max_rows",
+        F.round(s1.cast("double") / n_b / 1000000.0, 6).alias("grand_mean"),
+        F.round(F.sqrt(var) / 1000000.0, 6).alias("sd_of_means"),
+        F.round(
+            1.96 * F.sqrt(var) / F.sqrt(n_b.cast("double")) / 1000000.0, 6
+        ).alias("ci95_half_width"),
+    )

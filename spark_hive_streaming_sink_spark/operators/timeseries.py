@@ -463,3 +463,81 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("prob_ppm"),
     )
+
+
+@register(
+    "events_autocorr_lag1",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, round(value, 6) AS v,
+             lag(round(value, 6)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS pv
+      FROM events),
+    pairs AS (SELECT user_id, v, pv FROM s WHERE pv IS NOT NULL),
+    -- products round back to scale 6 before the exact sum: unscaled
+    -- values stay < 2^53 so the decimal->double cast is 1-ulp-safe
+    m AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(pv AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(pv * pv, 6) AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(round(v * pv, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+      FROM pairs GROUP BY user_id)
+    SELECT user_id, n,
+           round(((sxy - sx*sy/n)/n)
+                 / (sqrt((sxx - sx*sx/n)/n) * sqrt((syy - sy*sy/n)/n)), 6)
+             AS autocorr_lag1
+    FROM m WHERE n >= 3
+    """,
+    tags=("timeseries", "stats"),
+)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per user: Pearson r between consecutive
+    values in event order — near zero for organic bursty metrics,
+    strongly positive for smoothed/interpolated (i.e. synthetic)
+    series, the cheapest single-number 'is this stream real' test and
+    the seasonality precursor (high |r| says model the sequence, not
+    the marginal distribution).
+
+    Determinism: the agg_stats recipe over (value, lagged value)
+    pairs — exact decimal moments, one shared IEEE formula, rounded.
+
+    Scale: one user_id shuffle serves the lag window and the moment
+    aggregate (partial map-side); output is |users|-sized."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v6 = F.round("value", 6)
+    s = e.select(
+        "user_id",
+        v6.cast("decimal(18,6)").alias("v"),
+        F.lag(v6).over(w).cast("decimal(18,6)").alias("pv"),
+    ).filter(F.col("pv").isNotNull())
+    m = s.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("double").alias("sx"),
+        F.sum(F.round(F.col("v") * F.col("v"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum("pv").cast("double").alias("sy"),
+        F.sum(F.round(F.col("pv") * F.col("pv"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.round(F.col("v") * F.col("pv"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (
+        F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"]
+    )
+    return m.filter(n >= 3).select(
+        "user_id",
+        "n",
+        F.round(
+            ((sxy - sx * sy / n) / n)
+            / (F.sqrt((sxx - sx * sx / n) / n) * F.sqrt((syy - sy * sy / n) / n)),
+            6,
+        ).alias("autocorr_lag1"),
+    )
