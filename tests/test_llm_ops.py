@@ -807,3 +807,64 @@ def test_data_card_and_purity_consistency(spark):
         assert 0 < r["purity_ppm"] <= 1_000_000
         assert r["majority_label"] in labels
         assert r["n_labels"] <= len(labels)
+
+
+def test_bm25_positive_and_bounded_terms(spark):
+    """BM25 scores are positive; matched terms never exceed the query
+    length; every scored doc contains at least one query term."""
+    from spark_hive_streaming_sink_spark.functions.text import (
+        BM25_QUERY,
+        text_bm25_score,
+    )
+    from .conftest import SF_DIR
+
+    rows = text_bm25_score(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_terms_matched"] <= len(BM25_QUERY)
+        assert r["bm25"] > 0
+
+
+def test_pagerank_mass_conserved_and_positive(spark):
+    """Without dangling nodes, total rank mass stays ~PR_SCALE (per-
+    contribution rounding drifts it by at most ~1 unit per edge); every
+    rank is at least the teleport floor."""
+    from spark_hive_streaming_sink_spark.functions.clustering import (
+        PR_SCALE,
+        graph_pagerank_knn,
+    )
+    from .conftest import SF_DIR
+
+    rows = graph_pagerank_knn(spark, SF_DIR).collect()
+    n = len(rows)
+    total = sum(r["rank_nano"] for r in rows)
+    n_edges = sum(r["out_degree"] for r in rows)
+    assert abs(total - PR_SCALE) <= 2 * (n_edges + n)
+    floor = round((1 - 0.85) * PR_SCALE / n)
+    for r in rows:
+        assert r["rank_nano"] >= floor
+        assert 1 <= r["out_degree"] <= 3
+
+
+def test_autocorr_bounded_and_subsample_ci_sane(spark):
+    """|lag-1 autocorrelation| <= 1; the subsample CI has B=8 replicas
+    whose sizes are near half the table and a positive width."""
+    from spark_hive_streaming_sink_spark.operators.aggregates import (
+        SUBSAMPLE_B,
+        agg_subsample_ci,
+    )
+    from spark_hive_streaming_sink_spark.operators.timeseries import (
+        events_autocorr_lag1,
+    )
+    from spark_hive_streaming_sink_spark.io import load_table
+    from .conftest import SF_DIR
+
+    for r in events_autocorr_lag1(spark, SF_DIR).collect():
+        assert -1.000001 <= r["autocorr_lag1"] <= 1.000001
+        assert r["n"] >= 3
+    ci = agg_subsample_ci(spark, SF_DIR).collect()[0]
+    n_orders = load_table(spark, SF_DIR, "orders").count()
+    assert ci["n_b"] == SUBSAMPLE_B
+    assert 0 < ci["min_rows"] <= ci["max_rows"] < n_orders
+    assert ci["sd_of_means"] > 0 and ci["ci95_half_width"] > 0
+    assert abs(ci["min_rows"] / n_orders - 0.5) < 0.15
