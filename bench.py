@@ -81,6 +81,10 @@ HEADLINE = [
     "sim_knn_graph_lsh",
     "dedup_semantic_cluster",
     "events_cusum_changepoint",
+    "sim_ivf_pq_topk",
+    "text_bm25_score",
+    "graph_pagerank_knn",
+    "dedup_minhash_calibration",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -111,6 +111,12 @@ HEADLINE = [
     "events_markov_transitions",
     "window_max_drawdown",
     "embed_text_consistency_corr",
+    "sim_ivf_pq_topk",
+    "text_bm25_score",
+    "graph_pagerank_knn",
+    "dedup_minhash_calibration",
+    "agg_subsample_ci",
+    "events_autocorr_lag1",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
