@@ -309,3 +309,64 @@ def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_size(F.variant_get("v", "$.vals", "array<variant>")).alias("n_vals"),
         F.variant_get("v", "$.missing.path", "string").alias("missing"),
     )
+
+
+@register(
+    "xml_funcs",
+    oracle="""
+    WITH x AS (
+      SELECT event_id,
+             '<ev><id>' || CAST(event_id AS VARCHAR)
+               || '</id><kind>' || event_type
+               || '</kind><user><uid>' || CAST(user_id AS VARCHAR)
+               || '</uid></user></ev>' AS doc
+      FROM events WHERE event_id % 19 = 0)
+    SELECT event_id,
+           CAST(regexp_extract(doc, '<id>([0-9]+)</id>', 1) AS BIGINT) AS xml_id,
+           regexp_extract(doc, '<kind>([^<]*)</kind>', 1) AS xml_kind,
+           CAST(regexp_extract(doc, '<uid>([0-9]+)</uid>', 1) AS BIGINT)
+             AS nested_uid,
+           CAST(regexp_extract(doc, '<uid>([0-9]+)</uid>', 1) AS BIGINT) % 7
+             AS uid_mod
+    FROM x
+    """,
+    tags=("semistructured", "xml"),
+)
+def xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML surface (spark-xml merged in 4.0): an XML
+    document built in-query parses ONCE with from_xml into a nested
+    struct (including a nested element) and is probed again with the
+    xpath_* family — the two ways enterprise feeds (the main place XML
+    still lives) enter a pipeline. The oracle states the identical
+    extraction with regexes over the same constructed string, so the
+    parse semantics are hash-checked.
+
+    Scale: from_xml/xpath are codegen'd map work — pure scan
+    projection, no shuffle, no Python."""
+    e = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit("<ev><id>"),
+        F.col("event_id").cast("string"),
+        F.lit("</id><kind>"),
+        F.col("event_type"),
+        F.lit("</kind><user><uid>"),
+        F.col("user_id").cast("string"),
+        F.lit("</uid></user></ev>"),
+    )
+    x = e.filter(F.col("event_id") % 19 == 0).select(
+        "event_id", doc.alias("doc")
+    )
+    parsed = x.select(
+        "event_id",
+        F.from_xml(
+            "doc", "id BIGINT, kind STRING, user STRUCT<uid: BIGINT>"
+        ).alias("v"),
+        F.xpath_long("doc", F.lit("/ev/user/uid")).alias("uid_xp"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("v.id").alias("xml_id"),
+        F.col("v.kind").alias("xml_kind"),
+        F.col("v.user.uid").alias("nested_uid"),
+        (F.col("uid_xp") % 7).alias("uid_mod"),
+    )
