@@ -72,3 +72,67 @@ def test_connected_components_matches_union_find(spark, edges):
     want_all = _uf_components(15, edges)
     want = {v: want_all[v] for v in nodes}
     assert got == want
+
+
+def _cusum_reference(vals):
+    """Pure-Python CUSUM peak for one user over integer values with a
+    power-of-two count: mean and deviations are binary-exact, so
+    micro-unit quantization is exact integer arithmetic."""
+    n = len(vals)
+    mu = sum(vals) / n  # exact: n is a power of two, vals are ints
+    devs = [round((v - mu) * 1_000_000) for v in vals]
+    s, peak, peak_pos = 0, -1, -1
+    for i, d in enumerate(devs):
+        s += d
+        if abs(s) > peak:  # first occurrence wins (ts order tie-break)
+            peak, peak_pos = abs(s), i
+    return peak / 1_000_000.0, (peak_pos + 1) / n
+
+
+def _drawdown_reference(vals):
+    cum, peak, best = 0, 0, -1
+    first = True
+    out = None
+    for v in vals:
+        cum += v * 1_000_000
+        peak = cum if first else max(peak, cum)
+        first = False
+        dd = peak - cum
+        if dd > best:  # first occurrence wins
+            best = dd
+            out = (dd / 1_000_000.0, cum / 1_000_000.0, peak / 1_000_000.0)
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(-50, 50), min_size=4, max_size=4)
+    | st.lists(st.integers(-50, 50), min_size=8, max_size=8)
+)
+def test_cusum_and_drawdown_match_python_reference(spark, tmp_path_factory, vals):
+    import datetime
+
+    tmp = tmp_path_factory.mktemp("cusum")
+    rows = [
+        (i, 1, datetime.datetime(2024, 1, 1, 0, 0, i), float(v))
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    got = QUERIES["events_cusum_changepoint"].builder(spark, str(tmp)).collect()
+    assert len(got) == 1
+    want_peak, want_frac = _cusum_reference(vals)
+    assert got[0]["max_abs_cusum"] == want_peak
+    assert abs(got[0]["changepoint_frac"] - round(want_frac, 6)) < 1e-9
+
+    dd = QUERIES["window_max_drawdown"].builder(spark, str(tmp)).collect()
+    assert len(dd) == 1
+    want_dd, want_cum, want_pk = _drawdown_reference(vals)
+    assert dd[0]["max_drawdown"] == want_dd
+    assert dd[0]["cum_at_trough"] == want_cum
+    assert dd[0]["peak_before_trough"] == want_pk
