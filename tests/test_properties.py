@@ -136,3 +136,55 @@ def test_cusum_and_drawdown_match_python_reference(spark, tmp_path_factory, vals
     assert dd[0]["max_drawdown"] == want_dd
     assert dd[0]["cum_at_trough"] == want_cum
     assert dd[0]["peak_before_trough"] == want_pk
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.lists(st.integers(-5, 5), min_size=64, max_size=64),
+        min_size=5,
+        max_size=8,
+    )
+)
+def test_pq_codes_match_argmin_reference(spark, tmp_path_factory, vecs):
+    """Integer embeddings make every subspace distance exact, so the
+    distributed PQ assignment must equal a sequential argmin with the
+    same (distance, codebook-id) tie-break."""
+    tmp = tmp_path_factory.mktemp("pq")
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    from spark_hive_streaming_sink_spark.functions.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+    )
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    got = {
+        r["vec_id"]: (r["code0"], r["code1"], r["code2"], r["code3"])
+        for r in QUERIES["embed_pq_codes"].builder(spark, str(tmp)).collect()
+    }
+
+    def ref_codes(v):
+        codes = []
+        for m in range(PQ_M):
+            vs = v[m * PQ_SUB : (m + 1) * PQ_SUB]
+            best = min(
+                range(PQ_K),
+                key=lambda cid: (
+                    sum(
+                        (a - b) ** 2
+                        for a, b in zip(vs, vecs[cid][m * PQ_SUB : (m + 1) * PQ_SUB])
+                    ),
+                    cid,
+                ),
+            )
+            codes.append(best)
+        return tuple(codes)
+
+    for i, v in enumerate(vecs):
+        assert got[i] == ref_codes(v), f"vec {i}"
