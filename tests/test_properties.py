@@ -188,3 +188,64 @@ def test_pq_codes_match_argmin_reference(spark, tmp_path_factory, vecs):
 
     for i, v in enumerate(vecs):
         assert got[i] == ref_codes(v), f"vec {i}"
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["spark", "vector", "stream", "the", "a", "data"]),
+            min_size=2,
+            max_size=12,
+        ),
+        min_size=3,
+        max_size=6,
+    )
+)
+def test_bm25_matches_python_reference(spark, tmp_path_factory, docs):
+    import math
+
+    tmp = tmp_path_factory.mktemp("bm25")
+    rows = [
+        (i, " ".join(toks), "en", "src0", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    from spark_hive_streaming_sink_spark.functions.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+    )
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in QUERIES["text_bm25_score"].builder(spark, str(tmp)).collect()
+    }
+
+    n_docs = len(docs)
+    avgdl = sum(len(d) for d in docs) / n_docs
+    df = {
+        t: sum(1 for d in docs if t in d) for t in BM25_QUERY
+    }
+    for i, d in enumerate(docs):
+        score = 0
+        matched = False
+        for t in BM25_QUERY:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            matched = True
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s = idf * tf * (BM25_K1 + 1.0) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(d) / avgdl)
+            )
+            score += round(s * 1_000_000)
+        if matched:
+            assert abs(got[i] - score / 1_000_000.0) < 2e-5, i
+        else:
+            assert i not in got
