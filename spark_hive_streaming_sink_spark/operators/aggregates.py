@@ -1130,3 +1130,124 @@ def agg_subsample_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.96 * F.sqrt(var) / F.sqrt(n_b.cast("double")) / 1000000.0, 6
         ).alias("ci95_half_width"),
     )
+
+
+@register(
+    "agg_mutual_information",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(user_id % 4 AS INT) AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM events GROUP BY event_type, user_id % 4),
+    rx AS (SELECT event_type, CAST(SUM(n_xy) AS BIGINT) AS n_x
+           FROM c GROUP BY event_type),
+    ry AS (SELECT cohort, CAST(SUM(n_xy) AS BIGINT) AS n_y
+           FROM c GROUP BY cohort),
+    n AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS nn FROM c),
+    cells AS (
+      SELECT c.n_xy,
+             CAST(round(ln(n.nn * c.n_xy / (CAST(rx.n_x AS DOUBLE) * ry.n_y))
+                        * 1000000, 0) AS BIGINT) AS mi_u
+      FROM c
+      JOIN rx ON rx.event_type = c.event_type
+      JOIN ry ON ry.cohort = c.cohort
+      CROSS JOIN n),
+    hx AS (SELECT CAST(SUM(n_x * CAST(round(-ln(n_x / CAST(n.nn AS DOUBLE))
+                                            * 1000000, 0) AS BIGINT)) AS BIGINT)
+                    AS hx_w
+           FROM rx CROSS JOIN n),
+    hy AS (SELECT CAST(SUM(n_y * CAST(round(-ln(n_y / CAST(n.nn AS DOUBLE))
+                                            * 1000000, 0) AS BIGINT)) AS BIGINT)
+                    AS hy_w
+           FROM ry CROSS JOIN n)
+    SELECT n.nn AS n_events,
+           round(CAST(SUM(cells.n_xy * cells.mi_u) AS DOUBLE)
+                 / n.nn / 1000000.0, 6) AS mi_nats,
+           round(CAST(hx.hx_w AS DOUBLE) / n.nn / 1000000.0, 6) AS h_type,
+           round(CAST(hy.hy_w AS DOUBLE) / n.nn / 1000000.0, 6) AS h_cohort
+    FROM cells CROSS JOIN n CROSS JOIN hx CROSS JOIN hy
+    GROUP BY n.nn, hx.hx_w, hy.hy_w
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; cohort) with both marginal
+    entropies — the information-theoretic dependence measure that,
+    unlike chi-square (agg_chi_square_independence), is directly
+    comparable across tables and is THE feature-selection score
+    (information gain) for categorical columns.
+
+    Determinism: per-cell and per-margin log terms quantize to integer
+    micro-nats on exact count ratios; the expectation is then an exact
+    bigint-weighted sum divided once.
+
+    Scale: the same single contingency shuffle as chi-square —
+    |types| x 4 cells — with broadcast margins; the corpus scans
+    once."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", (F.col("user_id") % 4).cast("int").alias("cohort")
+    ).agg(F.count("*").cast("bigint").alias("n_xy"))
+    rx = c.groupBy("event_type").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+    ry = c.groupBy("cohort").agg(F.sum("n_xy").cast("bigint").alias("n_y"))
+    n = c.agg(F.sum("n_xy").cast("bigint").alias("nn"))
+    cells = (
+        c.join(F.broadcast(rx), "event_type")
+        .join(F.broadcast(ry), "cohort")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_xy",
+            F.round(
+                F.log(
+                    F.col("nn") * F.col("n_xy")
+                    / (F.col("n_x").cast("double") * F.col("n_y"))
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("mi_u"),
+        )
+    )
+    hx = rx.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            F.col("n_x")
+            * F.round(-F.log(F.col("n_x") / F.col("nn").cast("double")) * 1000000, 0)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("hx_w")
+    )
+    hy = ry.crossJoin(F.broadcast(n)).agg(
+        F.sum(
+            F.col("n_y")
+            * F.round(-F.log(F.col("n_y") / F.col("nn").cast("double")) * 1000000, 0)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("hy_w")
+    )
+    agg = cells.crossJoin(F.broadcast(n)).agg(
+        F.max("nn").alias("n_events"),
+        F.round(
+            F.sum(F.col("n_xy") * F.col("mi_u")).cast("double")
+            / F.max("nn")
+            / 1000000.0,
+            6,
+        ).alias("mi_nats"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_events",
+            "mi_nats",
+            F.round(F.col("hx_w").cast("double") / F.col("nn") / 1000000.0, 6).alias(
+                "h_type"
+            ),
+            F.round(F.col("hy_w").cast("double") / F.col("nn") / 1000000.0, 6).alias(
+                "h_cohort"
+            ),
+        )
+    )
