@@ -718,6 +718,11 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # NOT checkpointed: per-vector projection (one norm + N_PLANES
+    # plane dots) is negligible next to per-PAIR scoring, and the
+    # materialization costs more than the recompute (measured 2.5s ->
+    # 3.8s with a checkpoint here — the opposite trade from the
+    # SemDeDup assignment, whose argmin window is expensive per row)
     v = emb.select(
         "vec_id",
         "embedding",
