@@ -1251,3 +1251,73 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "agg_gini_coefficient",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 10000, 0) AS BIGINT) AS v_u,
+             event_id
+      FROM events WHERE value >= 0),
+    r AS (
+      SELECT event_type, v_u,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY v_u, event_id) AS BIGINT) AS rk
+      FROM v),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v_u) AS BIGINT) AS s,
+             CAST(SUM(CAST(rk AS DECIMAL(38,0)) * v_u) AS DECIMAL(38,0)) AS rs
+      FROM r GROUP BY event_type)
+    SELECT event_type, n,
+           round(CAST(s AS DOUBLE) / 10000.0 / n, 6) AS mean_value,
+           round((2.0 * CAST(rs AS DOUBLE) / (CAST(n AS DOUBLE) * s))
+                 - (n + 1.0) / n, 6) AS gini
+    FROM m
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the value distribution per event type — the
+    concentration measure pipelines use to answer 'is this metric (or
+    this source's contribution) dominated by a few heavy rows?' (0 =
+    perfectly even, →1 = one row holds everything). Computed with the
+    rank formulation G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over
+    fixed-point values with a unique (value, event_id) rank order.
+
+    Determinism: values quantize to integer basis points; the
+    rank-weighted sum is an exact DECIMAL(38,0); the closed form is
+    one shared double expression.
+
+    Scale: one shuffle on event_type for the rank window (per-type
+    sort is partition-local), then a map-side-combinable moment
+    aggregate — the same shape as every windowed rollup here."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("value") >= 0).select(
+        "event_type",
+        F.round(F.col("value") * 10000, 0).cast("bigint").alias("v_u"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("v_u", "event_id")
+    r = v.withColumn("rk", F.row_number().over(w).cast("bigint"))
+    m = r.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v_u").cast("bigint").alias("s"),
+        F.sum(F.col("rk").cast("decimal(38,0)") * F.col("v_u"))
+        .cast("decimal(38,0)")
+        .alias("rs"),
+    )
+    n, s, rs = F.col("n"), F.col("s"), F.col("rs")
+    return m.select(
+        "event_type",
+        "n",
+        F.round(s.cast("double") / 10000.0 / n, 6).alias("mean_value"),
+        F.round(
+            (2.0 * rs.cast("double") / (n.cast("double") * s)) - (n + 1.0) / n, 6
+        ).alias("gini"),
+    )
