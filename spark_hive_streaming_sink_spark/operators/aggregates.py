@@ -1321,3 +1321,102 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2.0 * rs.cast("double") / (n.cast("double") * s)) - (n + 1.0) / n, 6
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_ks_two_sample",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(value * 10000, 0) AS BIGINT) AS v_u,
+             CAST(event_type = 'click' AS INT) AS is1
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    pts AS (
+      SELECT v_u,
+             CAST(SUM(is1) AS BIGINT) AS c1,
+             CAST(COUNT(*) - SUM(is1) AS BIGINT) AS c2
+      FROM v GROUP BY v_u),
+    n AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+          FROM pts),
+    ecdf AS (
+      SELECT v_u,
+             CAST(SUM(c1) OVER (ORDER BY v_u
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f1,
+             CAST(SUM(c2) OVER (ORDER BY v_u
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2
+      FROM pts),
+    d AS (
+      SELECT e.v_u,
+             CAST(abs(e.f1 * n.n2 - e.f2 * n.n1) AS BIGINT) AS d_num
+      FROM ecdf e CROSS JOIN n)
+    SELECT n.n1, n.n2,
+           round(CAST(MAX(d.d_num) AS DOUBLE) / (n.n1 * n.n2), 6) AS ks_stat,
+           round(CAST(MIN(CASE WHEN d.d_num = (SELECT MAX(d_num) FROM d)
+                               THEN d.v_u END) AS DOUBLE) / 10000.0, 4)
+             AS ks_location
+    FROM d CROSS JOIN n
+    GROUP BY n.n1, n.n2
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the click and
+    purchase value distributions: the largest ECDF gap, with the value
+    where it occurs — the standard nonparametric drift test, sensitive
+    to ANY distributional difference where the t-test only sees means.
+    Completes the drift toolkit (Welch t, chi-square, MI, Benford).
+
+    Determinism: values quantize to integer basis points; the ECDF gap
+    is compared as the exact integer |f1*n2 - f2*n1| (cross-multiplied
+    — no per-point division), and only the final max divides once; the
+    gap location ties to the smallest value.
+
+    Scale: one aggregate over distinct value points, then a single
+    global cumulative window over those points — cardinality is the
+    DISTINCT value count, not the corpus (quantization caps it), which
+    is what makes a global ECDF window tractable at 100 TB; for truly
+    unbounded domains you coarsen the quantization, trading resolution
+    for point count."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.round(F.col("value") * 10000, 0).cast("bigint").alias("v_u"),
+        (F.col("event_type") == "click").cast("int").alias("is1"),
+    )
+    pts = v.groupBy("v_u").agg(
+        F.sum("is1").cast("bigint").alias("c1"),
+        (F.count("*") - F.sum("is1")).cast("bigint").alias("c2"),
+    )
+    n = pts.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    w = Window.orderBy("v_u").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = pts.select(
+        "v_u",
+        F.sum("c1").over(w).cast("bigint").alias("f1"),
+        F.sum("c2").over(w).cast("bigint").alias("f2"),
+    )
+    d = ecdf.crossJoin(F.broadcast(n)).select(
+        "v_u",
+        "n1",
+        "n2",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        .cast("bigint")
+        .alias("d_num"),
+    )
+    dm = d.groupBy("n1", "n2").agg(F.max("d_num").alias("d_max"))
+    loc = (
+        d.join(F.broadcast(dm), ["n1", "n2"])
+        .filter(F.col("d_num") == F.col("d_max"))
+        .groupBy("n1", "n2", "d_max")
+        .agg(F.min("v_u").alias("v_loc"))
+    )
+    return loc.select(
+        "n1",
+        "n2",
+        F.round(F.col("d_max").cast("double") / (F.col("n1") * F.col("n2")), 6).alias(
+            "ks_stat"
+        ),
+        F.round(F.col("v_loc").cast("double") / 10000.0, 4).alias("ks_location"),
+    )
