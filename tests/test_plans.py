@@ -851,3 +851,23 @@ def test_pagerank_knn_bounded_edges_no_cartesian(spark):
     assert count_nodes(df, "CartesianProduct") == 0
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gini_single_window_shuffle(spark):
+    """Gini: one event_type exchange serves the rank window and the
+    moment aggregate; no cartesian, no Python."""
+    df = _df(spark, "agg_gini_coefficient")
+    assert count_nodes(df, "Exchange") <= 2
+    assert count_nodes(df, "CartesianProduct") == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ks_window_over_value_points_not_corpus(spark):
+    """KS: the global ECDF window runs over the aggregated DISTINCT
+    value points (an Aggregate feeds the Window), never the raw corpus
+    rows; max-gap relations broadcast back."""
+    df = _df(spark, "agg_ks_two_sample")
+    assert count_nodes(df, "Window") >= 1
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "CartesianProduct") == 0

@@ -249,3 +249,61 @@ def test_bm25_matches_python_reference(spark, tmp_path_factory, docs):
             assert abs(got[i] - score / 1_000_000.0) < 2e-5, i
         else:
             assert i not in got
+
+
+def _gini_reference(vals):
+    """Rank-formulation Gini over non-negative ints (exact)."""
+    s = sorted(vals)
+    n, tot = len(s), sum(s)
+    rs = sum((i + 1) * v for i, v in enumerate(s))
+    return 2.0 * rs / (n * tot) - (n + 1.0) / n
+
+
+def _ks_reference(a, b):
+    pts = sorted(set(a) | set(b))
+    n1, n2 = len(a), len(b)
+    best = -1
+    for p in pts:
+        f1 = sum(1 for x in a if x <= p)
+        f2 = sum(1 for x in b if x <= p)
+        best = max(best, abs(f1 * n2 - f2 * n1))
+    return best / (n1 * n2)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(1, 40), min_size=3, max_size=12),
+    st.lists(st.integers(1, 40), min_size=3, max_size=12),
+)
+def test_gini_and_ks_match_python_reference(spark, tmp_path_factory, a, b):
+    import datetime
+
+    tmp = tmp_path_factory.mktemp("giniks")
+    rows = [
+        (i, 1, datetime.datetime(2024, 1, 1, 0, 0, 0), float(v), "click", "{}")
+        for i, v in enumerate(a)
+    ] + [
+        (1000 + i, 1, datetime.datetime(2024, 1, 1, 0, 0, 0), float(v),
+         "purchase", "{}")
+        for i, v in enumerate(b)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, value double, "
+        "event_type string, props string",
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    gini = {
+        r["event_type"]: r["gini"]
+        for r in QUERIES["agg_gini_coefficient"].builder(spark, str(tmp)).collect()
+    }
+    assert abs(gini["click"] - round(_gini_reference(a), 6)) < 2e-6
+    assert abs(gini["purchase"] - round(_gini_reference(b), 6)) < 2e-6
+
+    ks = QUERIES["agg_ks_two_sample"].builder(spark, str(tmp)).collect()
+    assert len(ks) == 1
+    assert abs(ks[0]["ks_stat"] - round(_ks_reference(a, b), 6)) < 2e-6
+    assert ks[0]["n1"] == len(a) and ks[0]["n2"] == len(b)
