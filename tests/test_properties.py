@@ -307,3 +307,47 @@ def test_gini_and_ks_match_python_reference(spark, tmp_path_factory, a, b):
     assert len(ks) == 1
     assert abs(ks[0]["ks_stat"] - round(_ks_reference(a, b), 6)) < 2e-6
     assert ks[0]["n1"] == len(a) and ks[0]["n2"] == len(b)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.sampled_from(["a", "b", "c"]),
+        min_size=3,
+        max_size=15,
+    )
+)
+def test_markov_matches_python_reference(spark, tmp_path_factory, seq):
+    """Transition counts from one user's ordered sequence must equal
+    the sequential pair count; ppm rows within rounding of exact."""
+    import datetime
+
+    tmp = tmp_path_factory.mktemp("markov")
+    rows = [
+        (i, 1, datetime.datetime(2024, 1, 1, 0, 0, i), 1.0, t, "{}")
+        for i, t in enumerate(seq)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, value double, "
+        "event_type string, props string",
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_trans"], r["n_from"], r["prob_ppm"])
+        for r in QUERIES["events_markov_transitions"].builder(spark, str(tmp)).collect()
+    }
+    want = {}
+    for x, y in zip(seq, seq[1:]):
+        want[(x, y)] = want.get((x, y), 0) + 1
+    from_tot = {}
+    for (x, _y), c in want.items():
+        from_tot[x] = from_tot.get(x, 0) + c
+    assert set(got) == set(want)
+    for k, c in want.items():
+        n_trans, n_from, ppm = got[k]
+        assert n_trans == c and n_from == from_tot[k[0]]
+        assert abs(ppm - c * 1_000_000 / from_tot[k[0]]) <= 0.5 + 1e-9
