@@ -351,3 +351,56 @@ def test_markov_matches_python_reference(spark, tmp_path_factory, seq):
         n_trans, n_from, ppm = got[k]
         assert n_trans == c and n_from == from_tot[k[0]]
         assert abs(ppm - c * 1_000_000 / from_tot[k[0]]) <= 0.5 + 1e-9
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["w1", "w2", "w3", "w4", "w5"]),
+            min_size=3,
+            max_size=10,
+        ),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_zipf_slope_matches_float_ols(spark, tmp_path_factory, docs):
+    import math
+
+    # need at least 2 distinct frequencies/ranks for a defined slope
+    toks = [t for d in docs for t in d]
+    if len(set(toks)) < 2:
+        return
+    tmp = tmp_path_factory.mktemp("zipf")
+    rows = [
+        (i, " ".join(d), "en", "src0", len(" ".join(d))) for i, d in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    got = QUERIES["text_zipf_rank_frequency"].builder(spark, str(tmp)).collect()
+    slope = got[0]["zipf_slope"]
+
+    freq = {}
+    for t in toks:
+        freq[t] = freq.get(t, 0) + 1
+    ordered = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    xs = [math.log(i + 1) for i in range(len(ordered))]
+    ys = [math.log(c) for _w, c in ordered]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    denom = n * sxx - sx * sx
+    if denom == 0:  # single rank -> slope undefined; op emits no rows?
+        return
+    want = (n * sxy - sx * sy) / denom
+    assert abs(slope - want) < 1e-4
+    # ranks/frequencies themselves are exact
+    for r in got:
+        assert freq[r["w"]] == r["n_w"]
