@@ -83,3 +83,38 @@ def test_sorted_bucket_scan_avoids_sort(spark, warehouse_tables):
     files (at minimum, correctness of the bucketed round trip)."""
     li = spark.table(warehouse_tables["li"])
     assert li.count() == load_table(spark, SF_DIR, "lineitem").count()
+
+
+def test_partitioning_invariance_for_order_sensitive_ops(spark, tmp_path):
+    """Rewrite the fixture tables into a 7-split layout (different file
+    count, different row-to-task assignment) and assert the registered
+    results are IDENTICAL — the distributed-determinism property every
+    operator claims via hash-gating, rank tie-breaks, and exact
+    accumulation. A mismatch here means an op's answer depends on
+    partitioning and would silently differ on a 1000-executor cluster."""
+    from spark_hive_streaming_sink_spark.io import load_table
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    from .conftest import SF_DIR
+
+    queries()
+    for t in ["documents", "embeddings", "events", "orders", "lineitem"]:
+        load_table(spark, SF_DIR, t).repartition(7).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/{t}.parquet")
+
+    names = [
+        "dedup_minhash_pairs",       # band self-join over hash buckets
+        "dedup_semantic_cluster",    # argmin assignment + pair join
+        "agg_histogram_equidepth",   # distributed global rank
+        "corpus_stratified_hash_sample",  # hash-gated sampling
+        "events_cusum_changepoint",  # ordered cumulative quantization
+        "agg_subsample_ci",          # hash-gated replicas
+        "text_zipf_rank_frequency",  # global rank + exact moments
+        "agg_ks_two_sample",         # global ECDF over value points
+    ]
+    for name in names:
+        b = QUERIES[name].builder
+        base = sorted(map(tuple, b(spark, SF_DIR).collect()))
+        resh = sorted(map(tuple, b(spark, str(tmp_path)).collect()))
+        assert base == resh, f"{name} is partitioning-sensitive"
