@@ -404,3 +404,41 @@ def test_zipf_slope_matches_float_ols(spark, tmp_path_factory, docs):
     # ranks/frequencies themselves are exact
     for r in got:
         assert freq[r["w"]] == r["n_w"]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.integers(1, 99999),  # value = k/100 > 0, exact in binary*100
+        min_size=4,
+        max_size=20,
+    )
+)
+def test_benford_digit_extraction_matches_reference(spark, tmp_path_factory, cents):
+    """First-significant-digit counts must equal a sequential count
+    over the same k/100 values (exact: value*1e4 is the integer k*100)."""
+    import datetime
+
+    tmp = tmp_path_factory.mktemp("benford")
+    rows = [
+        (i, 1, datetime.datetime(2024, 1, 1), k / 100.0, "click", "{}")
+        for i, k in enumerate(cents)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, value double, "
+        "event_type string, props string",
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    got = {
+        r["digit"]: r["n_obs"]
+        for r in QUERIES["events_benford_digit_audit"].builder(spark, str(tmp)).collect()
+    }
+    want = {}
+    for k in cents:
+        d = int(str(k * 100)[0])
+        want[d] = want.get(d, 0) + 1
+    assert got == want
