@@ -541,3 +541,83 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("autocorr_lag1"),
     )
+
+
+@register(
+    "events_theil_sen_trend",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) // 1000000 AS t,
+             round(value, 6) AS v
+      FROM events WHERE user_id % 5 = 0),
+    p AS (
+      SELECT a.user_id,
+             CAST(round((b.v - a.v) / (b.t - a.t) * 1000000, 0) AS BIGINT)
+               AS slope_u
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND b.t > a.t),
+    r AS (
+      SELECT user_id, slope_u,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY slope_u, user_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_pairs
+      FROM p)
+    SELECT user_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(slope_u / 1000000.0, 6) AS theil_sen_slope
+    FROM r WHERE rn = (n_pairs + 1) // 2
+    """,
+    tags=("timeseries", "stats"),
+)
+def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen trend per user: the MEDIAN of all pairwise slopes
+    (v_j - v_i)/(t_j - t_i) — the robust trend estimator that, unlike
+    OLS, shrugs off up to ~29% outliers, which is why monitoring
+    pipelines fit it to noisy per-entity metrics. Pairs with strictly
+    increasing timestamps only (ties in t are excluded — the
+    textbook formulation), median taken as the lower order statistic
+    with a deterministic rank order.
+
+    Determinism: slopes quantize to integer micro-units (one shared
+    double divide on exact second/round(6) inputs, rounded once); the
+    median is an exact order statistic, never an interpolation.
+
+    Scale: the pair join is user-local, so the quadratic term is
+    bounded by events-per-user (~10^2 here; at 100 TB you window it
+    to the trailing N samples per entity — same plan, bounded
+    fan-out), and the shuffle is one exchange on user_id shared by
+    the join and the rank window."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("user_id") % 5 == 0).select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 1000000).cast("bigint").alias("t"),
+        F.round("value", 6).alias("v"),
+    )
+    b = s.select(
+        F.col("user_id").alias("b_uid"),
+        F.col("t").alias("b_t"),
+        F.col("v").alias("b_v"),
+    )
+    p = s.join(
+        b, (F.col("user_id") == F.col("b_uid")) & (F.col("b_t") > F.col("t"))
+    ).select(
+        "user_id",
+        F.round((F.col("b_v") - F.col("v")) / (F.col("b_t") - F.col("t")) * 1000000, 0)
+        .cast("bigint")
+        .alias("slope_u"),
+    )
+    w = Window.partitionBy("user_id").orderBy("slope_u", "user_id")
+    r = p.select(
+        "user_id",
+        "slope_u",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n_pairs"),
+    )
+    return r.filter(
+        F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2)
+    ).select(
+        "user_id",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(F.col("slope_u") / 1000000.0, 6).alias("theil_sen_slope"),
+    )
