@@ -1329,7 +1329,12 @@ def agg_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT CAST(round(value * 10000, 0) AS BIGINT) AS v_u,
              CAST(event_type = 'click' AS INT) AS is1
-      FROM events WHERE event_type IN ('click', 'purchase')),
+      -- value IS NOT NULL is load-bearing: a NULL point would sort
+      -- NULLS-first in Spark but NULLS-last in DuckDB and silently
+      -- shift the ECDF (fixtures are null-free; the guard keeps the
+      -- spec independent of that)
+      FROM events WHERE event_type IN ('click', 'purchase')
+        AND value IS NOT NULL),
     pts AS (
       SELECT v_u,
              CAST(SUM(is1) AS BIGINT) AS c1,
@@ -1379,7 +1384,10 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    v = e.filter(F.col("event_type").isin("click", "purchase")).select(
+    v = e.filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+    ).select(
         F.round(F.col("value") * 10000, 0).cast("bigint").alias("v_u"),
         (F.col("event_type") == "click").cast("int").alias("is1"),
     )

@@ -549,7 +549,10 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT user_id, event_id, epoch_us(ts) // 1000000 AS t,
              round(value, 6) AS v
-      FROM events WHERE user_id % 5 = 0),
+      -- NULL values/timestamps are excluded explicitly: a NULL slope
+      -- would rank NULLS-first in Spark vs NULLS-last in DuckDB
+      FROM events WHERE user_id % 5 = 0
+        AND value IS NOT NULL AND ts IS NOT NULL),
     p AS (
       SELECT a.user_id,
              CAST(round((b.v - a.v) / (b.t - a.t) * 1000000, 0) AS BIGINT)
@@ -589,7 +592,11 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    s = e.filter(F.col("user_id") % 5 == 0).select(
+    s = e.filter(
+        (F.col("user_id") % 5 == 0)
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
         "user_id",
         F.floor(F.unix_micros("ts") / 1000000).cast("bigint").alias("t"),
         F.round("value", 6).alias("v"),
