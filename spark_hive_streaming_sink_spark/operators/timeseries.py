@@ -317,7 +317,9 @@ def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT user_id, event_id, ts, round(value, 6) AS v
-      FROM events),
+      -- NULL ts/value guard: engine NULL-ordering differs (see
+      -- events_theil_sen_trend note)
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
     st AS (
       SELECT user_id,
              CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -368,7 +370,9 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    base = e.select("user_id", "event_id", "ts", F.round("value", 6).alias("v"))
+    base = e.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select("user_id", "event_id", "ts", F.round("value", 6).alias("v"))
     st = base.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_events"),
         (
@@ -415,7 +419,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type
-      FROM events),
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
     cnt AS (
       SELECT prev_type, event_type AS next_type,
              CAST(COUNT(*) AS BIGINT) AS n_trans
@@ -448,9 +452,11 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = e.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    ).filter(F.col("prev_type").isNotNull())
+    seq = (
+        e.filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+    )
     cnt = seq.groupBy(
         "prev_type", F.col("event_type").alias("next_type")
     ).agg(F.count("*").cast("bigint").alias("n_trans"))
@@ -472,7 +478,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, round(value, 6) AS v,
              lag(round(value, 6)) OVER (PARTITION BY user_id
                                         ORDER BY ts, event_id) AS pv
-      FROM events),
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
     pairs AS (SELECT user_id, v, pv FROM s WHERE pv IS NOT NULL),
     -- products round back to scale 6 before the exact sum: unscaled
     -- values stay < 2^53 so the decimal->double cast is 1-ulp-safe
@@ -510,11 +516,15 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     v6 = F.round("value", 6)
-    s = e.select(
-        "user_id",
-        v6.cast("decimal(18,6)").alias("v"),
-        F.lag(v6).over(w).cast("decimal(18,6)").alias("pv"),
-    ).filter(F.col("pv").isNotNull())
+    s = (
+        e.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            v6.cast("decimal(18,6)").alias("v"),
+            F.lag(v6).over(w).cast("decimal(18,6)").alias("pv"),
+        )
+        .filter(F.col("pv").isNotNull())
+    )
     m = s.groupBy("user_id").agg(
         F.count("*").alias("n"),
         F.sum("v").cast("double").alias("sx"),

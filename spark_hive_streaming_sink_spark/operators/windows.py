@@ -583,7 +583,7 @@ def events_windowed_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH u AS (
       SELECT user_id, event_id, ts,
              CAST(round(round(value, 6) * 1000000, 0) AS BIGINT) AS v_u
-      FROM events),
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
     c1 AS (
       SELECT user_id, event_id, ts,
              CAST(SUM(v_u) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -622,7 +622,9 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the (ts, event_id) sort and the trough argmax re-sorts
     partition-locally — plan-pinned at exactly 1 Exchange."""
     e = load_table(spark, sf_dir, "events")
-    u = e.select(
+    u = e.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
         "user_id", "event_id", "ts",
         F.round(F.round("value", 6) * 1000000, 0).cast("bigint").alias("v_u"),
     )
