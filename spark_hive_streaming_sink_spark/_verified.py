@@ -22,7 +22,7 @@ Update per round: fold the new ``CORRECTNESS_r{N}.json`` greens into
 from __future__ import annotations
 
 # Round 1 (CORRECTNESS_r01.json): hash_match == true.
-GREEN: frozenset[str] = frozenset(
+_GREEN_R1: frozenset[str] = frozenset(
     {
         "agg_pivot",
         "sample_deterministic",
@@ -75,7 +75,7 @@ GREEN: frozenset[str] = frozenset(
 )
 
 # Round 2 (CORRECTNESS_r02.json): hash_match == true.
-GREEN = GREEN | frozenset(
+_GREEN_R2: frozenset[str] = frozenset(
     {
         "agg_approx_error_bounds",
         "agg_grouping_id_rollup",
@@ -128,7 +128,7 @@ GREEN = GREEN | frozenset(
 
 # Rounds 3+4 (CORRECTNESS_r03.json / CORRECTNESS_r04.json — identical key
 # sets): hash_match == true.
-GREEN = GREEN | frozenset(
+_GREEN_R4: frozenset[str] = frozenset(
     {
         "cluster_kmeans_embeddings",
         "contamination_ngram_overlap",
@@ -181,7 +181,7 @@ GREEN = GREEN | frozenset(
 # Round 5 (CORRECTNESS_r05.json): hash_match == true — 49 greens including
 # all five round-3/4 output-type reds (cast_try_cast, q12_priority_class,
 # pack_sequences_chunk, multimodal_features, multimodal_features_arrow).
-GREEN = GREEN | frozenset(
+_GREEN_R5: frozenset[str] = frozenset(
     {
         "cast_try_cast",
         "corpus_cross_source_overlap",
@@ -235,13 +235,85 @@ GREEN = GREEN | frozenset(
     }
 )
 
+# Round 6 (CORRECTNESS_r06.json): hash_match == true — 47 greens; coverage
+# closed at 234/234 judged (the 3 remainder are the rows-only set below).
+_GREEN_R6: frozenset[str] = frozenset(
+    {
+        "agg_chi_square_independence",
+        "agg_gini_coefficient",
+        "agg_histogram_equidepth",
+        "agg_ks_two_sample",
+        "agg_mutual_information",
+        "agg_pivot",
+        "agg_subsample_ci",
+        "agg_welch_ttest",
+        "corpus_data_card",
+        "corpus_stratified_hash_sample",
+        "corpus_train_split_audit",
+        "dedup_chunks_reconstruct",
+        "dedup_lsh_components",
+        "dedup_minhash_calibration",
+        "dedup_semantic_cluster",
+        "embed_centroid_drift",
+        "embed_label_purity",
+        "embed_pq_codes",
+        "embed_text_consistency_corr",
+        "events_autocorr_lag1",
+        "events_benford_digit_audit",
+        "events_cusum_changepoint",
+        "events_markov_transitions",
+        "events_theil_sen_trend",
+        "graph_pagerank_knn",
+        "join_lateral_correlated",
+        "join_runtime_bloom_pruned",
+        "json_variant_extract",
+        "multimodal_audio_vad_segments",
+        "multimodal_image_ahash",
+        "sample_deterministic",
+        "sample_stratified",
+        "scalar_try_functions",
+        "sim_ann_recall_audit",
+        "sim_ivf_pq_topk",
+        "sim_knn_graph_lsh",
+        "source_binaryfile_ingest",
+        "sql_distribute_cluster_by",
+        "sql_parameterized_query",
+        "sql_pipe_syntax",
+        "stream_json_variant_etl",
+        "text_bigram_surprisal",
+        "text_bm25_score",
+        "text_token_pmi_topk",
+        "text_zipf_rank_frequency",
+        "window_max_drawdown",
+        "xml_funcs",
+    }
+)
+
 # Rows-only verdicts (err == "no_oracle", by design): r1 approx sketches,
 # r5 wall-clock rate source.
 ROWS_ONLY_JUDGED: frozenset[str] = frozenset(
     {"agg_approx", "agg_hll_mergeable_sketch", "source_rate_stream"}
 )
 
-# Nothing is red after round 5 (0 outstanding wrong answers). Never-judged
-# queries (e.g. embed_centroid_drift, added post-r5-driver-run) emit first
-# by rule 2 above.
+# Nothing is red after round 6 (0 outstanding wrong answers; all 234
+# registered queries driver-judged). With the pending set empty, emission
+# falls back to stalest-verdict-first (see ``registry``) so early-round
+# greens get re-certified on a rolling basis.
 PRIORITY_RECHECK: tuple[str, ...] = ()
+
+# Union of every green ever recorded (a later re-judge can only refresh the
+# verdict, never remove it — reds would move to PRIORITY_RECHECK instead).
+GREEN: frozenset[str] = (
+    _GREEN_R1 | _GREEN_R2 | _GREEN_R4 | _GREEN_R5 | _GREEN_R6
+)
+
+# Round of each query's MOST RECENT green verdict. With the pending set
+# empty (all 234 judged), ``registry`` emits green queries
+# stalest-verdict-first so r1/r2-era verdicts — whose shared helpers have
+# since been refactored — get re-certified within ~2 driver rounds.
+LAST_GREEN_ROUND: dict[str, int] = {}
+for _round, _names in ((1, _GREEN_R1), (2, _GREEN_R2), (4, _GREEN_R4),
+                       (5, _GREEN_R5), (6, _GREEN_R6)):
+    for _name in _names:
+        LAST_GREEN_ROUND[_name] = _round
+del _round, _names, _name

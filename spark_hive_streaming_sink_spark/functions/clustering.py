@@ -31,7 +31,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Each iteration: label(n) ← min(label(n), min over neighbors'
     labels). Stops when no label changes (checked with one count per
-    round — the only driver-side action).
+    round — the only driver-side action). Convergence needs roughly
+    the graph diameter iterations; if ``max_iter`` rounds pass with
+    labels still changing, the result would be silently WRONG (split
+    components → corrupted dedup keep-lists), so that case raises
+    instead of returning.
     """
     both = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -41,6 +45,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    n_changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.dst == labels.node)
@@ -64,6 +69,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = updated.select("node", "component")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({n_changed} labels still changing): the component graph's "
+            "diameter exceeds max_iter — raise max_iter (it must cover the "
+            "longest near-dup chain) rather than using these partial labels"
+        )
     return labels
 
 

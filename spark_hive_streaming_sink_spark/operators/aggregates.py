@@ -899,9 +899,12 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(left(CAST(CAST(round(value * 10000, 0) AS BIGINT) AS VARCHAR), 1)
                   AS INT) AS digit
       FROM events WHERE value > 0),
+    -- digit >= 1 guard: a value in (0, 5e-5) rounds to integer 0, whose
+    -- first "digit" is 0 and whose Benford term divides by zero — both
+    -- engines drop it identically here
     o AS (
       SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
-      FROM d GROUP BY event_type, digit),
+      FROM d WHERE digit >= 1 GROUP BY event_type, digit),
     t AS (SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS n_total
           FROM o GROUP BY event_type),
     s AS (
@@ -944,8 +947,12 @@ def events_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("digit"),
     )
-    o = d.groupBy("event_type", "digit").agg(
-        F.count("*").cast("bigint").alias("n_obs")
+    # digit >= 1: mirrors the oracle's guard — sub-5e-5 values round to
+    # integer 0 (digit 0) and would divide by zero in the Benford term
+    o = (
+        d.filter(F.col("digit") >= 1)
+        .groupBy("event_type", "digit")
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
     )
     t = o.groupBy("event_type").agg(F.sum("n_obs").cast("bigint").alias("n_total"))
     s = o.join(F.broadcast(t), "event_type").withColumn(

@@ -475,18 +475,22 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_autocorr_lag1",
     oracle="""
     WITH s AS (
-      SELECT user_id, round(value, 6) AS v,
-             lag(round(value, 6)) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) AS pv
+      -- cast to DECIMAL BEFORE multiplying (the embed_text_consistency_corr
+      -- pattern): both engines then form v*pv as an EXACT decimal product
+      -- and round it HALF_UP identically — a double-side product can land
+      -- exactly on a 5e-7 tie (0.001*0.0005) and round the other way
+      SELECT user_id, CAST(round(value, 6) AS DECIMAL(18,6)) AS v,
+             lag(CAST(round(value, 6) AS DECIMAL(18,6)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
       FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
     pairs AS (SELECT user_id, v, pv FROM s WHERE pv IS NOT NULL),
     -- products round back to scale 6 before the exact sum: unscaled
     -- values stay < 2^53 so the decimal->double cast is 1-ulp-safe
     m AS (
       SELECT user_id, COUNT(*) AS n,
-             CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(v) AS DOUBLE) AS sx,
              CAST(SUM(CAST(round(v * v, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(pv AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(pv) AS DOUBLE) AS sy,
              CAST(SUM(CAST(round(pv * pv, 6) AS DECIMAL(18,6))) AS DOUBLE) AS syy,
              CAST(SUM(CAST(round(v * pv, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy
       FROM pairs GROUP BY user_id)

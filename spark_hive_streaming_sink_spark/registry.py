@@ -82,7 +82,16 @@ def _load_all() -> None:
 
 def _ordered_specs() -> list[QuerySpec]:
     """Registry order, re-ranked so the driver's finite verdict budget
-    lands on queries that still need a verdict (see ``_verified``)."""
+    lands where it buys the most signal (see ``_verified``):
+
+    1. ``PRIORITY_RECHECK`` (previously wrong, now fixed);
+    2. never-judged queries (registration order preserved);
+    3. rows-only-judged (verdict can't improve, but cheap to refresh);
+    4. greens, STALEST verdict first — with all 234 queries judged at
+       least once, rolling re-certification matters more than first
+       verdicts: queries last judged in r1/r2 have had shared helpers
+       refactored under them and should be re-hashed before r6 greens.
+    """
     from . import _verified as v
 
     recheck = {name: i for i, name in enumerate(v.PRIORITY_RECHECK)}
@@ -91,7 +100,7 @@ def _ordered_specs() -> list[QuerySpec]:
         if spec.name in recheck:
             return (0, recheck[spec.name])
         if spec.name in v.GREEN:
-            return (3, 0)
+            return (3, v.LAST_GREEN_ROUND.get(spec.name, 0))
         if spec.name in v.ROWS_ONLY_JUDGED:
             return (2, 0)
         return (1, 0)

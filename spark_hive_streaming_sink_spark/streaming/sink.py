@@ -39,6 +39,7 @@ reference, ``README.md:74``); everything else is columnar and JVM-side.
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -269,6 +270,50 @@ def make_batch_writer(
     return write_batch
 
 
+# Single-writer-per-destination guard. Two queries streaming into the
+# SAME table concurrently would race: each holds its own batch-id
+# sequence and ledger scope, so neither ledger can see the other's
+# appends, and interleaved dynamic-partition inserts can double-load a
+# partition mid-compaction. The contract is therefore HARD:
+# one active streaming writer per destination table. This registry
+# enforces it within the driver process (the only place two writers can
+# legitimately coexist on one SparkSession); across separate
+# applications it is the operator's contract, documented in README —
+# the same stance Hive streaming itself takes via metastore txn locks,
+# which OSS Spark tables don't have.
+_ACTIVE_WRITERS: dict[str, StreamingQuery | None] = {}
+_ACTIVE_WRITERS_MU = threading.Lock()
+_RESERVED = None  # registry value between claim and successful start()
+
+
+def _claim_destination(qualified_name: str) -> None:
+    with _ACTIVE_WRITERS_MU:
+        if qualified_name in _ACTIVE_WRITERS:
+            cur = _ACTIVE_WRITERS[qualified_name]
+            try:
+                still_active = cur is _RESERVED or cur.isActive
+            except Exception:
+                still_active = False  # JVM-side query object gone
+            if still_active:
+                raise HiveStreamingSinkError(
+                    f"destination '{qualified_name}' already has an active "
+                    "streaming writer: the sink is single-writer-per-"
+                    "destination (concurrent writers would race the commit "
+                    "ledger and double-append batches). Stop the active "
+                    "query first, or route the second stream to its own "
+                    "table and union downstream."
+                )
+        _ACTIVE_WRITERS[qualified_name] = _RESERVED
+
+
+def _bind_destination(qualified_name: str, query: StreamingQuery | None) -> None:
+    with _ACTIVE_WRITERS_MU:
+        if query is None:
+            _ACTIVE_WRITERS.pop(qualified_name, None)  # start failed
+        else:
+            _ACTIVE_WRITERS[qualified_name] = query
+
+
 def write_stream_to_table(
     df: DataFrame,
     checkpoint_dir: str,
@@ -286,7 +331,12 @@ def write_stream_to_table(
     table exactly-once even across a checkpoint reset (losing the
     checkpoint must not double-load the destination). Markers are
     namespaced per destination table + query name inside the ledger
-    dir, so a shared ledger.dir is safe across queries. Delivery is
+    dir, so a shared ledger.dir is safe across queries writing to
+    DIFFERENT tables. Writing the SAME table is single-writer by hard
+    contract: a second concurrent writer is refused at start (see
+    ``_claim_destination``) within the driver process, and running two
+    separate applications against one destination is unsupported (their
+    ledgers cannot see each other's appends). Delivery is
     effectively exactly-once with one documented at-least-once window:
     a crash between a batch's job commit and its marker write replays
     that single batch as a duplicate append (see
@@ -330,7 +380,13 @@ def write_stream_to_table(
     if query_name:
         writer = writer.queryName(query_name)
     writer = writer.trigger(**(trigger or {"availableNow": True}))
-    return writer.start()
+    _claim_destination(opts.qualified_name)
+    query = None
+    try:
+        query = writer.start()
+    finally:
+        _bind_destination(opts.qualified_name, query)
+    return query
 
 
 def _table_location(spark: SparkSession, qualified: str) -> str:

@@ -74,6 +74,24 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want
 
 
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain whose diameter exceeds max_iter must FAIL LOUDLY, not
+    return partial (wrong) labels that would corrupt a dedup keep-list:
+    min-label propagation moves the min one hop per iteration, so a
+    7-edge path cannot converge in 2 iterations."""
+    import pytest
+
+    from spark_hive_streaming_sink_spark.functions.clustering import (
+        connected_components,
+    )
+
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edf, max_iter=2)
+
+
 def _cusum_reference(vals):
     """Pure-Python CUSUM peak for one user over integer values with a
     power-of-two count: mean and deviations are binary-exact, so

@@ -427,6 +427,53 @@ def test_shared_ledger_dir_no_cross_query_collision(spark, tmp_path):
     assert counts == {"ledger_iso_a": expected, "ledger_iso_b": expected}
 
 
+def test_single_writer_per_destination_guard(spark, tmp_path):
+    """Two CONCURRENT queries into the SAME table must be refused: each
+    holds its own batch-id sequence and ledger scope, so neither ledger
+    can see the other's appends (check-then-write race → duplicate
+    loads). The guard is per-destination and lifetime-scoped: a second
+    writer is fine once the first has stopped."""
+    table, base = _mk_table(spark)
+    sf_dir = SF_DIR
+
+    def ev():
+        return stream_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+
+    q1 = write_stream_to_table(
+        ev(),
+        checkpoint_dir=f"{base}/ckpt1",
+        db="default",
+        table=table,
+        trigger={"processingTime": "10 seconds"},  # stays active
+    )
+    try:
+        with pytest.raises(HiveStreamingSinkError, match="single-writer"):
+            write_stream_to_table(
+                ev(),
+                checkpoint_dir=f"{base}/ckpt2",
+                db="default",
+                table=table,
+                trigger={"availableNow": True},
+            )
+    finally:
+        q1.stop()
+        q1.awaitTermination()
+    # sequential reuse after stop: the registry sees isActive == False
+    q2 = write_stream_to_table(
+        ev(),
+        checkpoint_dir=f"{base}/ckpt3",
+        db="default",
+        table=table,
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination()
+    spark.catalog.refreshTable(table)
+    assert spark.table(table).count() > 0
+    spark.sql(f"DROP TABLE {table}")
+
+
 class _FaultInjectedLedger(BatchCommitLedger):
     """Ledger that simulates a crash around the marker write — once.
 
