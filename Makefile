@@ -1,10 +1,11 @@
-.PHONY: verify test gate gate-scale bench coverage
+.PHONY: verify test gate gate-scale gate-adv advdata bench coverage
 
 # The pre-submit gate: full unit suite + the sf0.01 oracle gate (the
 # exact comparison the round driver runs, incl. the output-type canon
-# audit). Run this before every round-closing commit — a red here is a
-# red verdict the driver would have recorded.
-verify: test gate
+# audit) + the adversarial NULL-seeded/48-dim gate. Run this before
+# every round-closing commit — a red here is a red verdict the driver
+# would have recorded.
+verify: test gate gate-adv
 
 test:
 	python -m pytest tests/ -x -q
@@ -15,6 +16,15 @@ gate:
 # bench-scale correctness (10x the judged SF; slower, run per-round)
 gate-scale:
 	python tools/oracle_gate.py /root/testdata/sf0.1 2>&1 | tee tools/gate_scale_last.log
+
+# adversarial fixtures: sf0.001 with ~5% NULLs in every nullable
+# analytics column and 48-dim embeddings — the latent NULL-ordering /
+# hardcoded-dim divergence killer (deterministic; regenerating is cheap)
+advdata:
+	python tools/make_adversarial_fixtures.py
+
+gate-adv: advdata
+	python tools/oracle_gate.py tools/advdata/sf0.001adv-d48 2>&1 | tee tools/gate_adv_last.log
 
 bench:
 	python bench.py

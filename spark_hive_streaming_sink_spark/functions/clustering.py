@@ -139,13 +139,14 @@ _SQL_ASSIGN = """
             FROM e CROSS JOIN {cents}))
 """
 
-_SQL_MEANS = f"""
-    {{out}} AS (
+_SQL_MEANS = """
+    {out} AS (
       SELECT cid, i AS dim,
              CAST(SUM(CAST(round(v[i], 6) AS DECIMAL(12,6))) AS DOUBLE)
                / COUNT(*) AS cv
-      FROM {{assign}} CROSS JOIN generate_series(1, {KM_DIM}) AS t(i)
-      WHERE rn = 1 AND i <= len(v)
+      -- i from each row's own len(v): no hardcoded dimension
+      FROM (SELECT cid, v, unnest(generate_series(1, len(v))) AS i
+            FROM {assign} WHERE rn = 1)
       GROUP BY cid, i)
 """
 
@@ -244,19 +245,23 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_ITERS = 2  # power iterations (unrolled in the oracle)
 
 _SQL_SQNORM = "list_reduce(list_transform({z}, q -> q * q), (a, b) -> a + b)"
+# dim-agnostic: every series derives from len() of the data, never a
+# hardcoded dimension (the adversarial 48-/96-dim fixtures exist to
+# catch exactly that). Scalar generate_series accepts column args;
+# the TABLE function does not, hence the unnest() subqueries.
 _SQL_DOTV = (
-    "list_reduce(list_transform(generate_series(1, {d}), i -> xc[i] * {v}[i]), "
+    "list_reduce(list_transform(generate_series(1, len(xc)), i -> xc[i] * {v}[i]), "
     "(a, b) -> a + b)"
 )
-_SQL_ZSTEP = f"""
-    {{zout}} AS (
+_SQL_ZSTEP = """
+    {zout} AS (
       SELECT i AS dim,
              CAST(SUM(CAST(round(y * xc[i], 6) AS DECIMAL(18,6))) AS DOUBLE) AS z
-      FROM {{yin}} CROSS JOIN generate_series(1, {KM_DIM}) AS t(i)
+      FROM (SELECT y, xc, unnest(generate_series(1, len(xc))) AS i FROM {yin})
       GROUP BY i),
-    {{vout}} AS (
+    {vout} AS (
       SELECT list(z ORDER BY dim) AS z
-      FROM {{zout}})
+      FROM {zout})
 """
 
 
@@ -265,33 +270,35 @@ _SQL_ZSTEP = f"""
     oracle=f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS x
-      FROM embeddings),
+      -- NULL embeddings cannot be centered/projected: excluded, both engines
+      FROM embeddings WHERE embedding IS NOT NULL),
     md AS (
       SELECT i AS dim,
              CAST(SUM(CAST(round(x[i], 6) AS DECIMAL(12,6))) AS DOUBLE)
                / COUNT(*) AS md
-      FROM e CROSS JOIN generate_series(1, {KM_DIM}) AS t(i)
+      FROM (SELECT x, unnest(generate_series(1, len(x))) AS i FROM e)
       GROUP BY i),
     mv AS (SELECT list(md ORDER BY dim) AS m FROM md),
     xc AS (
       SELECT vec_id,
-             list_transform(generate_series(1, {KM_DIM}), i -> x[i] - m[i]) AS xc
+             list_transform(generate_series(1, len(x)), i -> x[i] - m[i]) AS xc
       FROM e CROSS JOIN mv),
     v0 AS (
-      SELECT list_transform(generate_series(1, {KM_DIM}),
-                            i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS v),
-    y1 AS (SELECT vec_id, xc, {_SQL_DOTV.format(d=KM_DIM, v="v0.v")} AS y
+      SELECT list_transform(generate_series(1, len(x)),
+                            i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) AS v
+      FROM e LIMIT 1),
+    y1 AS (SELECT vec_id, xc, {_SQL_DOTV.format(v="v0.v")} AS y
            FROM xc CROSS JOIN v0),
     {_SQL_ZSTEP.format(zout="z1", yin="y1", vout="zv1")},
     v1 AS (
       SELECT list_transform(z, el -> el / sqrt({_SQL_SQNORM.format(z="z")})) AS v
       FROM zv1),
-    y2 AS (SELECT vec_id, xc, {_SQL_DOTV.format(d=KM_DIM, v="v1.v")} AS y
+    y2 AS (SELECT vec_id, xc, {_SQL_DOTV.format(v="v1.v")} AS y
            FROM xc CROSS JOIN v1),
     {_SQL_ZSTEP.format(zout="z2", yin="y2", vout="zv2")},
     fin AS (SELECT z, sqrt({_SQL_SQNORM.format(z="z")}) AS nrm FROM zv2)
-    SELECT i AS dim, z[i] / nrm AS loading, nrm AS growth
-    FROM fin CROSS JOIN generate_series(1, {KM_DIM}) AS t(i)
+    SELECT dim, z[dim] / nrm AS loading, nrm AS growth
+    FROM (SELECT z, nrm, unnest(generate_series(1, len(z))) AS dim FROM fin)
     """,
     tags=("llm", "embedding", "iterative", "pca"),
 )
@@ -313,7 +320,9 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     block power iteration. Output 'growth' is ‖z‖ (the Rayleigh-
     quotient numerator — converges to λ₁·n after normalization
     scaling)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # mirrors the oracle's e CTE guard
+    )
     e = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("x")
     )
@@ -336,8 +345,13 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.zip_with("x", "m", lambda a, b: a - b).alias("xc")
     )
 
-    v = F.array(*([F.lit(1.0)] + [F.lit(0.0)] * (KM_DIM - 1)))
-    vdf = xc.sparkSession.range(1).select(v.alias("v"))
+    # v0 = e1 at the DATA's dimensionality (never hardcode the dim)
+    vdf = e.limit(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.size("x")),
+            lambda i: F.when(i == 1, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).alias("v")
+    )
 
     def dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t)
@@ -670,7 +684,9 @@ def _pr_oracle() -> str:
     WITH v AS (SELECT vec_id, embedding,
                       sqrt({_PR_DOT_VV}) AS nrm,
                       {_sql_bucket('embedding')} AS bucket
-               FROM embeddings),
+               -- NULL embeddings can't be bucketed or scored: excluded
+               -- identically in both engines
+               FROM embeddings WHERE embedding IS NOT NULL),
     p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
                  row_number() OVER (PARTITION BY a.vec_id
                                     ORDER BY round({_PR_DOT_AB} / (a.nrm * b.nrm), 6)
@@ -722,7 +738,7 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
+    v = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         "embedding",
         _norm(F.col("embedding")).alias("nrm"),

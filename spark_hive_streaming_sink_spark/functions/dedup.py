@@ -50,13 +50,26 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(col: Column) -> Column:
-    """Distinct 3-gram word shingles of a text column (Spark side)."""
+    """Distinct 3-gram word shingles of a text column (Spark side).
+
+    Guarded for degenerate inputs to match DuckDB's ``generate_series``
+    semantics exactly: texts with < 3 tokens yield an EMPTY list (Spark's
+    ``sequence(1, n)`` with n < 1 would otherwise DESCEND — e.g.
+    ``sequence(1, -1) = [1, 0, -1]`` — and crash ``slice`` on start 0),
+    and NULL text yields NULL (``list_transform(NULL) -> NULL`` in
+    DuckDB). CASE branches evaluate lazily per row, so the crashing
+    expression never runs for short texts."""
     toks = F.split(F.trim(col), " ")
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - 2),
             lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
         )
+    )
+    return (
+        F.when(col.isNull(), F.lit(None).cast("array<string>"))
+        .when(F.size(toks) >= 3, grams)
+        .otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -106,6 +119,13 @@ def _minhash_cols() -> list[Column]:
         F.array_repeat(F.lit(long_max).cast("bigint"), N_MINHASH),
         lambda acc, p: F.zip_with(acc, perms(p), lambda a, b: F.least(a, b)),
     )
+    # degenerate docs (NULL text, or < 3 tokens → no shingles) have no
+    # minhash: NULL, matching DuckDB's list_aggregate([]/NULL, 'min').
+    # Without this, the empty-fold would emit long_max "signatures" that
+    # bucket all degenerate docs into one giant phantom near-dup set.
+    mins = F.when(F.size(F.col("hx")) > 0, mins).otherwise(
+        F.lit(None).cast("array<bigint>")
+    )
     return [mins.getItem(i).alias(f"mh{i}") for i in range(N_MINHASH)]
 
 
@@ -128,10 +148,16 @@ _SQL_MINHASH = ", ".join(
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
     hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM sh),
     mh AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt)
+    -- degenerate docs (NULL / <3-token text) have NULL minhash -> NULL
+    -- bands, not md5('') phantom buckets
     SELECT doc_id,
-           md5(concat_ws('_', mh0, mh1, mh2, mh3)) AS band0,
-           md5(concat_ws('_', mh4, mh5, mh6, mh7)) AS band1,
-           md5(concat_ws('_', mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7)) AS signature
+           CASE WHEN mh0 IS NOT NULL
+                THEN md5(concat_ws('_', mh0, mh1, mh2, mh3)) END AS band0,
+           CASE WHEN mh0 IS NOT NULL
+                THEN md5(concat_ws('_', mh4, mh5, mh6, mh7)) END AS band1,
+           CASE WHEN mh0 IS NOT NULL
+                THEN md5(concat_ws('_', mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7))
+           END AS signature
     FROM mh
     """,
     tags=("llm", "dedup", "minhash"),
@@ -146,9 +172,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = d.select(
         "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
     ).select("doc_id", *_minhash_cols())
-    b0 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)]))
-    b1 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)]))
-    sig = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(N_MINHASH)]))
+    ok = F.col("mh0").isNotNull()  # NULL minhash -> NULL bands
+    b0 = F.when(ok, F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)])))
+    b1 = F.when(ok, F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)])))
+    sig = F.when(
+        ok, F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(N_MINHASH)]))
+    )
     return mh.select(
         "doc_id", b0.alias("band0"), b1.alias("band1"), sig.alias("signature")
     )
@@ -160,7 +189,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
     hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM sh),
-    mh AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt),
+    mh0 AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt),
+    -- degenerate docs (NULL minhash) cannot be candidates
+    mh AS (SELECT * FROM mh0 WHERE mh0 IS NOT NULL),
     bands AS (
       SELECT doc_id, 0 AS band_no, md5(concat_ws('_', mh0, mh1, mh2, mh3)) AS band_key FROM mh
       UNION ALL
@@ -182,9 +213,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle agrees on emptiness, and tests/test_llm_ops.py proves the
     recall path on planted duplicates."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    mh = d.select(
-        "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
-    ).select("doc_id", *_minhash_cols())
+    mh = (
+        d.select("doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx"))
+        .select("doc_id", *_minhash_cols())
+        .filter(F.col("mh0").isNotNull())  # degenerate docs can't be candidates
+    )
     b0 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)]))
     b1 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)]))
     bands = mh.select(
@@ -269,14 +302,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))
                     AS shingles
            FROM t)
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(list_intersect(a.shingles, b.shingles)) AS n_common,
-           len(a.shingles) + len(b.shingles)
-             - len(list_intersect(a.shingles, b.shingles)) AS n_union,
-           len(list_intersect(a.shingles, b.shingles))
-             / (len(a.shingles) + len(b.shingles)
-                - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    -- NULL-text docs have NULL shingles: their pairs report NULL metrics
+    -- (Spark's array_intersect(NULL, x) is NULL; DuckDB's list_intersect
+    -- is [] — the CASE makes both NULL). Empty-empty pairs (n_union = 0)
+    -- have undefined Jaccard: NULL in both engines.
+    SELECT doc_a, doc_b, n_common, n_union,
+           CASE WHEN n_union > 0 THEN n_common / n_union END AS jaccard
+    FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CASE WHEN a.shingles IS NULL OR b.shingles IS NULL THEN NULL
+                  ELSE len(list_intersect(a.shingles, b.shingles)) END AS n_common,
+             CASE WHEN a.shingles IS NULL OR b.shingles IS NULL THEN NULL
+                  ELSE len(a.shingles) + len(b.shingles)
+                       - len(list_intersect(a.shingles, b.shingles)) END AS n_union
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)
     """,
     tags=("llm", "dedup", "jaccard"),
 )
@@ -346,7 +385,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_b"),
         inter.alias("n_common"),
         union.alias("n_union"),
-        (inter / union).alias("jaccard"),
+        # n_union = 0 (two shingle-less docs) -> undefined Jaccard: NULL,
+        # never 0/0 (IEEE NaN here vs an error in DuckDB)
+        F.when(union > 0, inter / union).alias("jaccard"),
     )
 
 
@@ -617,7 +658,10 @@ def dedup_chunks_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
     hxt AS (SELECT doc_id, shingles, {_SQL_HX} AS hx FROM sh),
-    mh AS (SELECT doc_id, shingles, {_SQL_MINHASH} FROM hxt),
+    -- degenerate docs (NULL minhash: NULL / <3-token text) are not
+    -- candidates; also guarantees n_union >= 1 below (no 0-divide)
+    mh AS (SELECT * FROM (SELECT doc_id, shingles, {_SQL_MINHASH} FROM hxt)
+           WHERE mh0 IS NOT NULL),
     bands AS (
       SELECT doc_id, 0 AS band_no,
              md5(concat_ws('_', mh0, mh1, mh2, mh3)) AS band_key FROM mh
@@ -678,6 +722,9 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "shingles", _shingle_hashes(F.col("shingles")).alias("hx")
         )
         .select("doc_id", "shingles", *_minhash_cols())
+        # degenerate docs (NULL minhash) are not candidates; keeps
+        # n_union >= 1 so exact_jaccard never divides by zero
+        .filter(F.col("mh0").isNotNull())
         # four consumers (two band sides + both pair sides): shingle
         # once — at 100 TB this is the persisted signature table
         .localCheckpoint(eager=True)

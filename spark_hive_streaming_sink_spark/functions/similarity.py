@@ -118,7 +118,9 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH v AS (SELECT vec_id, embedding,
                       sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
-               FROM embeddings),
+               -- NULL embeddings can't be scored (np.stack would also
+               -- reject them): excluded as query AND candidate, both engines
+               FROM embeddings WHERE embedding IS NOT NULL),
     p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                  round({_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 4) AS cosine
           FROM v q JOIN v c ON c.vec_id != q.vec_id
@@ -143,7 +145,9 @@ def sim_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # mirrors the oracle's v CTE guard
+    )
     qrows = sorted(
         emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect(),
         key=lambda r: r["vec_id"],
@@ -175,9 +179,12 @@ def sim_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rnk") <= TOP_K)
 
 
-def _plane(h: int, dim: int = DIM) -> list[float]:
+def _plane(h: int, dim: int = 256) -> list[float]:
     """Deterministic pseudo-random hyperplane from md5 (shared constant
-    between the Spark plan and the generated oracle SQL)."""
+    between the Spark plan and the generated oracle SQL). Generated at
+    256 coords — beyond any fixture dimension — and truncated to the
+    data's dimension at use (slice / generate_series(1, len(emb))), so
+    the bucketing never bakes in an embedding width."""
     return [
         int(hashlib.md5(f"p{h}_{i}".encode()).hexdigest()[0], 16) - 7.5
         for i in range(dim)
@@ -198,7 +205,12 @@ def _sql_plane_dot(emb: str, plane: list[float]) -> str:
 def _spark_bucket(emb: Column) -> Column:
     chars = []
     for plane in _PLANES:
-        lit_arr = F.array(*[F.lit(c) for c in plane])
+        # slice the plane to the DATA's dimension: zip_with pads the
+        # shorter side with NULL, so an un-sliced 64-wide plane against a
+        # 48-dim embedding would NULL the whole dot product (every vector
+        # would land in bucket '0000'). The oracle's generate_series(1,
+        # len(emb)) truncates the same way.
+        lit_arr = F.slice(F.array(*[F.lit(c) for c in plane]), 1, F.size(emb))
         d = F.aggregate(
             F.zip_with(emb, lit_arr, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -222,7 +234,9 @@ def _sql_bucket(emb: str) -> str:
     WITH v AS (SELECT vec_id, embedding,
                       sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
                       {_sql_bucket('embedding')} AS bucket
-               FROM embeddings),
+               -- NULL embeddings can't be bucketed or scored: excluded
+               -- identically in both engines
+               FROM embeddings WHERE embedding IS NOT NULL),
     p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.bucket,
                  round({_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm), 6) AS cosine
           FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
@@ -244,7 +258,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
+    v = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         "embedding",
         _norm(F.col("embedding")).alias("nrm"),
@@ -307,12 +321,15 @@ def embed_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embed_avg_pool",
     oracle="""
+    -- dim-agnostic: i ranges over each row's OWN length (a fixed series
+    -- capped the pool at 64 dims and dropped the tail of wider vectors)
     SELECT label, i AS dim,
            CAST(SUM(CAST(round(embedding[i]::DOUBLE, 6) AS DECIMAL(12,6))) AS DOUBLE)
              / COUNT(*) AS pooled,
            COUNT(*) AS n
-    FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
-    WHERE i <= len(embedding)
+    FROM (SELECT label, embedding,
+                 unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings)
     GROUP BY label, i
     """,
     tags=("llm", "similarity", "embedding"),
@@ -337,12 +354,15 @@ def embed_avg_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_CENTROIDS = f"""
+_SQL_CENTROIDS = """
     dims AS (SELECT label, i AS dim,
                CAST(SUM(CAST(round(embedding[i]::DOUBLE, 6) AS DECIMAL(12,6))) AS DOUBLE)
                  / COUNT(*) AS cv
-             FROM embeddings CROSS JOIN generate_series(1, {DIM}) AS t(i)
-             WHERE i <= len(embedding) GROUP BY label, i),
+             -- i from each row's own len(): no hardcoded dimension
+             FROM (SELECT label, embedding,
+                          unnest(generate_series(1, len(embedding))) AS i
+                   FROM embeddings)
+             GROUP BY label, i),
     cents AS (SELECT label, list(cv ORDER BY dim) AS cvec FROM dims GROUP BY label)
 """
 
@@ -458,7 +478,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT vec_id, embedding,
                       sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
                       {_sql_bucket('embedding')} AS bucket
-               FROM embeddings)
+               -- NULL embeddings can't be bucketed or scored: excluded
+               -- identically in both engines
+               FROM embeddings WHERE embedding IS NOT NULL)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
            round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cosine
     FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -472,7 +494,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic-dedup analogue of MinHash→Jaccard (candidates bucket-local,
     never all-pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
+    v = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         "embedding",
         _norm(F.col("embedding")).alias("nrm"),
@@ -688,7 +710,9 @@ K_NN_GRAPH = 3  # neighbors kept per node
     WITH v AS (SELECT vec_id, embedding,
                       sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
                       {_sql_bucket('embedding')} AS bucket
-               FROM embeddings),
+               -- NULL embeddings can't be bucketed or scored: excluded
+               -- identically in both engines
+               FROM embeddings WHERE embedding IS NOT NULL),
     p AS (SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id, a.bucket,
                  round({_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6) AS cosine
           FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
@@ -723,7 +747,7 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization costs more than the recompute (measured 2.5s ->
     # 3.8s with a checkpoint here — the opposite trade from the
     # SemDeDup assignment, whose argmin window is expensive per row)
-    v = emb.select(
+    v = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         "embedding",
         _norm(F.col("embedding")).alias("nrm"),
@@ -881,7 +905,9 @@ RECALL_K = 3  # matches sim_ann_lsh's depth
     WITH v AS (SELECT vec_id, embedding,
                       sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
                       {_sql_bucket('embedding')} AS bucket
-               FROM embeddings),
+               -- NULL embeddings can't be bucketed or scored: excluded
+               -- identically in both engines
+               FROM embeddings WHERE embedding IS NOT NULL),
     q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
     truth AS (
       SELECT query_id, cand_id FROM (
@@ -928,7 +954,7 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.select(
+    v = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         "embedding",
         _norm(F.col("embedding")).alias("nrm"),

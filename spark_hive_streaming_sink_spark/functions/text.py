@@ -201,8 +201,11 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted → md5): near-dup candidates share fingerprints regardless of
     token order / repetition. md5 hex is identical cross-engine."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    canon = F.concat_ws(
-        " ", F.array_sort(F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), " ")))
+    # array_join, NOT concat_ws: a NULL text must fingerprint as NULL in
+    # both engines (concat_ws would hash the empty string instead)
+    canon = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), " "))),
+        " ",
     )
     return d.select(
         "doc_id",
@@ -317,9 +320,12 @@ _RE_PHONE = r"\b\d{3}-\d{4}\b"
     oracle=rf"""
     WITH t AS (
       SELECT doc_id, source,
-             concat(text, ' contact user', CAST(doc_id AS VARCHAR),
-                    '@example.com or 10.0.', CAST(doc_id % 256 AS VARCHAR),
-                    '.17 tel 555-02', CAST(doc_id % 90 + 10 AS VARCHAR)) AS txt
+             -- || , NOT concat(): DuckDB's concat() skips NULL args but
+             -- Spark's F.concat propagates NULL — || propagates in both,
+             -- so a NULL text yields NULL counts/redaction identically
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.17 tel 555-02' || CAST(doc_id % 90 + 10 AS VARCHAR) AS txt
       FROM documents)
     SELECT doc_id, source,
            len(regexp_extract_all(txt, '{_RE_EMAIL}')) AS n_emails,
@@ -547,7 +553,10 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(SUM(tok_total) AS BIGINT) AS corpus_total FROM g)
     SELECT lang, source, n_docs, tok_total, corpus_total,
            tok_total * 1000000 // corpus_total AS weight_ppm,
-           row_number() OVER (ORDER BY tok_total DESC, lang, source) AS mix_rank
+           -- NULLS FIRST matches Spark's ASC default (DuckDB defaults to
+           -- NULLS LAST); tok_total DESC puts NULLs last in both engines
+           row_number() OVER (ORDER BY tok_total DESC, lang NULLS FIRST,
+                              source NULLS FIRST) AS mix_rank
     FROM g CROSS JOIN tot
     """,
     tags=("llm", "text", "corpus"),
@@ -951,14 +960,19 @@ def text_token_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
     )
     tot = uni.agg(F.sum("n").cast("bigint").alias("nn"))
+    pair_struct = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at("t", i).alias("w1"),
+            F.element_at("t", i + 1).alias("w2"),
+        ),
+    )
+    # guard: one-token docs would make sequence(1, 0) DESCEND ([1, 0])
+    # and element_at crash under ANSI; DuckDB's generate_series is empty
     bg = toks.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.struct(
-                    F.element_at("t", i).alias("w1"),
-                    F.element_at("t", i + 1).alias("w2"),
-                ),
+            F.when(F.size("t") >= 2, pair_struct).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
             )
         ).alias("p")
     ).select("p.w1", "p.w2")

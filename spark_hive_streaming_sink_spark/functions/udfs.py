@@ -34,7 +34,9 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("long")
     def py_strlen(s: pd.Series) -> pd.Series:
-        return s.str.len().astype("int64")
+        # nullable Int64, not int64: NULL text must stay NULL (a plain
+        # int64 cast would raise on the NaN that None becomes)
+        return s.str.len().astype("Int64")
 
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -118,6 +120,8 @@ def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, tok string, tok_len int")
     class Tokenize:
         def eval(self, doc_id: int, text: str):
+            if text is None:  # no tokens — matches unnest(NULL): no rows
+                return
             for tok in text.strip().split(" "):
                 yield doc_id, tok, len(tok)
 
@@ -149,6 +153,8 @@ def udf_row_at_a_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf("string")
     def tag(n: int) -> str:
+        if n is None:  # CASE with NULL operand falls through to NULL
+            return None
         if n % 3 == 0:
             return "fizz"
         if n % 5 == 0:

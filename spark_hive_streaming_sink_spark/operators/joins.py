@@ -200,8 +200,16 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_asof",
     oracle="""
-    WITH purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-         clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    -- ts/user guards in BOTH engines: DuckDB's ASOF matches by SORT
+    -- ORDER (a NULL-ts probe pairs with the last click) while the
+    -- window formulation drops NULL comparisons; an as-of needs a real
+    -- timestamp and entity key, so both are excluded explicitly
+    WITH purch AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'
+                     AND ts IS NOT NULL AND user_id IS NOT NULL),
+         clicks AS (SELECT user_id, ts FROM events
+                    WHERE event_type = 'click'
+                      AND ts IS NOT NULL AND user_id IS NOT NULL)
     SELECT p.event_id, p.user_id,
            strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
            strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS prior_click_ts,
@@ -223,6 +231,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()  # mirrors the oracle's guards
     )
     w = (
         Window.partitionBy("user_id")
@@ -405,8 +415,13 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_asof_nearest",
     oracle="""
-    WITH purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-         clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    -- same NULL guards as join_asof (DuckDB ASOF is sort-order-matched)
+    WITH purch AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'
+                     AND ts IS NOT NULL AND user_id IS NOT NULL),
+         clicks AS (SELECT user_id, ts FROM events
+                    WHERE event_type = 'click'
+                      AND ts IS NOT NULL AND user_id IS NOT NULL),
     b AS (
       SELECT p.event_id, p.user_id, p.ts, c.ts AS prior_ts
       FROM purch p ASOF LEFT JOIN clicks c
@@ -451,6 +466,8 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     'prior' in both engines regardless of which frame surfaced it."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "click")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()  # mirrors the oracle's guards
     )
     wb = (
         Window.partitionBy("user_id")

@@ -493,14 +493,19 @@ def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_string_funcs_extra",
     oracle="""
     SELECT doc_id,
-           COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{8,}'), ','), '')
-             AS long_words,
+           CASE WHEN text IS NULL THEN NULL
+                -- DuckDB's array_to_string([]) is NULL, Spark's
+                -- array_join([]) is '': align the no-match case to ''
+                ELSE COALESCE(array_to_string(
+                       regexp_extract_all(text, '[a-z]{8,}'), ','), '')
+           END AS long_words,
            lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded_id,
            rpad(substr(text, 1, 5), 8, '.') AS head_padded,
            repeat('-', 2 + CAST(doc_id % 3 AS INTEGER)) AS rule,
            translate(substr(text, 1, 20), 'aeiou', '     ') AS devoweled,
            reverse(substr(text, 1, 10)) AS head_rev,
-           printf('%s:%d', lang, n_chars) AS lang_tag
+           CASE WHEN lang IS NOT NULL AND n_chars IS NOT NULL
+                THEN printf('%s:%d', lang, n_chars) END AS lang_tag
     FROM documents
     """,
     tags=("relational", "scalar"),
@@ -522,7 +527,12 @@ def scalar_string_funcs_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.translate(F.substring("text", 1, 20), "aeiou", "     ").alias("devoweled"),
         F.reverse(F.substring("text", 1, 10)).alias("head_rev"),
-        F.format_string("%s:%d", "lang", "n_chars").alias("lang_tag"),
+        # format_string renders NULL args as the string 'null' instead of
+        # propagating NULL (DuckDB's printf propagates): guard both engines
+        F.when(
+            F.col("lang").isNotNull() & F.col("n_chars").isNotNull(),
+            F.format_string("%s:%d", "lang", "n_chars"),
+        ).alias("lang_tag"),
     )
 
 

@@ -40,8 +40,13 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.array_contains(toks, "spark").alias("has_spark"),
-        F.concat_ws("|", F.slice(toks, 1, 3)).alias("first3"),
-        F.concat_ws(",", F.slice(F.array_sort(F.array_distinct(toks)), 1, 5)).alias("uniq5"),
+        # array_join, NOT concat_ws: concat_ws('' ) on a NULL array
+        # yields '' while DuckDB's array_to_string yields NULL;
+        # array_join propagates NULL identically
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), ","
+        ).alias("uniq5"),
         F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
         F.aggregate(
             F.transform(toks, lambda x: F.length(x).cast("bigint")),
@@ -97,7 +102,9 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_val"),
         F.get_json_object("props", "$.missing").alias("missing_val"),
-        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+        # array_join: NULL props -> NULL keys_csv in both engines
+        # (concat_ws would emit '' where DuckDB emits NULL)
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
     )
 
 

@@ -23,7 +23,9 @@ from ..registry import register
     WITH s AS (
       SELECT event_id, user_id, ts,
              CASE WHEN event_id % 3 = 0 THEN value END AS sparse
-      FROM events)
+      -- NULL ts rows are unplaceable in the fill order (and Spark sorts
+      -- NULLS FIRST asc vs DuckDB NULLS LAST): excluded in BOTH engines
+      FROM events WHERE ts IS NOT NULL)
     SELECT event_id, user_id, sparse,
            last_value(sparse IGNORE NULLS) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
@@ -42,7 +44,7 @@ def window_ignore_nulls_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one window shuffle on user_id — the same partitioning every
     per-user op in the pipeline reuses."""
     e = load_table(spark, sf_dir, "events")
-    s = e.select(
+    s = e.filter(F.col("ts").isNotNull()).select(
         "event_id",
         "user_id",
         "ts",
@@ -72,7 +74,10 @@ def window_ignore_nulls_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY ts, event_id) AS rn_open,
              row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
                                 ORDER BY ts DESC, event_id DESC) AS rn_close
-      FROM events)
+      -- NULL ts rows have no bar; excluded identically in both engines
+      -- (also sidesteps a DuckDB 1.0 bug where a NULL window-partition
+      -- key can split across threads, yielding several rn=1 rows)
+      FROM events WHERE ts IS NOT NULL)
     SELECT event_type, bar,
            MAX(CASE WHEN rn_open = 1 THEN value END) AS open,
            MAX(value) AS high,
@@ -95,7 +100,7 @@ def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on (event_type, hour) for the windows, reused by
     the aggregate — at 100 TB this is the standard ingest-time rollup
     and the bar key is naturally unskewed (time advances)."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     bucket = F.date_trunc("hour", F.col("ts"))
     wo = Window.partitionBy("event_type", bucket).orderBy("ts", "event_id")
     wc = Window.partitionBy("event_type", bucket).orderBy(
@@ -258,7 +263,8 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, epoch_us(ts) AS t,
              CASE WHEN event_type = 'click' THEN 600000000
                   ELSE 1800000000 END AS gap
-      FROM events),
+      -- NULL ts rows belong to no session; excluded in BOTH engines
+      FROM events WHERE ts IS NOT NULL),
     m AS (
       SELECT user_id, t, gap,
              MAX(t + gap) OVER (PARTITION BY user_id ORDER BY t
@@ -293,7 +299,7 @@ def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on user_id; Spark's session operator merges
     sort-locally exactly like the window formulation."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     gap = F.when(F.col("event_type") == "click", F.lit("10 minutes")).otherwise(
         F.lit("30 minutes")
     )

@@ -192,7 +192,9 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-      FROM events
+      -- NULL ts rows are unplaceable in the session order (Spark sorts
+      -- NULLS FIRST asc vs DuckDB NULLS LAST): excluded in BOTH engines
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessions AS (
       SELECT user_id, ts,
@@ -217,7 +219,7 @@ def window_gaps_islands_sessionize(spark: SparkSession, sf_dir: str) -> DataFram
     with only lag + framed sum, the composition that works in any
     SQL engine. One shuffle on user_id serves the window AND both
     aggregates (same partitioning key throughout)."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -257,7 +259,9 @@ def window_gaps_islands_sessionize(spark: SparkSession, sf_dir: str) -> DataFram
              CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
                                           ORDER BY ts, event_id) = 1
                   THEN 1 ELSE 0 END AS is_first
-      FROM events),
+      -- NULL ts rows have no day and no place in first-seen order:
+      -- excluded in BOTH engines
+      FROM events WHERE ts IS NOT NULL),
     daily AS (
       SELECT event_type, day,
              CAST(SUM(is_first) AS BIGINT) AS new_users,
@@ -281,7 +285,7 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, user)), sum flags per day, then a running sum over days —
     two keyed shuffles, no per-row distinct state. The daily rollup is
     tiny, so the final ordered window is over days, not events."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
     firsts = e.select(
         "event_type",
@@ -461,7 +465,9 @@ _SQL_ARR_MEDIAN = """
                FILTER (WHERE value IS NOT NULL) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nb
-      FROM events),
+      -- NULL ts rows are unplaceable in the neighborhood order:
+      -- excluded in BOTH engines (NULL values stay, handled below)
+      FROM events WHERE ts IS NOT NULL),
     m AS (
       SELECT user_id, event_id, v, nb,
              {_SQL_ARR_MEDIAN.format(s='nb')} AS med
@@ -498,7 +504,7 @@ def window_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     row keeps v/is_spike/cleaned NULL in both engines. Scale: one
     shuffle on user_id; the ±3 frame is constant-size state, so the
     window never buffers a user's full history."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     wf = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

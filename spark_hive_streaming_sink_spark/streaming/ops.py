@@ -70,14 +70,16 @@ def run_to_memory(sdf: DataFrame, mode: str = "append") -> DataFrame:
            event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1, 2
+    -- Spark's event-time window silently drops NULL-ts rows; the guard
+    -- makes the exclusion explicit in BOTH engines
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     tags=("streaming", "window"),
 )
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 6-hour event-time window aggregation, run as a real
     streaming query (complete mode → memory sink)."""
-    ev = stream_table(spark, sf_dir, "events")
+    ev = stream_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     agg = ev.groupBy(F.window("ts", "6 hours"), "event_type").agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
@@ -98,6 +100,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    - k * 21600000000), '{TS_FMT_DUCK}') AS win_start,
            COUNT(*) AS n
     FROM events CROSS JOIN (VALUES (0), (1)) AS shifts(k)
+    WHERE ts IS NOT NULL
     GROUP BY 1
     """,
     tags=("streaming", "window"),
@@ -105,7 +108,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (12h length, 6h slide): every event lands in two
     overlapping windows; oracle enumerates both shifted buckets."""
-    ev = stream_table(spark, sf_dir, "events")
+    ev = stream_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     agg = ev.groupBy(F.window("ts", "12 hours", "6 hours")).agg(F.count("*").alias("n"))
     res = run_to_memory(agg, mode="complete")
     return res.select(
@@ -122,7 +125,9 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                        >= INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS is_new
-      FROM events),
+      -- NULL ts rows belong to no session (Spark's session_window drops
+      -- them); excluded explicitly in BOTH engines
+      FROM events WHERE ts IS NOT NULL),
     sessions AS (
       SELECT user_id, ts, value,
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -141,7 +146,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user — Spark's native
     session_window; the oracle rebuilds sessions with the
     gaps-and-islands pattern. Session end = last event + gap."""
-    ev = stream_table(spark, sf_dir, "events")
+    ev = stream_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
@@ -287,7 +292,9 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(len(list_distinct(list(user_id))) AS BIGINT) AS n_users,
            CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-    FROM events
+    -- NULL ts rows can't be windowed (Spark drops them silently):
+    -- excluded explicitly in BOTH engines
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     tags=("streaming", "json", "variant"),
@@ -329,7 +336,9 @@ def stream_json_variant_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ts"),
         F.variant_get("j", "$.value", "double").alias("value"),
     )
-    agg = v.groupBy(F.window("ts", "6 hours"), "event_type").agg(
+    agg = v.filter(F.col("ts").isNotNull()).groupBy(
+        F.window("ts", "6 hours"), "event_type"
+    ).agg(
         F.count("*").cast("bigint").alias("n"),
         # COUNT(DISTINCT) is unsupported in streaming aggs; a set
         # aggregate is the exact equivalent (bounded by the user

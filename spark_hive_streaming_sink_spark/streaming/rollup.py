@@ -69,9 +69,12 @@ def stream_continuous_aggregate_merge(spark: SparkSession, sf_dir: str) -> DataF
         )
         cur = batch_df.sparkSession.read.parquet(dest)
         merged = (
-            cur.join(b, "event_type", "full_outer")
+            # eqNullSafe, NOT a plain key join: a NULL group key (NULL
+            # event_type rows form one GROUP BY group) would never match
+            # itself under =, leaving TWO rollup rows for the NULL group
+            cur.join(b, cur["event_type"].eqNullSafe(b["event_type"]), "full_outer")
             .select(
-                "event_type",
+                F.coalesce(cur["event_type"], b["event_type"]).alias("event_type"),
                 (F.coalesce("n", F.lit(0)) + F.coalesce("b_n", F.lit(0))).alias("n"),
                 (
                     F.coalesce("units", F.lit(0)) + F.coalesce("b_units", F.lit(0))

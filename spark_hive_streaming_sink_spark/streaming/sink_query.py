@@ -80,7 +80,14 @@ def make_upsert_batch_writer(
             .drop("_rn")
         )
         parts = [r[partition] for r in newest.select(partition).distinct().collect()]
-        existing = s.table(table).filter(F.col(partition).isin(parts))
+        # NULL partition values land in the default partition and MUST be
+        # read back too: isin() is null-intolerant (NULL -> NULL -> row
+        # dropped), which would silently discard the NULL partition's
+        # existing rows on overwrite
+        cond = F.col(partition).isin([p for p in parts if p is not None])
+        if any(p is None for p in parts):
+            cond = cond | F.col(partition).isNull()
+        existing = s.table(table).filter(cond)
         merged = (
             existing.unionByName(newest)
             .withColumn("_rn", F.row_number().over(w))
@@ -101,7 +108,7 @@ def make_upsert_batch_writer(
     "sink_upsert_by_key",
     oracle="""
     SELECT event_id, user_id, value + 1000.0 AS value, event_type
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     """,
     tags=("streaming", "sink", "upsert"),
 )
@@ -138,7 +145,10 @@ def sink_upsert_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         LOCATION '{base}/tbl'
         """
     )
-    ev = stream_table(spark, sf_dir, "events").select(
+    # NULL-ts events have no version: original and amended copy would tie
+    # on a NULL ts_us and the winner would be arbitrary — an upsert needs
+    # a version, so versionless rows are excluded (oracle mirrors this)
+    ev = stream_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).select(
         "event_id", "user_id", "value", F.unix_micros("ts").alias("ts_us"), "event_type"
     )
     amended = ev.withColumn("value", F.col("value") + 1000.0).withColumn(

@@ -45,7 +45,9 @@ def _track_user(
         n, total_cents, last_ts_us, last_type = 0, 0, -1, ""
     for pdf in pdf_iter:
         n += len(pdf)
-        total_cents += int(pdf["value_cents"].sum())
+        # .sum() skips the NaN that a NULL value becomes; min_count=0
+        # keeps an all-NULL batch at 0 instead of NaN
+        total_cents += int(pdf["value_cents"].sum(min_count=0) or 0)
         top = pdf.loc[pdf["ts_us"].idxmax()]
         if int(top["ts_us"]) > last_ts_us:
             last_ts_us = int(top["ts_us"])
@@ -64,16 +66,22 @@ def _track_user(
 @register(
     "stream_stateful_per_key",
     oracle="""
-    WITH ranked AS (
+    WITH ev AS (
+      -- keyed stateful tracking needs a key and an event time: NULL
+      -- user_id/ts excluded identically in BOTH engines (the join on
+      -- user_id would drop the NULL group in DuckDB anyway, while
+      -- Spark's groupBy would keep it as a real group)
+      SELECT * FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    ranked AS (
       SELECT user_id, event_type,
              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
-      FROM events)
+      FROM ev)
     SELECT e.user_id,
            COUNT(*) AS n_events,
            CAST(CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS DOUBLE)
              / 100.0 AS total_value,
            MAX(r.event_type) AS last_event_type
-    FROM events e JOIN ranked r ON r.user_id = e.user_id AND r.rn = 1
+    FROM ev e JOIN ranked r ON r.user_id = e.user_id AND r.rn = 1
     GROUP BY e.user_id
     """,
     tags=("streaming", "stateful"),
@@ -83,11 +91,15 @@ def stream_stateful_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, exact value sum, and latest event type maintained in
     GroupState via applyInPandasWithState; final state matches the
     static SQL aggregate."""
-    ev = stream_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.unix_micros("ts").alias("ts_us"),
-        F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
+    ev = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
+        )
     )
     tracked = ev.groupBy("user_id").applyInPandasWithState(
         _track_user,

@@ -764,6 +764,29 @@ def test_recall_audit_bounds_and_ivfpq_ranks(spark):
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
 
 
+def test_ann_recall_floor_at_sf001(spark):
+    """QUALITY floor, not just a bounds check: on the sf0.01 fixtures the
+    4-plane LSH index deterministically recovers a mean recall@k of
+    333333 ppm (every query finds 1 of its 3 true neighbors in-bucket on
+    this unstructured corpus). A refactor that silently degrades bucket
+    assignment (wrong plane slice, bucket on the wrong column, dropped
+    candidates) scatters true neighbors across buckets and pushes recall
+    toward 0 — this floor turns that into a CI failure instead of a
+    quietly worse index. Floor set just under the measured value; it can
+    only move intentionally with a bucket-scheme change."""
+    from spark_hive_streaming_sink_spark.functions.similarity import (
+        sim_ann_recall_audit,
+    )
+
+    rows = sim_ann_recall_audit(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    mean_recall = sum(r["recall_ppm"] for r in rows) / len(rows)
+    assert mean_recall >= 300_000, (
+        f"mean ANN recall collapsed to {mean_recall:.0f} ppm "
+        "(measured floor: 333333 ppm at sf0.01)"
+    )
+
+
 def test_split_audit_partitions_every_source(spark):
     """Per source: shares sum to ~1e6, splits come from the fixed set,
     and doc counts sum to the corpus size."""
