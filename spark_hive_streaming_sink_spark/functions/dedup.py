@@ -95,7 +95,7 @@ def _shingle_hashes(shingles: Column) -> Column:
     return F.transform(F.transform(shingles, lambda s: F.md5(s)), parse)
 
 
-def _minhash_cols() -> list[Column]:
+def _minhash_cols() -> Column:
     # Carter-Wegman universal hashing: h_i = h1 + i*h2 as the i-th
     # permutation — integer multiply-add per (shingle, permutation)
     # instead of a fresh md5, and the min runs over longs, not 32-char
@@ -114,19 +114,39 @@ def _minhash_cols() -> list[Column]:
             lambda j: p.getField("h1") + j.cast("bigint") * p.getField("h2"),
         )
 
-    mins = F.aggregate(
-        F.col("hx"),
-        F.array_repeat(F.lit(long_max).cast("bigint"), N_MINHASH),
-        lambda acc, p: F.zip_with(acc, perms(p), lambda a, b: F.least(a, b)),
-    )
     # degenerate docs (NULL text, or < 3 tokens → no shingles) have no
     # minhash: NULL, matching DuckDB's list_aggregate([]/NULL, 'min').
     # Without this, the empty-fold would emit long_max "signatures" that
     # bucket all degenerate docs into one giant phantom near-dup set.
-    mins = F.when(F.size(F.col("hx")) > 0, mins).otherwise(
-        F.lit(None).cast("array<bigint>")
+    # The guard lives in the fold's INIT accumulator (empty hx → no merge
+    # steps → result is the NULL init).
+    init = F.when(
+        F.size(F.col("hx")) > 0,
+        F.array_repeat(F.lit(long_max).cast("bigint"), N_MINHASH),
+    ).otherwise(F.lit(None).cast("array<bigint>"))
+    return F.aggregate(
+        F.col("hx"),
+        init,
+        lambda acc, p: F.zip_with(acc, perms(p), lambda a, b: F.least(a, b)),
     )
-    return [mins.getItem(i).alias(f"mh{i}") for i in range(N_MINHASH)]
+
+
+def _add_minhash(df: DataFrame) -> DataFrame:
+    """Replace column ``hx`` with ``mh0..mh7``, evaluating the
+    8-permutation fold exactly ONCE per row by construction: the fold
+    lands in one intermediate array column, and the per-permutation
+    extraction lives in a SECOND projection that CollapseProject will
+    not merge back (the fold is non-cheap and referenced 8×). Relying
+    on runtime common-subexpression elimination instead proved
+    plan-shape-fragile: in union-branch plans (dedup_minhash_pairs)
+    the CaseWhen-guarded fold was re-evaluated per mh column
+    (measured 1.8 s → 5.8 s at sf0.1)."""
+    inner = df.withColumn("_mh", _minhash_cols()).drop("hx")
+    keep = [c for c in inner.columns if c != "_mh"]
+    return inner.select(
+        *keep,
+        *[F.col("_mh").getItem(i).alias(f"mh{i}") for i in range(N_MINHASH)],
+    )
 
 
 _SQL_HX = (
@@ -169,9 +189,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (join on band0/band1 downstream — see dedup_minhash_pairs).
     Map-side only; no shuffle at all."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    mh = d.select(
-        "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
-    ).select("doc_id", *_minhash_cols())
+    mh = _add_minhash(
+        d.select("doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx"))
+    )
     ok = F.col("mh0").isNotNull()  # NULL minhash -> NULL bands
     b0 = F.when(ok, F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)])))
     b1 = F.when(ok, F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)])))
@@ -213,10 +233,21 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle agrees on emptiness, and tests/test_llm_ops.py proves the
     recall path on planted duplicates."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    # Materialize the signature table ONCE (at 100 TB this is the
+    # persisted signature table, same as dedup_minhash_calibration):
+    # both union branches of the band list then read data instead of
+    # re-shingling, and the degenerate-doc filter below is a free scan
+    # filter. Guarding the band exprs with CASE WHEN instead let the
+    # join's inferred isnotnull(band_key) constraint substitute the
+    # whole minhash fold into a pushed-down filter — measured 1.8 s →
+    # 5.7 s at sf0.1.
     mh = (
-        d.select("doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx"))
-        .select("doc_id", *_minhash_cols())
-        .filter(F.col("mh0").isNotNull())  # degenerate docs can't be candidates
+        _add_minhash(
+            d.select("doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx"))
+        )
+        .localCheckpoint(eager=True)
+        # degenerate docs (NULL minhash) can't be candidates
+        .filter(F.col("mh0").isNotNull())
     )
     b0 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)]))
     b1 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)]))
@@ -446,12 +477,12 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     column-pruned doc_id scan for the final keep-list
     (tests/test_plans.py pins the scan count)."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    feat = d.select(
-        "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
-    ).select(
-        "doc_id",
-        F.transform(F.col("hx"), lambda p: p.getField("h1")).alias("shingles"),
-        *_minhash_cols(),
+    feat = _add_minhash(
+        d.select(
+            "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
+        ).withColumn(
+            "shingles", F.transform(F.col("hx"), lambda p: p.getField("h1"))
+        )
     )
     b0 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)]))
     b1 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)]))
@@ -714,20 +745,21 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     sig = (
-        d.select(
-            "doc_id",
-            _shingles(F.col("text")).alias("shingles"),
+        _add_minhash(
+            d.select("doc_id", _shingles(F.col("text")).alias("shingles")).select(
+                "doc_id", "shingles", _shingle_hashes(F.col("shingles")).alias("hx")
+            )
         )
-        .select(
-            "doc_id", "shingles", _shingle_hashes(F.col("shingles")).alias("hx")
-        )
-        .select("doc_id", "shingles", *_minhash_cols())
-        # degenerate docs (NULL minhash) are not candidates; keeps
-        # n_union >= 1 so exact_jaccard never divides by zero
-        .filter(F.col("mh0").isNotNull())
         # four consumers (two band sides + both pair sides): shingle
         # once — at 100 TB this is the persisted signature table
         .localCheckpoint(eager=True)
+        # degenerate docs (NULL minhash) are not candidates; keeps
+        # n_union >= 1 so exact_jaccard never divides by zero. The
+        # filter sits AFTER the checkpoint on purpose: before it,
+        # predicate pushdown substitutes the whole minhash fold into
+        # the filter and re-evaluates it per row (measured 1.9 s →
+        # 6.2 s); on the materialized column it is a free scan filter
+        .filter(F.col("mh0").isNotNull())
     )
     b0 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)]))
     b1 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)]))

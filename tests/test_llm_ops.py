@@ -8,7 +8,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from spark_hive_streaming_sink_spark.functions.dedup import (
-    _minhash_cols,
+    _add_minhash,
     _shingle_hashes,
     _shingles,
 )
@@ -32,9 +32,11 @@ def planted(spark):
 
 
 def test_minhash_finds_planted_near_dups(planted):
-    mh = planted.select(
-        "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
-    ).select("doc_id", *_minhash_cols())
+    mh = _add_minhash(
+        planted.select(
+            "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
+        )
+    )
     b0 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)]))
     b1 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)]))
     bands = mh.select("doc_id", F.lit(0).alias("bn"), b0.alias("bk")).unionByName(
