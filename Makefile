@@ -26,6 +26,12 @@ advdata:
 gate-adv: advdata
 	python tools/oracle_gate.py tools/advdata/sf0.001adv-d48 2>&1 | tee tools/gate_adv_last.log
 
+# wider-than-trained dimension variant (mirror-extended 96-dim
+# embeddings); run when touching embedding/similarity operators
+gate-adv96:
+	ADV_DIM=96 python tools/make_adversarial_fixtures.py
+	python tools/oracle_gate.py tools/advdata/sf0.001adv-d96 2>&1 | tee tools/gate_adv96_last.log
+
 bench:
 	python bench.py
 
