@@ -205,14 +205,17 @@ def _sql_plane_dot(emb: str, plane: list[float]) -> str:
 def _spark_bucket(emb: Column) -> Column:
     chars = []
     for plane in _PLANES:
-        # slice the plane to the DATA's dimension: zip_with pads the
-        # shorter side with NULL, so an un-sliced 64-wide plane against a
-        # 48-dim embedding would NULL the whole dot product (every vector
-        # would land in bucket '0000'). The oracle's generate_series(1,
-        # len(emb)) truncates the same way.
-        lit_arr = F.slice(F.array(*[F.lit(c) for c in plane]), 1, F.size(emb))
+        # index the plane at the DATA's dimension via a two-arg transform
+        # over the embedding: zip_with against the full 256-wide plane
+        # would pad the shorter side with NULL (every 48-dim vector lands
+        # in bucket '0000'), and slicing the plane per row allocates a
+        # fresh array per plane per row (measured 2.2x on sim_ann_lsh at
+        # the ×10 stress scale). F.get on the constant-folded literal is
+        # a plain O(1) access — and returns NULL (not an ANSI error) past
+        # 256 dims, matching the oracle's lits[i] lookup.
+        lit_arr = F.array(*[F.lit(c) for c in plane])
         d = F.aggregate(
-            F.zip_with(emb, lit_arr, lambda x, y: x.cast("double") * y),
+            F.transform(emb, lambda x, i: x.cast("double") * F.get(lit_arr, i)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
