@@ -1,0 +1,143 @@
+"""NULL-pattern fuzzing for the most NULL-sensitive operators.
+
+The adversarial fixture gate (``make gate-adv``) pins ONE deterministic
+NULL seeding; this test generalizes it: hypothesis generates small
+events tables with RANDOM NULL patterns (including NULL-heavy columns,
+duplicate timestamps for tie-break stress, and single-row users), runs
+the registered Spark builder AND its DuckDB oracle on the same parquet,
+and requires order-insensitive equality — exactly the round driver's
+comparison. Any Spark-vs-DuckDB NULL-ordering / NULL-propagation
+divergence the fixed seeding happens to miss becomes a shrinkable
+counterexample here.
+
+Queries chosen: the families the round-7 campaign had to fix (ordered
+windows over nullable ts, as-of joins, OHLC buckets, stats folds) —
+the ones where engine NULL defaults genuinely differ.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import shutil
+import tempfile
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+queries()
+
+FUZZED = [
+    "window_ignore_nulls_ffill",
+    "events_ohlc_resample",
+    "window_hampel_filter",
+    "window_gaps_islands_sessionize",
+    "window_cumulative_distinct",
+    "join_asof",
+    "events_autocorr_lag1",
+]
+
+_T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
+_TS_CHOICES = [None] + [_T0 + datetime.timedelta(minutes=7 * k) for k in range(12)]
+_TYPES = [None, "click", "purchase", "error"]
+# two-decimal values (like the fixtures); includes 0/negatives/NULL
+_VALS = [None, 0.0, -3.25, 0.5, 7.66, 36.04, 150.72, 1e-5]
+
+
+@st.composite
+def events_table(draw):
+    n = draw(st.integers(min_value=5, max_value=40))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,  # event_id: unique, the universal tie-break
+                draw(st.sampled_from(_TS_CHOICES)),
+                draw(st.one_of(st.none(), st.integers(1, 3))),
+                draw(st.sampled_from(_TYPES)),
+                draw(st.sampled_from(_VALS)),
+                None,  # props unused by the fuzzed queries
+            )
+        )
+    return rows
+
+
+def _write_events(rows, out_dir):
+    cols = list(zip(*rows))
+    t = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(out_dir, "events.parquet"))
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):
+        return "f:nan" if math.isnan(v) else f"f:{v!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return f"t:{v.isoformat()}"
+    return f"s:{v}"
+
+
+def _run_both(spark, name, sf_dir):
+    spec = QUERIES[name]
+    sdf = spec.builder(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/events.parquet')"
+        )
+        rel = con.execute(spec.oracle)
+        dcols = [d[0] for d in rel.description]
+        drows = rel.fetchall()
+    finally:
+        con.close()
+    so = sorted(range(len(scols)), key=lambda i: scols[i])
+    do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    sn = sorted(tuple(_norm(r[i]) for i in so) for r in srows)
+    dn = sorted(tuple(_norm(r[i]) for i in do) for r in drows)
+    return sorted(scols), sn, sorted(dcols), dn
+
+
+@pytest.mark.parametrize("name", FUZZED)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events_table())
+def test_null_fuzz_matches_oracle(spark, name, rows):
+    d = tempfile.mkdtemp(prefix="shss_fuzz_")
+    try:
+        _write_events(rows, d)
+        scols, sn, dcols, dn = _run_both(spark, name, d)
+        assert scols == dcols
+        assert sn == dn, (
+            f"{name} diverged on fuzzed NULL pattern; first diffs: "
+            f"{[p for p in zip(sn, dn) if p[0] != p[1]][:3]} "
+            f"(spark={len(sn)} rows, duck={len(dn)} rows)"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
