@@ -85,6 +85,10 @@ HEADLINE = [
     "text_bm25_score",
     "graph_pagerank_knn",
     "dedup_minhash_calibration",
+    # round-7 additions (per BASELINE.md: new keys only, existing keys
+    # frozen — totals across rounds compare on the common subset)
+    "text_bpe_merge_pairs",
+    "corpus_temperature_mix",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -594,6 +594,168 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_K = 30
+
+
+@register(
+    "text_bpe_merge_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks WHERE length(w) >= 2 GROUP BY w),
+    pairs AS (
+      SELECT substr(w, i, 1) AS sym_left, substr(w, i + 1, 1) AS sym_right, n
+      FROM (SELECT w, n, unnest(generate_series(1, length(w) - 1)) AS i
+            FROM vocab)),
+    agg AS (
+      SELECT sym_left, sym_right, CAST(SUM(n) AS BIGINT) AS n_occurrences
+      FROM pairs GROUP BY sym_left, sym_right)
+    SELECT sym_left, sym_right, n_occurrences, rnk FROM (
+      SELECT sym_left, sym_right, n_occurrences,
+             row_number() OVER (ORDER BY n_occurrences DESC,
+                                sym_left, sym_right) AS rnk
+      FROM agg)
+    WHERE rnk <= {{BPE_TOP_K}}
+    """.format(BPE_TOP_K=BPE_TOP_K),
+    tags=("llm", "text", "tokenizer"),
+)
+def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training, iteration zero: the corpus-wide frequency of every
+    adjacent CHARACTER pair, weighted by word frequency — the statistic
+    a byte-pair-encoding trainer maximizes to pick its first merge
+    (and re-computes per merge round). Ships the top-{K} candidates
+    with a deterministic (count DESC, pair) rank.
+
+    The load-bearing trick is the one production BPE trainers use:
+    pairs explode over the WORD-FREQUENCY TABLE (vocab), not the raw
+    corpus — each distinct word is decomposed once and its pair counts
+    scale by its corpus count, so the quadratic-ish character work is
+    bounded by vocab size (~10^6 at 100 TB), not corpus size.
+
+    Determinism: exact integer counts; single-char symbols compare
+    with binary collation in both engines. Words need >= 2 chars (an
+    explicit filter — it also keeps Spark's sequence() ascending).
+
+    Scale: one token-keyed vocab aggregate (map-side combinable), a
+    vocab-bounded explode, one ~|alphabet|^2-cardinality aggregate,
+    and a single-partition top-K window over that tiny table."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("n"))
+    pairs = vocab.select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.struct(
+                    F.col("w").substr(i, F.lit(1)).alias("sym_left"),
+                    F.col("w").substr(i + 1, F.lit(1)).alias("sym_right"),
+                ),
+            )
+        ).alias("p"),
+    ).select("p.sym_left", "p.sym_right", "n")
+    agg = pairs.groupBy("sym_left", "sym_right").agg(
+        F.sum("n").cast("bigint").alias("n_occurrences")
+    )
+    w = Window.orderBy(
+        F.col("n_occurrences").desc(), "sym_left", "sym_right"
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BPE_TOP_K)
+        .select("sym_left", "sym_right", "n_occurrences", "rnk")
+    )
+
+
+MIX_TEMPERATURE = 0.7  # the standard multilingual-corpus smoothing alpha
+
+
+@register(
+    "corpus_temperature_mix",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS tok_total
+      -- NULL-text docs have no countable tokens; a mixing weight needs
+      -- a source id — both excluded identically in the Spark builder
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+      GROUP BY source),
+    p AS (SELECT source, n_docs, tok_total,
+                 round(pow(tok_total, {MIX_TEMPERATURE}), 6) AS smoothed
+          FROM g),
+    tot AS (SELECT CAST(list_reduce(list(smoothed ORDER BY source),
+                                    (a, b) -> a + b) AS DOUBLE) AS z,
+                   CAST(SUM(tok_total) AS BIGINT) AS tok_corpus
+            FROM p)
+    SELECT source, n_docs, tok_total,
+           CAST(round(smoothed * 1000000.0 / z, 0) AS BIGINT)
+             AS temp_weight_ppm,
+           tok_total * 1000000 // tok_corpus AS prop_weight_ppm
+    FROM p CROSS JOIN tot
+    """,
+    tags=("llm", "text", "corpus"),
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed sampling weights per source — the standard
+    multilingual/multi-source mixing trick (weight ∝ tokens^alpha,
+    alpha = 0.7): low-resource sources are up-sampled relative to their
+    raw share so the training mix is not dominated by the largest
+    crawl. Reports the smoothed ppm weight next to the proportional
+    one, which is exactly the table a data-mixing review looks at.
+
+    Determinism: token totals are exact integers; pow() is quantized
+    to 6 decimals in both engines, and the normalizer folds the
+    smoothed values in a FIXED order (list ordered by source —
+    sequential add in both engines), so the one float reduction is
+    order-pinned rather than shuffle-order-dependent.
+
+    Scale: one narrow corpus aggregate (map-side combinable) to
+    |sources| rows; everything after runs on that tiny table with a
+    broadcast 1-row normalizer."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    g = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ")))
+        .cast("bigint")
+        .alias("tok_total"),
+    )
+    p = g.select(
+        "source",
+        "n_docs",
+        "tok_total",
+        F.round(F.pow("tok_total", F.lit(MIX_TEMPERATURE)), 6).alias("smoothed"),
+    )
+    tot = p.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "smoothed"))),
+                lambda s: s["smoothed"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("z"),
+        F.sum("tok_total").cast("bigint").alias("tok_corpus"),
+    )
+    return p.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tok_total",
+        F.round(F.col("smoothed") * 1000000.0 / F.col("z"), 0)
+        .cast("bigint")
+        .alias("temp_weight_ppm"),
+        F.expr("tok_total * 1000000 div tok_corpus").alias("prop_weight_ppm"),
+    )
+
+
 @register(
     "text_entropy_distribution",
     oracle="""

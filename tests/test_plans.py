@@ -871,3 +871,35 @@ def test_ks_window_over_value_points_not_corpus(spark):
     assert count_nodes(df, "Window") >= 1
     assert count_nodes(df, "BroadcastHashJoin") >= 1
     assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_bpe_merge_pairs_vocab_bounded_plan(spark):
+    """BPE pair counting must explode over the VOCAB aggregate, not the
+    raw corpus: plan shape is scan -> vocab HashAggregate (one shuffle)
+    -> generator -> pair HashAggregate (one shuffle) -> tiny top-K
+    window. A third exchange or a generator below the first aggregate
+    would mean per-document decomposition crept back in."""
+    df = _df(spark, "text_bpe_merge_pairs")
+    # vocab agg + pair agg shuffles, plus the single-partition window's
+    # exchange over the ~|alphabet|^2 table
+    assert count_nodes(df, "Exchange") <= 3
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    gen = plan.index("Generate")
+    # the generator (pair explode) consumes the vocab AGGREGATE's output
+    assert "HashAggregate" in plan[gen:], "pair explode must sit above the vocab agg"
+
+
+def test_temperature_mix_weights_invariants(spark):
+    """Temperature smoothing must (a) conserve ~1e6 ppm of total weight
+    and (b) compress the distribution toward uniform: every source's
+    |temp - uniform| <= |prop - uniform| with alpha < 1."""
+    rows = _df(spark, "corpus_temperature_mix").collect()
+    assert rows
+    n = len(rows)
+    uniform = 1_000_000 / n
+    temp_sum = sum(r["temp_weight_ppm"] for r in rows)
+    assert abs(temp_sum - 1_000_000) <= n  # per-source ppm rounding only
+    for r in rows:
+        assert abs(r["temp_weight_ppm"] - uniform) <= abs(
+            r["prop_weight_ppm"] - uniform
+        ) + 1, r
