@@ -98,7 +98,7 @@ def _norm(v):
     return f"s:{v}"
 
 
-def _run_both(spark, name, sf_dir):
+def _run_both(spark, name, sf_dir, table):
     spec = QUERIES[name]
     sdf = spec.builder(spark, sf_dir)
     scols = sdf.columns
@@ -106,8 +106,8 @@ def _run_both(spark, name, sf_dir):
     con = duckdb.connect()
     try:
         con.execute(
-            "CREATE VIEW events AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/events.parquet')"
+            f"CREATE VIEW {table} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{table}.parquet')"
         )
         rel = con.execute(spec.oracle)
         dcols = [d[0] for d in rel.description]
@@ -132,11 +132,93 @@ def test_null_fuzz_matches_oracle(spark, name, rows):
     d = tempfile.mkdtemp(prefix="shss_fuzz_")
     try:
         _write_events(rows, d)
-        scols, sn, dcols, dn = _run_both(spark, name, d)
+        scols, sn, dcols, dn = _run_both(spark, name, d, table="events")
         assert scols == dcols
         assert sn == dn, (
             f"{name} diverged on fuzzed NULL pattern; first diffs: "
             f"{[p for p in zip(sn, dn) if p[0] != p[1]][:3]} "
+            f"(spark={len(sn)} rows, duck={len(dn)} rows)"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# documents-table family: NULL / empty / 1-2-token texts are the inputs
+# that crashed or diverged the shingle, fingerprint, and UDF paths in
+# the round-7 campaign (Spark's sequence() descending, '' vs NULL,
+# None-intolerant Python UDFs)
+# --------------------------------------------------------------------------
+
+DOC_FUZZED = [
+    "dedup_exact",
+    "text_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "corpus_temperature_mix",
+    "text_bpe_merge_pairs",
+    "udtf_tokenize",
+]
+
+_WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]
+_TEXTS = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just(" "),
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8).map(" ".join),
+)
+_LANGS = [None, "en", "de", "zh"]
+_SOURCES = [None, "src0", "src1", "src2"]
+
+
+@st.composite
+def documents_table(draw):
+    n = draw(st.integers(min_value=4, max_value=30))
+    rows = []
+    for i in range(n):
+        text = draw(_TEXTS)
+        rows.append(
+            (
+                i,
+                text,
+                draw(st.sampled_from(_LANGS)),
+                draw(st.sampled_from(_SOURCES)),
+                None if text is None else len(text),
+            )
+        )
+    return rows
+
+
+def _write_documents(rows, out_dir):
+    cols = list(zip(*rows))
+    t = pa.table(
+        {
+            "doc_id": pa.array(cols[0], pa.int64()),
+            "text": pa.array(cols[1], pa.string()),
+            "lang": pa.array(cols[2], pa.string()),
+            "source": pa.array(cols[3], pa.string()),
+            "n_chars": pa.array(cols[4], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(out_dir, "documents.parquet"))
+
+
+@pytest.mark.parametrize("name", DOC_FUZZED)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=documents_table())
+def test_doc_null_fuzz_matches_oracle(spark, name, rows):
+    d = tempfile.mkdtemp(prefix="shss_fuzz_")
+    try:
+        _write_documents(rows, d)
+        scols, sn, dcols, dn = _run_both(spark, name, d, table="documents")
+        assert scols == dcols
+        assert sn == dn, (
+            f"{name} diverged on fuzzed NULL/degenerate-text pattern; "
+            f"first diffs: {[p for p in zip(sn, dn) if p[0] != p[1]][:3]} "
             f"(spark={len(sn)} rows, duck={len(dn)} rows)"
         )
     finally:
