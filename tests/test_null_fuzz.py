@@ -42,6 +42,10 @@ FUZZED = [
     "window_cumulative_distinct",
     "join_asof",
     "events_autocorr_lag1",
+    "events_windowed_rate_limit",
+    "events_cusum_changepoint",
+    "events_markov_transitions",
+    "window_session_dynamic_gap",
 ]
 
 _T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
