@@ -466,7 +466,15 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     purpose: cell count is the parallelism AND the bound on the
     quadratic term, so it scales with corpus size (sqrt(N) cells is
     the usual rule) — K=4 measured 3.9x slower than K=16 at sf0.1
-    because 4 join keys cap the shuffle at 4 tasks."""
+    because 4 join keys cap the shuffle at 4 tasks.
+
+    Scaling note (measured at x100 stress): with brute-force
+    assignment, total work N*K + N^2/K is minimized by K = sqrt(N) at
+    2*N^1.5 — inherently superlinear (3.3x data -> ~6x work, observed
+    8.4x with constants). Production goes below N^1.5 only by making
+    the ASSIGNMENT sub-brute-force (hierarchical / ANN coarse
+    quantizer), at which point constant cell sizes give linear pair
+    work; the flat argmin here is the honest single-level method."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -548,10 +556,12 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from .dedup import (  # noqa: E402  (shared MinHash pipeline pieces)
+    _SQL_BAND_REPS,
     _SQL_HX,
     _SQL_MINHASH,
     _SQL_SHINGLES,
     _add_minhash,
+    _band_reps,
     _shingle_hashes,
     _shingles,
 )
@@ -570,9 +580,10 @@ from .dedup import (  # noqa: E402  (shared MinHash pipeline pieces)
       UNION ALL
       SELECT doc_id, 1 AS band_no,
              md5(concat_ws('_', mh4, mh5, mh6, mh7)) AS band_key FROM mh),
+    {_SQL_BAND_REPS.strip()},
     edges AS (
       SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      FROM bands a JOIN bands b
+      FROM reps a JOIN bands b
         ON a.band_key = b.band_key AND a.band_no = b.band_no
        AND a.doc_id < b.doc_id),
     undirected AS (
@@ -629,7 +640,7 @@ def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band_key").alias("b_key"),
     )
     edges = (
-        bands.join(
+        _band_reps(bands).join(  # star scheme: reps x all members
             rhs,
             (F.col("band_key") == F.col("b_key"))
             & (F.col("band_no") == F.col("b_no"))

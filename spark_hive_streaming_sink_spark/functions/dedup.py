@@ -15,6 +15,8 @@ in bucket sizes, never all-pairs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
@@ -23,6 +25,42 @@ from ..registry import register
 
 N_MINHASH = 8  # 2 bands × 4 rows
 SIMHASH_BITS = 16
+
+# Representative cap per LSH band bucket (env-tunable). A band bucket is
+# a candidate DUP CLUSTER: pairing every member against every other is
+# O(|bucket|^2), while the downstream merge (connected components /
+# keep-list) only needs each member tied INTO the cluster — which a STAR
+# against the bucket's lowest-id representatives already achieves. Pair
+# generation therefore joins capped-representatives x all-members:
+# O(cap * |bucket|) pairs, full recall of cluster membership. The
+# default sits far above any fixture bucket (no semantic effect at any
+# gate scale — verified by the oracle gates); replication-style stress
+# corpora, where every doc has REPL exact copies sharing a bucket, set
+# it low via SHSS_BAND_CAP (tools/stress.py uses 16: x100 measured
+# dedup_minhash_calibration at 372 s from quadratic pair blowup).
+BAND_CAP = int(os.environ.get("SHSS_BAND_CAP", "256"))
+
+_SQL_BAND_REPS = f"""
+    reps AS (
+      SELECT doc_id, band_no, band_key FROM (
+        SELECT doc_id, band_no, band_key,
+               row_number() OVER (PARTITION BY band_no, band_key
+                                  ORDER BY doc_id) AS _r
+        FROM bands) WHERE _r <= {BAND_CAP})
+"""
+
+
+def _band_reps(bands: DataFrame) -> DataFrame:
+    """The `BAND_CAP` lowest-doc_id representatives of each band
+    bucket — the star-scheme join side (see module note above)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_no", "band_key").orderBy("doc_id")
+    return (
+        bands.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= BAND_CAP)
+        .drop("_r")
+    )
 
 
 @register(
@@ -215,10 +253,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (
       SELECT doc_id, 0 AS band_no, md5(concat_ws('_', mh0, mh1, mh2, mh3)) AS band_key FROM mh
       UNION ALL
-      SELECT doc_id, 1 AS band_no, md5(concat_ws('_', mh4, mh5, mh6, mh7)) AS band_key FROM mh)
+      SELECT doc_id, 1 AS band_no, md5(concat_ws('_', mh4, mh5, mh6, mh7)) AS band_key FROM mh),
+    {_SQL_BAND_REPS.strip()}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            COUNT(DISTINCT a.band_no) AS n_shared_bands
-    FROM bands a JOIN bands b
+    FROM reps a JOIN bands b
       ON a.band_key = b.band_key AND a.band_no = b.band_no AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     """,
@@ -254,7 +293,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = mh.select(
         "doc_id", F.lit(0).alias("band_no"), b0.alias("band_key")
     ).unionByName(mh.select("doc_id", F.lit(1).alias("band_no"), b1.alias("band_key")))
-    a = bands.alias("a")
+    a = _band_reps(bands).alias("a")  # star scheme: reps x all members
     b = bands.alias("b")
     return (
         a.join(
@@ -438,9 +477,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, 0 AS band_no, md5(concat_ws('_', mh0, mh1, mh2, mh3)) AS band_key FROM mh
       UNION ALL
       SELECT doc_id, 1 AS band_no, md5(concat_ws('_', mh4, mh5, mh6, mh7)) AS band_key FROM mh),
+    {_SQL_BAND_REPS.strip()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM reps a JOIN bands b
         ON a.band_key = b.band_key AND a.band_no = b.band_no AND a.doc_id < b.doc_id),
     verified AS (
       SELECT doc_a, doc_b
@@ -496,13 +536,20 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "shingles", "bk.band_no", "bk.band_key")
+    # The corpus is shingled/minhashed exactly ONCE: bands materializes
+    # here (the persisted-signature-table pattern all the band queries
+    # now share) and every consumer — the rep window, both join sides,
+    # and nothing else — reads the materialization. Before the rep cap
+    # this was achieved by ReuseExchange over two IDENTICAL join
+    # subtrees; the capped side is no longer identical, so reuse can't
+    # apply and the explicit checkpoint replaces it (plan-test-pinned:
+    # zero parquet text scans in the final query).
+    bands = bands.localCheckpoint(eager=True)
     # merge-join hint, NOT planner choice: bands is corpus-sized (docs ×
     # 2, carrying shingle arrays), so broadcasting one side — what the
-    # planner picks at test SFs from its tiny file-size estimate — is
-    # exactly wrong at 100 TB AND forfeits exchange reuse. With a
-    # sort-merge self-join both sides shuffle the identical subtree on
-    # (band_key, band_no) and ReuseExchange computes it once.
-    a, b = bands.alias("a"), bands.hint("shuffle_merge").alias("b")
+    # planner picks at test SFs from its tiny size estimate — would be
+    # exactly wrong at 100 TB.
+    a, b = _band_reps(bands).alias("a"), bands.hint("shuffle_merge").alias("b")
     cand = (
         a.join(
             b,
@@ -699,9 +746,10 @@ def dedup_chunks_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT doc_id, 1 AS band_no,
              md5(concat_ws('_', mh4, mh5, mh6, mh7)) AS band_key FROM mh),
+    {_SQL_BAND_REPS.strip()},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM reps a JOIN bands b
         ON a.band_key = b.band_key AND a.band_no = b.band_no
        AND a.doc_id < b.doc_id),
     j AS (
@@ -768,7 +816,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         sig.select("doc_id", F.lit(1).alias("band_no"), b1.alias("band_key"))
     )
-    a = bands.alias("a")
+    a = _band_reps(bands).alias("a")  # star scheme: reps x all members
     b = bands.alias("b")
     pairs = (
         a.join(

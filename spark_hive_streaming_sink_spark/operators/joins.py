@@ -234,9 +234,15 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("ts").isNotNull()
         & F.col("user_id").isNotNull()  # mirrors the oracle's guards
     )
+    # clicks sort BEFORE purchases at equal ts: DuckDB's ASOF predicate
+    # is inclusive (p.ts >= c.ts), so a click at exactly the purchase's
+    # timestamp IS a prior click regardless of event_id — found by the
+    # NULL-pattern fuzzer (tests/test_null_fuzz.py), impossible on the
+    # tie-free fixtures
+    clicks_first = F.when(F.col("event_type") == "click", 0).otherwise(1)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", clicks_first, "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
@@ -469,14 +475,18 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("ts").isNotNull()
         & F.col("user_id").isNotNull()  # mirrors the oracle's guards
     )
+    # same clicks-first tie order as join_asof: both ASOF directions are
+    # inclusive in DuckDB, and a simultaneous click resolves as 'prior'
+    # (gap 0 wins the tie-break) in both engines
+    clicks_first = F.when(F.col("event_type") == "click", 0).otherwise(1)
     wb = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", clicks_first, "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", clicks_first, "event_id")
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     click_ts = F.when(F.col("event_type") == "click", F.col("ts"))

@@ -445,7 +445,14 @@ def _arr_median(arr):
     mid = (n / 2).cast("int")
     odd = F.element_at(s, ((n + 1) / 2).cast("int"))
     even = (F.element_at(s, mid) + F.element_at(s, mid + 1)) / 2
-    return F.when(n % 2 == 1, odd).otherwise(even)
+    # empty array -> NULL median (DuckDB's list_sort([])[0] is NULL;
+    # Spark's element_at(., 0) is an ANSI error — a row whose whole
+    # neighborhood is NULL values hits this, found by the NULL fuzzer)
+    return (
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n % 2 == 1, odd)
+        .otherwise(even)
+    )
 
 
 _SQL_ARR_MEDIAN = """

@@ -893,3 +893,34 @@ def test_autocorr_bounded_and_subsample_ci_sane(spark):
     assert 0 < ci["min_rows"] <= ci["max_rows"] < n_orders
     assert ci["sd_of_means"] > 0 and ci["ci95_half_width"] > 0
     assert abs(ci["min_rows"] / n_orders - 0.5) < 0.15
+
+
+def test_band_cap_star_keeps_cluster_membership(spark, monkeypatch):
+    """The band-bucket representative cap must stay a STAR, not a
+    truncation: with cap 3 on a 10-member bucket, every member still
+    appears in >= 1 candidate pair (full cluster membership for the
+    downstream component merge) while pair count is O(cap * bucket),
+    never O(bucket^2)."""
+    from spark_hive_streaming_sink_spark.functions import dedup as dd
+
+    monkeypatch.setattr(dd, "BAND_CAP", 3)
+    bands = spark.createDataFrame(
+        [(i, 0, "k") for i in range(10)],
+        "doc_id long, band_no int, band_key string",
+    )
+    reps = dd._band_reps(bands)
+    assert sorted(r["doc_id"] for r in reps.collect()) == [0, 1, 2]
+    pairs = (
+        reps.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .collect()
+    )
+    touched = {r["x"] for r in pairs} | {r["y"] for r in pairs}
+    assert touched == set(range(10))
+    assert len(pairs) <= 3 * 10

@@ -227,3 +227,24 @@ def test_doc_null_fuzz_matches_oracle(spark, name, rows):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_asof_simultaneous_click_counts_as_prior(spark):
+    """Pinned fuzzer counterexample: a click at EXACTLY the purchase's
+    timestamp (higher event_id) is a prior click under ASOF's inclusive
+    predicate — the (ts, event_id) window order used to sort it after
+    the purchase and silently drop the match."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (0, t, 1, "purchase", 1.0, None),
+        (1, t, 1, "click", 2.0, None),
+    ]
+    d = tempfile.mkdtemp(prefix="shss_fuzz_")
+    try:
+        _write_events(rows, d)
+        scols, sn, dcols, dn = _run_both(spark, "join_asof", d, table="events")
+        assert len(sn) == 1 and sn == dn
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -341,19 +341,17 @@ def test_retention_cohorts_no_window_over_events(spark):
 
 
 def test_dedup_pipeline_shingles_corpus_once(spark):
-    """The end-to-end dedup pipeline must shingle+hash the corpus ONCE:
-    the band self-join is pinned sort-merge (bands is corpus-sized at
-    100 TB — broadcast would be wrong AND forfeit reuse), so AQE's
-    ReuseExchange materializes the shingle/minhash subtree a single
-    time. The only other corpus access is the column-pruned doc_id
-    scan for the final keep-list."""
+    """The end-to-end dedup pipeline must shingle+hash the corpus ONCE.
+    Since the band-rep cap the guarantee is structural: the band table
+    localCheckpoints (the persisted-signature pattern), so the FINAL
+    query plan contains ZERO parquet text scans — the only corpus
+    access left is the column-pruned doc_id scan for the keep-list.
+    The band self-join stays pinned sort-merge (bands is corpus-sized
+    at 100 TB; broadcast would be wrong)."""
     from spark_hive_streaming_sink_spark.plans import executed_final_plan
 
     df = _df(spark, "dedup_pipeline_end_to_end")
     plan = executed_final_plan(df)
-    assert plan.count("ReusedExchange") >= 1, plan
-    # the band self-join must stay sort-merge (no broadcast of the
-    # corpus-sized band side)
     assert "SortMergeJoin" in plan, plan
     import re
 
@@ -361,9 +359,9 @@ def test_dedup_pipeline_shingles_corpus_once(spark):
         m.group(0)
         for m in re.finditer(r"FileScan parquet [^\n]*text[^\n]*", plan)
     ]
-    # one executed heavy scan; the ReusedExchange references it rather
-    # than duplicating the subtree
-    assert len(heavy) <= 1, heavy
+    # the checkpoint consumed the corpus already — the final query must
+    # not rescan it
+    assert len(heavy) == 0, heavy
 
 
 def test_matryoshka_truncate_map_side_only(spark):

@@ -30,8 +30,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # quadratically (x30 with fixture K measured as a multi-hour stage).
 # Scale them with REPL *before* the registry import bakes the constants.
 _REPL = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-os.environ.setdefault("SHSS_SEM_K", str(16 * _REPL))
+# K ~ sqrt(N), the rule the docstrings state: assignment cost is
+# O(N * K) and within-cell pairing is O(N^2 / K), so K = c * sqrt(N)
+# balances them. Linear scaling (16 * REPL, the pre-r7 setting) made
+# the argmin quadratic in REPL — measured 15.7x wall for 3.3x data on
+# dedup_semantic_cluster at x100.
+os.environ.setdefault("SHSS_SEM_K", str(int(16 * _REPL ** 0.5)))
 os.environ.setdefault("SHSS_N_PLANES", str(4 + _REPL.bit_length()))
+# duplicate-cluster pair cap: REPL-replicated corpora put all REPL
+# copies of a doc in one band bucket, making candidate pairs O(REPL^2)
+# per base doc. Production caps bucket REPRESENTATIVES (a full clique
+# adds nothing over a star for the downstream component merge); 16
+# keeps stress pair counts linear while leaving fixture-scale
+# semantics untouched (fixture buckets are far below any cap).
+os.environ.setdefault("SHSS_BAND_CAP", "16")
 
 import pyspark.sql.functions as F  # noqa: E402
 
