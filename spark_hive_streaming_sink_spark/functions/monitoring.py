@@ -199,11 +199,18 @@ _SQL_PROBE = (
              CAST(round(SUM(y * y), 4) AS DOUBLE) AS syy,
              CAST(SUM(x * y) AS DOUBLE) AS sxy
       FROM j GROUP BY source)
+    -- degenerate sources (constant length or constant probe) have zero
+    -- variance: correlation/slope undefined -> NULL in BOTH engines
+    -- (same class the NULL fuzzer caught on events_autocorr_lag1)
     SELECT source, n,
-           round(((sxy - sx*sy/n)/n)
-                 / (sqrt((sxx - sx*sx/n)/n) * sqrt((syy - sy*sy/n)/n)), 6)
-             AS corr_chars_probe,
-           round((sxy - sx*sy/n) / (sxx - sx*sx/n), 6) AS beta_probe_per_char
+           CASE WHEN (sxx - sx*sx/n) > 0 AND (syy - sy*sy/n) > 0
+                THEN round(((sxy - sx*sy/n)/n)
+                           / (sqrt((sxx - sx*sx/n)/n)
+                              * sqrt((syy - sy*sy/n)/n)), 6)
+           END AS corr_chars_probe,
+           CASE WHEN (sxx - sx*sx/n) > 0
+                THEN round((sxy - sx*sy/n) / (sxx - sx*sx/n), 6)
+           END AS beta_probe_per_char
     FROM m
     """,
     tags=("llm", "monitoring", "embedding", "stats"),
@@ -254,14 +261,22 @@ def embed_text_consistency_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "source",
         "n",
-        F.round(
-            ((sxy - sx * sy / n) / n)
-            / (F.sqrt((sxx - sx * sx / n) / n) * F.sqrt((syy - sy * sy / n) / n)),
-            6,
+        # zero-variance guards mirror the oracle (undefined -> NULL)
+        F.when(
+            ((sxx - sx * sx / n) > 0) & ((syy - sy * sy / n) > 0),
+            F.round(
+                ((sxy - sx * sy / n) / n)
+                / (
+                    F.sqrt((sxx - sx * sx / n) / n)
+                    * F.sqrt((syy - sy * sy / n) / n)
+                ),
+                6,
+            ),
         ).alias("corr_chars_probe"),
-        F.round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6).alias(
-            "beta_probe_per_char"
-        ),
+        F.when(
+            (sxx - sx * sx / n) > 0,
+            F.round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6),
+        ).alias("beta_probe_per_char"),
     )
 
 

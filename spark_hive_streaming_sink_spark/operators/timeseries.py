@@ -500,10 +500,15 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(round(pv * pv, 6) AS DECIMAL(18,6))) AS DOUBLE) AS syy,
              CAST(SUM(CAST(round(v * pv, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy
       FROM pairs GROUP BY user_id)
+    -- a CONSTANT series has zero variance: the correlation is
+    -- undefined (0/0 -> NaN in Spark, engine-dependent in DuckDB), so
+    -- both engines return NULL explicitly
     SELECT user_id, n,
-           round(((sxy - sx*sy/n)/n)
-                 / (sqrt((sxx - sx*sx/n)/n) * sqrt((syy - sy*sy/n)/n)), 6)
-             AS autocorr_lag1
+           CASE WHEN (sxx - sx*sx/n) > 0 AND (syy - sy*sy/n) > 0
+                THEN round(((sxy - sx*sy/n)/n)
+                           / (sqrt((sxx - sx*sx/n)/n)
+                              * sqrt((syy - sy*sy/n)/n)), 6)
+           END AS autocorr_lag1
     FROM m WHERE n >= 3
     """,
     tags=("timeseries", "stats"),
@@ -555,10 +560,17 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.filter(n >= 3).select(
         "user_id",
         "n",
-        F.round(
-            ((sxy - sx * sy / n) / n)
-            / (F.sqrt((sxx - sx * sx / n) / n) * F.sqrt((syy - sy * sy / n) / n)),
-            6,
+        # zero-variance (constant) series: undefined -> NULL, not 0/0 NaN
+        F.when(
+            ((sxx - sx * sx / n) > 0) & ((syy - sy * sy / n) > 0),
+            F.round(
+                ((sxy - sx * sy / n) / n)
+                / (
+                    F.sqrt((sxx - sx * sx / n) / n)
+                    * F.sqrt((syy - sy * sy / n) / n)
+                ),
+                6,
+            ),
         ).alias("autocorr_lag1"),
     )
 
