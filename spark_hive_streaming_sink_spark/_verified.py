@@ -289,13 +289,68 @@ _GREEN_R6: frozenset[str] = frozenset(
     }
 )
 
+# Round 7 (CORRECTNESS_r07.json): hash_match == true — 47 greens, including
+# the two operators new in round 7 (text_bpe_merge_pairs,
+# corpus_temperature_mix), certified on their first emission.
+_GREEN_R7: frozenset[str] = frozenset(
+    {
+        "agg_basic",
+        "agg_boolean_bitwise",
+        "agg_collect",
+        "agg_cube",
+        "agg_distinct",
+        "agg_filter_clause",
+        "agg_grouping_sets",
+        "agg_histogram_bucket",
+        "agg_mode_deterministic",
+        "agg_percentile",
+        "agg_rollup",
+        "agg_stats",
+        "agg_stats_native",
+        "agg_winsorize_clamp",
+        "array_funcs",
+        "conditional_funcs",
+        "corpus_temperature_mix",
+        "data_quality_null_profile",
+        "date_spine_fill",
+        "explode_wordcount",
+        "filter_null_safe_eq",
+        "filter_predicates",
+        "join_anti",
+        "join_asof",
+        "join_cross",
+        "join_full_outer",
+        "join_inner_broadcast",
+        "join_left_outer",
+        "join_null_safe_key",
+        "join_right_outer",
+        "join_semi",
+        "join_skew_salted",
+        "join_theta_range",
+        "json_funcs",
+        "project_compute",
+        "q1_pricing_summary",
+        "scalar_datetime_funcs",
+        "scalar_math_funcs",
+        "scalar_string_funcs",
+        "scalar_string_funcs_extra",
+        "sql_group_by_all_topk",
+        "sql_lateral_view",
+        "sql_table_valued_functions",
+        "subquery_correlated",
+        "table_fingerprint",
+        "text_bpe_merge_pairs",
+        "unpivot_melt",
+    }
+)
+
 # Rows-only verdicts (err == "no_oracle", by design): r1 approx sketches,
 # r5 wall-clock rate source.
 ROWS_ONLY_JUDGED: frozenset[str] = frozenset(
     {"agg_approx", "agg_hll_mergeable_sketch", "source_rate_stream"}
 )
 
-# Nothing is red after round 6 (0 outstanding wrong answers; all 234
+# Nothing is red after round 7 (0 outstanding wrong answers; all 236
 # registered queries driver-judged). With the pending set empty, emission
 # falls back to stalest-verdict-first (see ``registry``) so early-round
 # greens get re-certified on a rolling basis.
@@ -304,7 +359,7 @@ PRIORITY_RECHECK: tuple[str, ...] = ()
 # Union of every green ever recorded (a later re-judge can only refresh the
 # verdict, never remove it — reds would move to PRIORITY_RECHECK instead).
 GREEN: frozenset[str] = (
-    _GREEN_R1 | _GREEN_R2 | _GREEN_R4 | _GREEN_R5 | _GREEN_R6
+    _GREEN_R1 | _GREEN_R2 | _GREEN_R4 | _GREEN_R5 | _GREEN_R6 | _GREEN_R7
 )
 
 # Round of each query's MOST RECENT green verdict. With the pending set
@@ -313,7 +368,7 @@ GREEN: frozenset[str] = (
 # since been refactored — get re-certified within ~2 driver rounds.
 LAST_GREEN_ROUND: dict[str, int] = {}
 for _round, _names in ((1, _GREEN_R1), (2, _GREEN_R2), (4, _GREEN_R4),
-                       (5, _GREEN_R5), (6, _GREEN_R6)):
+                       (5, _GREEN_R5), (6, _GREEN_R6), (7, _GREEN_R7)):
     for _name in _names:
         LAST_GREEN_ROUND[_name] = _round
 del _round, _names, _name
