@@ -45,7 +45,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         # re-executes the whole upstream candidate-pair pipeline
         # (shingle → minhash → band join for dedup_lsh_components —
         # measured 21 s → 6 s at sf0.1). The edge list is pair-bounded,
-        # far smaller than the corpus it came from.
+        # far smaller than the corpus it came from. localCheckpoint is
+        # NOT fault-tolerant (executor loss after it fails the job —
+        # see the note in dedup.py's pipeline query); a production run
+        # would write the edge list to a real table before iterating.
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -465,18 +468,50 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly how production SemDeDup assigns cells. SEM_K > KM_K on
     purpose: cell count is the parallelism AND the bound on the
     quadratic term, so it scales with corpus size (sqrt(N) cells is
-    the usual rule) — K=4 measured 3.9x slower than K=16 at sf0.1
-    because 4 join keys cap the shuffle at 4 tasks.
+    the usual rule).
 
-    Scaling note (measured at x100 stress): with brute-force
-    assignment, total work N*K + N^2/K is minimized by K = sqrt(N) at
-    2*N^1.5 — inherently superlinear (3.3x data -> ~6x work, observed
-    8.4x with constants). Production goes below N^1.5 only by making
-    the ASSIGNMENT sub-brute-force (hierarchical / ANN coarse
-    quantizer), at which point constant cell sizes give linear pair
-    work; the flat argmin here is the honest single-level method."""
-    from pyspark.sql import Window
+    The assignment argmin is a map-side partial AGGREGATE — min over a
+    (round(d2,6), cid) struct per vec_id — not a row_number window.
+    Both produce the identical argmin (the struct key is the window's
+    sort key, made total by coalescing NULL d2 to +inf, which is
+    DuckDB's NULLS LAST and reachable-case-identical to Spark's window
+    NULLS FIRST: d2 is NULL for ALL centroids or none, since it only
+    depends on v). The window shuffled all N*K scored rows carrying two
+    full vectors each; partial aggregation collapses each map partition
+    to one row per vec_id before the exchange, so the assignment
+    shuffles N skinny rows and the N*K distance evaluations stay
+    embarrassingly parallel map-side work (measured 41 s at the x100
+    stress point, N=200k, K=160).
 
+    The within-cell pair scoring is a per-cell Arrow/BLAS gram matrix
+    (applyInPandas over the cell id): one (B x D)·(D x B) matmul per
+    cell replaces sum(|cell|^2)/2 per-pair zip_with folds — Catalyst's
+    higher-order functions are not codegen'd, and the fold-based join
+    measured 198 s at x100 where the gram path does the same 1.3e8
+    pairs in seconds. The numerator differs from the oracle's
+    sequential fold only by float64 summation order (~1e-13 relative),
+    six orders of magnitude inside the round(cos, 6) quantum; the
+    norms come from the exact JVM fold in the assignment table.
+    NaN-valued embedding COMPONENTS are out of scope for this Arrow
+    path (Arrow's NaN-is-null convention would return NULL where the
+    fold returns NaN) — same caveat as sim_cosine_topk_numpy; no
+    fixture or fuzzer produces NaN components.
+
+    Two-level hierarchical assignment (route to sqrt(K) super-cells,
+    then argmin within) was measured and REJECTED here: with untrained
+    (seed) super-centroids the coarse routing concentrates mass onto
+    the super-centroids' own cells — max cell 7 600 vs 2 200 flat at
+    x100 (N=200k, K=160) — and since pair work is sum(|cell|^2), the
+    skewed cells cost far more than the assignment saved (>10 min vs
+    ~240 s). Below-N^1.5 assignment needs a TRAINED balanced coarse
+    quantizer; with seed centroids, cheap flat assignment + balanced
+    cells is the faster and simpler plan at every measured scale.
+
+    NULL semantics (adversarial-gated): a NULL vector has NULL d2
+    against every centroid, lands in cell 0 on both engines, and its
+    NULL norm keeps it out of every pair (excluded before the gram —
+    a NULL or zero norm, or a NULL component, makes every cosine it
+    touches NULL in both engines, and NULL never passes >= SEM_TAU)."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
@@ -498,14 +533,19 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         ),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), "cid")
+    # NULL d2 (NULL vector) sorts last like DuckDB's default; see
+    # docstring for why this equals the flat window argmin
+    akey = F.coalesce(F.round("d2", 6), F.lit(float("inf")))
     member = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct(akey.alias("k"), F.col("cid").alias("cid"))).alias("m"),
+            F.any_value("v").alias("v"),  # all rows of a vec_id share v
+        )
         .select(
             "vec_id",
             "v",
-            "cid",
+            F.col("m.cid").alias("cid"),
             F.sqrt(
                 F.aggregate(
                     F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
@@ -517,37 +557,56 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         # at 100 TB this is the persisted cell-assignment table)
         .localCheckpoint(eager=True)
     )
-    rhs = member.select(
-        F.col("vec_id").alias("dup_id"),
-        F.col("v").alias("b_v"),
-        F.col("cid").alias("b_cid"),
-        F.col("nrm").alias("b_nrm"),
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _np_round_half_up
+
+    # Rows that can never emit a pair: a NULL vector, a NULL component,
+    # or a zero/NULL norm makes every cosine it touches NULL in both
+    # engines (try_divide / DuckDB x/0), and NULL never passes >= tau.
+    scorable = member.filter(
+        F.col("v").isNotNull()
+        & F.col("nrm").isNotNull()
+        & (F.col("nrm") > 0)
+        & ~F.exists("v", lambda x: x.isNull())
+    ).select("vec_id", "cid", "v", "nrm")
+
+    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = {"dup_id": [], "cluster_id": [], "partner_id": [], "cos": []}
+        if len(pdf) >= 2:
+            # ragged vectors can't pair (the fold's NULL-padded zip
+            # poisons their cosine to NULL): gram per distinct length
+            lens = pdf["v"].map(len).to_numpy()
+            for L in np.unique(lens):
+                sub = pdf[lens == L].sort_values("vec_id")
+                n = len(sub)
+                if n < 2 or L == 0:
+                    continue
+                ids = sub["vec_id"].to_numpy()
+                cids = sub["cid"].to_numpy()
+                V = np.stack(sub["v"].to_numpy()).astype(np.float64)
+                nrm = sub["nrm"].to_numpy().astype(np.float64)
+                cos = _np_round_half_up((V @ V.T) / np.outer(nrm, nrm), 6)
+                a, b = np.triu_indices(n, k=1)  # ids sorted: id[a] < id[b]
+                keep = cos[a, b] >= SEM_TAU
+                out["dup_id"].append(ids[b[keep]])
+                out["cluster_id"].append(cids[b[keep]])
+                out["partner_id"].append(ids[a[keep]])
+                out["cos"].append(cos[a[keep], b[keep]])
+        cat = {
+            k: (np.concatenate(v) if v else np.array([], dtype=np.float64))
+            for k, v in out.items()
+        }
+        return pd.DataFrame(cat)
+
+    pairs = scorable.groupBy("cid").applyInPandas(
+        cell_pairs, "dup_id long, cluster_id long, partner_id long, cos double"
     )
-    pairs = member.join(
-        rhs,
-        (F.col("cid") == F.col("b_cid")) & (F.col("vec_id") < F.col("dup_id")),
-    ).select(
-        "dup_id",
-        F.col("cid").alias("cluster_id"),
-        F.col("vec_id").alias("partner_id"),
-        F.round(
-            F.aggregate(
-                F.zip_with("v", "b_v", lambda x, y: x * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            / (F.col("nrm") * F.col("b_nrm")),
-            6,
-        ).alias("cos"),
-    )
-    return (
-        pairs.filter(F.col("cos") >= SEM_TAU)
-        .groupBy("dup_id", "cluster_id")
-        .agg(
-            F.min("partner_id").alias("keeper_id"),
-            F.count("*").alias("n_matches"),
-            F.max("cos").alias("best_cos"),
-        )
+    return pairs.groupBy("dup_id", "cluster_id").agg(
+        F.min("partner_id").alias("keeper_id"),
+        F.count("*").alias("n_matches"),
+        F.max("cos").alias("best_cos"),
     )
 
 
@@ -573,7 +632,11 @@ from .dedup import (  # noqa: E402  (shared MinHash pipeline pieces)
     WITH RECURSIVE t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
     hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM sh),
-    mh AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt),
+    mh0 AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt),
+    -- degenerate docs (NULL minhash: empty/NULL text, <3 tokens) must not
+    -- band — concat_ws skips NULLs, so they'd all share the md5('') bucket
+    -- and merge into one phantom "duplicate" component
+    mh AS (SELECT * FROM mh0 WHERE mh0 IS NOT NULL),
     bands AS (
       SELECT doc_id, 0 AS band_no,
              md5(concat_ws('_', mh0, mh1, mh2, mh3)) AS band_key FROM mh
@@ -616,8 +679,19 @@ def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, and near-dup graphs are short-diameter by construction
     (components are clouds of mutual near-copies, not long chains)."""
     d = load_table(spark, sf_dir, "documents")
-    mh = _add_minhash(
-        d.select("doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx"))
+    # Checkpoint the signature table BEFORE the degenerate-doc filter
+    # (same pattern as dedup_minhash_pairs): filtering a computed mh0
+    # without materializing first lets pushdown substitute the whole
+    # minhash fold into the filter. Degenerate docs (NULL minhash) must
+    # not band — with no Jaccard-verify stage downstream, the shared
+    # md5('') bucket would merge every empty/NULL doc into one phantom
+    # duplicate component.
+    mh = (
+        _add_minhash(
+            d.select("doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx"))
+        )
+        .localCheckpoint(eager=True)
+        .filter(F.col("mh0").isNotNull())
     )
     b0 = mh.select(
         "doc_id",

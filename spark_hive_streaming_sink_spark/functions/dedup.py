@@ -38,6 +38,17 @@ SIMHASH_BITS = 16
 # corpora, where every doc has REPL exact copies sharing a bucket, set
 # it low via SHSS_BAND_CAP (tools/stress.py uses 16: x100 measured
 # dedup_minhash_calibration at 372 s from quadratic pair blowup).
+#
+# TRUNCATION SEMANTICS — when a bucket exceeds BAND_CAP, the star scheme
+# CHANGES what the pair-listing queries report: member-member pairs
+# between two non-representatives are not listed, and n_shared_bands can
+# undercount a 2-band pair whose doc is a rep in only one band's bucket.
+# Cluster MEMBERSHIP stays complete (every member pairs with >= 1 rep),
+# which is all the downstream merges (components / keep-lists) consume.
+# Pair-listing queries (dedup_minhash_pairs, dedup_minhash_calibration)
+# carry this caveat in their docstrings so capped output is never
+# mistaken for exhaustive candidate enumeration; the cap is read from
+# SHSS_BAND_CAP at import, so a run's cap is knowable from its env.
 BAND_CAP = int(os.environ.get("SHSS_BAND_CAP", "256"))
 
 _SQL_BAND_REPS = f"""
@@ -270,7 +281,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (linear in bucket sizes), never across the full corpus. On the
     synthetic corpus (no near-dups) the result is usually empty — the
     oracle agrees on emptiness, and tests/test_llm_ops.py proves the
-    recall path on planted duplicates."""
+    recall path on planted duplicates.
+
+    NOT exhaustive under the star cap: if any bucket exceeds BAND_CAP
+    (SHSS_BAND_CAP, default 256), member-member pairs between two
+    non-representatives are omitted and n_shared_bands can undercount
+    2-band pairs — cluster membership stays complete (see the BAND_CAP
+    module note). At the default cap no gate fixture is affected."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     # Materialize the signature table ONCE (at 100 TB this is the
     # persisted signature table, same as dedup_minhash_calibration):
@@ -472,7 +489,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM t),
     hxt AS (SELECT doc_id, {_SQL_HX} AS hx
             FROM (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t)),
-    mh AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt),
+    mh0 AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt),
+    -- degenerate docs (NULL minhash) can't be candidates; without this
+    -- they all share the md5('') bucket and inflate the pair join
+    mh AS (SELECT * FROM mh0 WHERE mh0 IS NOT NULL),
     bands AS (
       SELECT doc_id, 0 AS band_no, md5(concat_ws('_', mh0, mh1, mh2, mh3)) AS band_key FROM mh
       UNION ALL
@@ -524,8 +544,16 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shingles", F.transform(F.col("hx"), lambda p: p.getField("h1"))
         )
     )
-    b0 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)]))
-    b1 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)]))
+    # NULL band_key for degenerate docs (NULL minhash): concat_ws skips
+    # NULLs, so unguarded they'd all share the md5('') bucket — the
+    # Jaccard verify would drop those phantom pairs anyway, but the
+    # phantom bucket inflates the star join for no benefit. Guarded
+    # HERE (inside the one projection, pre-checkpoint) and filtered
+    # AFTER the checkpoint so the minhash fold is never substituted
+    # into a pushed-down filter.
+    ok = F.col("mh0").isNotNull()
+    b0 = F.when(ok, F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)])))
+    b1 = F.when(ok, F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)])))
     bands = feat.select(
         "doc_id",
         "shingles",
@@ -544,7 +572,18 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtrees; the capped side is no longer identical, so reuse can't
     # apply and the explicit checkpoint replaces it (plan-test-pinned:
     # zero parquet text scans in the final query).
-    bands = bands.localCheckpoint(eager=True)
+    #
+    # Fault-tolerance tradeoff (applies to every localCheckpoint in
+    # this package): localCheckpoint truncates lineage WITHOUT a
+    # reliable copy — losing an executor after it fails the job
+    # instead of recomputing. Acceptable here because these are
+    # single-query materializations measured in seconds; a 100 TB
+    # production run would persist the signature table as a real
+    # table (reliable checkpoint / write-out) precisely so stage
+    # retries survive node loss.
+    bands = bands.localCheckpoint(eager=True).filter(
+        F.col("band_key").isNotNull()  # free scan filter post-materialize
+    )
     # merge-join hint, NOT planner choice: bands is corpus-sized (docs ×
     # 2, carrying shingle arrays), so broadcasting one side — what the
     # planner picks at test SFs from its tiny size estimate — would be
@@ -790,7 +829,14 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_pairs); the exact-Jaccard re-check touches only
     those pairs — this is precisely how production pipelines afford
     exact verification: estimate to find candidates, exact-check the
-    candidates."""
+    candidates.
+
+    NOT exhaustive under the star cap: buckets larger than BAND_CAP
+    (SHSS_BAND_CAP) omit member-member pairs between two
+    non-representatives, so the calibration sample is the rep-anchored
+    subset of candidates, not every candidate (see the BAND_CAP module
+    note). Unbiased for tuning purposes — reps are lowest-id, not
+    similarity-selected — but a capped run's pair list is a sample."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     sig = (
         _add_minhash(

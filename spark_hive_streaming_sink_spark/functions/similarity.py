@@ -57,14 +57,36 @@ def _norm(a: Column) -> Column:
     )
 
 
+# Mirrors Spark's zip_with-then-fold exactly, including the degenerate
+# shapes the NULL fuzzer feeds: the series runs over the LONGER of the
+# two lists (zip_with pads the shorter side with NULL, so any length
+# mismatch poisons the fold to NULL — len(a)-only indexing would return
+# a finite dot when a is the shorter side), both-empty folds to the
+# 0.0 init (list_reduce ERRORS on an empty list, hence the CASE), and
+# a NULL list short-circuits to NULL (greatest(len(a), len(b)) is NULL,
+# no CASE arm matches, and the ELSE reduce of a NULL series is NULL).
 _SQL_DOT = (
-    "list_reduce(list_transform(generate_series(1, len({a})), "
-    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+    "CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL "
+    "WHEN greatest(len({a}), len({b})) = 0 THEN 0.0 "
+    "ELSE list_reduce(list_transform(generate_series(1, greatest(len({a}), len({b}))), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y) END"
 )
 
 
 def _sql_dot(a: str, b: str) -> str:
     return _SQL_DOT.format(a=a, b=b)
+
+
+def _np_round_half_up(x, decimals: int):
+    """Match Spark's round() (BigDecimal HALF_UP) and DuckDB's round()
+    (half away from zero) instead of NumPy's round-half-even — they
+    differ at exactly-representable decimal-half boundaries (e.g.
+    2^-7 = 0.0078125 rounds to 0.007813 in both engines but 0.007812
+    under banker's rounding). NaN/inf pass through unchanged."""
+    import numpy as np
+
+    p = 10.0**decimals
+    return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
 
 
 @register(
@@ -104,7 +126,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("vec_id").alias("cand_id"),
         F.round(
-            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+            F.try_divide(_dot(F.col("q_emb"), F.col("embedding")), F.col("q_nrm") * F.col("nrm")), 6
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
@@ -152,21 +174,53 @@ def sim_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect(),
         key=lambda r: r["vec_id"],
     )
-    q_ids = np.array([r["vec_id"] for r in qrows])
-    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def _pad(vecs, width):
+        # zero-pad to a common width: zero terms add nothing to a dot or
+        # a norm, so equal-length pairs are unaffected; LENGTH-MISMATCHED
+        # pairs are masked to NULL afterwards (the fold semantics: zip_with
+        # pads with NULL and poisons the whole sum). NULL elements arrive
+        # as NaN and poison the dot to NaN, which Arrow's NaN-is-null
+        # convention returns as SQL NULL — same verdict as the JVM fold.
+        m = np.zeros((len(vecs), width), dtype=np.float64)
+        lens = np.empty(len(vecs), dtype=np.int64)
+        for i, v in enumerate(vecs):
+            a = np.asarray(
+                [x if x is not None else np.nan for x in v], dtype=np.float64
+            )
+            lens[i] = len(a)
+            m[i, : len(a)] = a
+        return m, lens
+
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_vecs = [r["embedding"] for r in qrows]
+    q_width = max((len(v) for v in q_vecs), default=0)
 
     def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            c_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if not len(pdf) or not len(q_ids):
+                continue
+            c_vecs = pdf["embedding"].to_numpy()
+            width = max(q_width, max((len(v) for v in c_vecs), default=0), 1)
+            c_mat, c_len = _pad(c_vecs, width)
+            q_mat, q_len = _pad(q_vecs, width)
             c_nrm = np.sqrt((c_mat * c_mat).sum(axis=1))
-            cos = (c_mat @ q_mat.T) / np.outer(c_nrm, q_nrm)  # (B × Q)
+            q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
+            denom = np.outer(c_nrm, q_nrm)  # (B × Q)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (c_mat @ q_mat.T) / denom
+            # NULL verdicts, matching the JVM fold + try_divide exactly:
+            # ragged pair (NULL-padded zip poisons the fold) and zero
+            # denominator (x/0 is NULL in both engines) -> NaN -> Arrow
+            # nulls them out
+            cos[c_len[:, None] != q_len[None, :]] = np.nan
+            cos[denom == 0] = np.nan
             b = len(pdf)
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(q_ids[None, :], b, axis=0).ravel(),
                     "cand_id": np.repeat(pdf["vec_id"].to_numpy(), len(q_ids)),
-                    "cosine": np.round(cos.ravel(), 4),
+                    "cosine": _np_round_half_up(cos.ravel(), 4),
                 }
             )
 
@@ -195,10 +249,13 @@ _PLANES = [_plane(h) for h in range(N_PLANES)]
 
 
 def _sql_plane_dot(emb: str, plane: list[float]) -> str:
+    # empty-vector guard: list_reduce ERRORS on an empty list; Spark's
+    # fold over an empty embedding returns the 0.0 init (bucket '0000')
     lits = "[" + ", ".join(str(c) for c in plane) + "]"
     return (
-        f"list_reduce(list_transform(generate_series(1, len({emb})), "
-        f"i -> {emb}[i]::DOUBLE * ({lits}::DOUBLE[])[i]), (x, y) -> x + y)"
+        f"CASE WHEN len({emb}) = 0 THEN 0.0 "
+        f"ELSE list_reduce(list_transform(generate_series(1, len({emb})), "
+        f"i -> {emb}[i]::DOUBLE * ({lits}::DOUBLE[])[i]), (x, y) -> x + y) END"
     )
 
 
@@ -281,7 +338,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"),
         "bucket",
         F.round(
-            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+            F.try_divide(_dot(F.col("q_emb"), F.col("embedding")), F.col("q_nrm") * F.col("nrm")), 6
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
@@ -466,7 +523,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"),
         "cell",
         F.round(
-            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+            F.try_divide(_dot(F.col("q_emb"), F.col("embedding")), F.col("q_nrm") * F.col("nrm")), 6
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
@@ -506,8 +563,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = v.alias("a")
     b = v.alias("b")
     cosine = F.round(
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
+        F.try_divide(
+            _dot(F.col("a.embedding"), F.col("b.embedding")),
+            F.col("a.nrm") * F.col("b.nrm"),
+        ),
         6,
     )
     return (
@@ -645,7 +704,7 @@ def sim_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id",
         F.col("label").alias("doc"),
         F.round(
-            _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")),
+            F.try_divide(_dot(F.col("q_emb"), F.col("embedding")), F.col("q_nrm") * F.col("nrm")),
             6,
         ).alias("cosine"),
     )
@@ -771,7 +830,10 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         "bucket",
         F.round(
-            _dot(F.col("embedding"), F.col("b_emb")) / (F.col("nrm") * F.col("b_nrm")),
+            F.try_divide(
+                _dot(F.col("embedding"), F.col("b_emb")),
+                F.col("nrm") * F.col("b_nrm"),
+            ),
             6,
         ).alias("cosine"),
     )
@@ -970,7 +1032,7 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("q_bucket"),
     )
     cos = F.round(
-        _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm")), 6
+        F.try_divide(_dot(F.col("q_emb"), F.col("embedding")), F.col("q_nrm") * F.col("nrm")), 6
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "vec_id")
 

@@ -229,6 +229,91 @@ def test_doc_null_fuzz_matches_oracle(spark, name, rows):
         shutil.rmtree(d, ignore_errors=True)
 
 
+# --------------------------------------------------------------------------
+# embeddings-table family: NULL vectors, zero vectors (zero norm),
+# zero-length and ragged arrays, and NULL ELEMENTS inside vectors are the
+# degenerate inputs the static adversarial fixtures (uniform-dim, whole-
+# vector NULLs only) cannot produce. Spark's zip_with pads the shorter
+# array with NULL while the oracles index over one side's len() — any
+# asymmetry there, or a 0/0 = NaN-vs-NULL division split, shows up here
+# as a shrinkable counterexample.
+# --------------------------------------------------------------------------
+
+EMB_FUZZED = [
+    "sim_cosine_topk",
+    "sim_cosine_topk_numpy",
+    "embed_norm_stats",
+    "dedup_embedding_cosine",
+    "sim_ann_lsh",
+    "embed_avg_pool",
+]
+
+# element values: exact-in-float32 two-decimal-ish values plus 0 and
+# negatives, and a rare NULL element (all-NULL vectors emerge when every
+# draw is None)
+_ELEMS = st.one_of(
+    st.just(None),
+    st.sampled_from([0.0, 1.0, -0.5, 0.25, 2.5, -3.75, 0.125]),
+)
+_VECS = st.one_of(
+    st.none(),  # NULL vector
+    st.just([]),  # zero-length vector
+    st.just([0.0, 0.0, 0.0, 0.0]),  # zero norm -> 0/0 division
+    st.lists(_ELEMS, min_size=2, max_size=4),  # ragged dims 2..4
+    st.lists(st.sampled_from([1.0, -0.5, 0.25, 2.5]), min_size=4, max_size=4),
+)
+_LABELS = [None, 0, 1, 2]
+
+
+@st.composite
+def embeddings_table(draw):
+    n = draw(st.integers(min_value=4, max_value=25))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,  # vec_id: unique; ids < 5 double as the query set
+                draw(_VECS),
+                draw(st.sampled_from(_LABELS)),
+            )
+        )
+    return rows
+
+
+def _write_embeddings(rows, out_dir):
+    cols = list(zip(*rows))
+    t = pa.table(
+        {
+            "vec_id": pa.array(cols[0], pa.int64()),
+            "embedding": pa.array(cols[1], pa.list_(pa.float32())),
+            "label": pa.array(cols[2], pa.int32()),
+        }
+    )
+    pq.write_table(t, os.path.join(out_dir, "embeddings.parquet"))
+
+
+@pytest.mark.parametrize("name", EMB_FUZZED)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=embeddings_table())
+def test_emb_null_fuzz_matches_oracle(spark, name, rows):
+    d = tempfile.mkdtemp(prefix="shss_fuzz_")
+    try:
+        _write_embeddings(rows, d)
+        scols, sn, dcols, dn = _run_both(spark, name, d, table="embeddings")
+        assert scols == dcols
+        assert sn == dn, (
+            f"{name} diverged on fuzzed NULL/ragged-embedding pattern; "
+            f"first diffs: {[p for p in zip(sn, dn) if p[0] != p[1]][:3]} "
+            f"(spark={len(sn)} rows, duck={len(dn)} rows)"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_asof_simultaneous_click_counts_as_prior(spark):
     """Pinned fuzzer counterexample: a click at EXACTLY the purchase's
     timestamp (higher event_id) is a prior click under ASOF's inclusive

@@ -612,18 +612,18 @@ def test_knn_graph_bucket_local_no_cartesian(spark):
 
 
 def test_semantic_dedup_cell_local(spark):
-    """SemDeDup: the only nested-loop joins are the K-row centroid
-    broadcasts (cell assignment); the quadratic pair join itself must
-    be an equi-join on the cell id. No Python, no cartesian."""
+    """SemDeDup: the pair stage is a single per-cell Arrow gram
+    (FlatMapGroupsInPandas over the cell id — one exchange, one BLAS
+    matmul per cell) reading the checkpointed assignment; no join at
+    all in the pair stage, no cartesian anywhere, and no row-at-a-time
+    Python (BatchEvalPython)."""
     df = _df(spark, "dedup_semantic_cluster")
     assert count_nodes(df, "CartesianProduct") == 0
-    # centroid broadcast appears once per member branch, never more
-    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 2
-    assert (
-        count_nodes(df, "SortMergeJoin") + count_nodes(df, "BroadcastHashJoin") >= 1
-    )
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "FlatMapGroupsInPandas") == 1
     plan = formatted_plan(df)
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_pmi_vocab_joins_broadcast(spark):
