@@ -674,6 +674,162 @@ def text_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ROUNDS = 4  # unrolled merge rounds for the trainer loop
+
+
+def _bpe_rounds_oracle(rounds: int) -> str:
+    """Generate the unrolled DuckDB mirror of the BPE trainer loop: per
+    round, adjacent-pair counts over the CURRENT symbolization of the
+    vocab, a deterministic argmax (count DESC, pair), and a left-to-right
+    non-overlapping merge application via list_reduce (the [s]-wrapped
+    fold makes the accumulator a symbol list whose first element seeds
+    the reduction — identical to Spark's empty-init fold, where the
+    first symbol is appended unconditionally)."""
+    parts = [
+        """v0 AS (
+      SELECT n, list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS syms
+      FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(trim(text), ' ')) AS w
+                  FROM documents WHERE text IS NOT NULL)
+            WHERE length(w) >= 2 GROUP BY w))"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""p{r} AS (
+      SELECT syms[i] AS sym_left, syms[i + 1] AS sym_right, n
+      FROM (SELECT syms, n, unnest(generate_series(1, len(syms) - 1)) AS i
+            FROM v{r} WHERE len(syms) >= 2))"""
+        )
+        parts.append(
+            f"""b{r} AS (
+      SELECT sym_left, sym_right, CAST(SUM(n) AS BIGINT) AS n_occurrences
+      FROM p{r} GROUP BY sym_left, sym_right
+      ORDER BY n_occurrences DESC, sym_left, sym_right LIMIT 1)"""
+        )
+        parts.append(
+            f"""v{r + 1} AS (
+      SELECT n,
+             list_reduce(list_transform(syms, s -> [s]),
+               (acc, x) -> CASE WHEN acc[-1] = b.sym_left AND x[1] = b.sym_right
+                           THEN list_concat(acc[1:len(acc) - 1],
+                                            [b.sym_left || b.sym_right])
+                           ELSE list_concat(acc, x) END) AS syms
+      FROM v{r}, b{r} b)"""
+        )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {r} AS merge_round, sym_left, sym_right, n_occurrences FROM b{r}"
+        for r in range(rounds)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + sel
+
+
+@register(
+    "text_bpe_train_rounds",
+    oracle=_bpe_rounds_oracle(BPE_ROUNDS),
+    tags=("llm", "text", "tokenizer"),
+)
+def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training, rounds 0..{R-1}: iterate the merge loop that
+    text_bpe_merge_pairs only statistics — each round counts adjacent
+    symbol pairs over the CURRENT symbolization of the word-frequency
+    table, picks the argmax merge (count DESC, then pair — binary
+    collation in both engines), applies it to every word left-to-right
+    non-overlapping, and recounts. Emits the chosen merge per round:
+    the first {R} rows of a real BPE merge table.
+
+    Merge application is a sequential fold (F.aggregate): append each
+    symbol unless the accumulator's last symbol is X and the incoming
+    is Y, in which case replace the tail with XY. Left-to-right
+    non-overlap falls out naturally — a just-merged XY can never equal
+    X again (Y is non-empty), exactly the classic trainer's scan. The
+    oracle mirrors it with list_reduce over [s]-wrapped symbols.
+
+    Scale: all char-level work is VOCAB-bounded (the load-bearing BPE
+    trick — see text_bpe_merge_pairs): each round is one vocab-sized
+    fold + an |alphabet|²-ish aggregate + a 1-row argmax broadcast
+    (GlobalLimit-bounded). The re-symbolized vocab is localCheckpoint'd
+    per round: each round's table feeds both the next round's count
+    AND its own merge application, and an uncheckpointed chain would
+    re-execute the whole prefix 2^R times. At 100 TB the vocab table
+    (~10^6 rows) is a per-round persisted table; rounds beyond the
+    unrolled {R} batch the same way production trainers do (count many
+    merges per materialization)."""
+    from functools import reduce as _reduce
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("n"))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    cur = vocab.select("n", chars.alias("syms")).localCheckpoint(eager=True)
+
+    def apply_merge(syms: Column, x: Column, y: Column) -> Column:
+        return F.aggregate(
+            syms,
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, s: F.when(
+                # try_element_at: NULL (not an ANSI error) on the empty
+                # accumulator; NULL = x is never true, so the first
+                # symbol is appended — same seed as the oracle's
+                # first-element reduction init
+                (F.try_element_at(acc, F.lit(-1)) == x) & (s == y),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(x, y))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    outs = []
+    for r in range(BPE_ROUNDS):
+        pr = cur.filter(F.size("syms") >= 2).select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("sym_left"),
+                        F.element_at("syms", i + 1).alias("sym_right"),
+                    ),
+                )
+            ).alias("p"),
+        ).select("p.sym_left", "p.sym_right", "n")
+        best = (
+            pr.groupBy("sym_left", "sym_right")
+            .agg(F.sum("n").cast("bigint").alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), "sym_left", "sym_right")
+            .limit(1)
+        )
+        outs.append(
+            best.select(
+                F.lit(r).alias("merge_round"),
+                "sym_left",
+                "sym_right",
+                "n_occurrences",
+            )
+        )
+        if r + 1 < BPE_ROUNDS:
+            bb = F.broadcast(
+                best.select(
+                    F.col("sym_left").alias("bx"), F.col("sym_right").alias("by")
+                )
+            )
+            cur = (
+                cur.crossJoin(bb)
+                .select(
+                    "n",
+                    apply_merge(F.col("syms"), F.col("bx"), F.col("by")).alias(
+                        "syms"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return _reduce(DataFrame.unionByName, outs)
+
+
 MIX_TEMPERATURE = 0.7  # the standard multilingual-corpus smoothing alpha
 
 

@@ -161,6 +161,7 @@ DOC_FUZZED = [
     "dedup_minhash_lsh",
     "corpus_temperature_mix",
     "text_bpe_merge_pairs",
+    "text_bpe_train_rounds",
     "udtf_tokenize",
 ]
 

@@ -887,6 +887,30 @@ def test_bpe_merge_pairs_vocab_bounded_plan(spark):
     assert "HashAggregate" in plan[gen:], "pair explode must sit above the vocab agg"
 
 
+def test_bpe_train_rounds_plan_and_round_zero(spark):
+    """BPE trainer loop: per-round argmax compiles to
+    TakeOrderedAndProject (never a full sort), prior rounds are
+    checkpointed away (no generator pile-up in the final plan), no
+    cartesian, no row-at-a-time Python. And round 0's chosen merge must
+    equal text_bpe_merge_pairs' rank-1 pair — the trainer's first
+    iteration IS the iteration-zero statistic."""
+    from spark_hive_streaming_sink_spark.functions.text import BPE_ROUNDS
+
+    df = _df(spark, "text_bpe_train_rounds")
+    assert count_nodes(df, "TakeOrderedAndProject") == BPE_ROUNDS
+    assert count_nodes(df, "CartesianProduct") == 0
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    r0 = {r["merge_round"]: r for r in df.collect()}[0]
+    top = [r for r in _df(spark, "text_bpe_merge_pairs").collect() if r["rnk"] == 1][0]
+    assert (r0["sym_left"], r0["sym_right"], r0["n_occurrences"]) == (
+        top["sym_left"],
+        top["sym_right"],
+        top["n_occurrences"],
+    )
+
+
 def test_temperature_mix_weights_invariants(spark):
     """Temperature smoothing must (a) conserve ~1e6 ppm of total weight
     and (b) compress the distribution toward uniform: every source's
