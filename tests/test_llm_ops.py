@@ -924,3 +924,80 @@ def test_band_cap_star_keeps_cluster_membership(spark, monkeypatch):
     touched = {r["x"] for r in pairs} | {r["y"] for r in pairs}
     assert touched == set(range(10))
     assert len(pairs) <= 3 * 10
+
+
+def test_stream_incremental_dedup_planted_recall(spark, tmp_path):
+    """The streaming MinHash probe must flag an incoming exact copy of
+    an index document (lowest-id match reported) and pass distinct
+    incoming docs through. doc_id % 4 == 3 is the incoming stream."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    other = "completely different text about spark streaming sinks and hive tables today"
+    rows = [
+        (0, base, "en", "src0", len(base)),
+        (1, other, "en", "src0", len(other)),
+        (2, "short text here", "en", "src0", 15),
+        (3, base, "en", "src1", len(base)),       # incoming: dup of 0
+        (4, "noise words one two three four five six", "en", "src0", 40),
+        (7, "entirely novel incoming document with many unique tokens inside it", "en", "src1", 66),
+        (11, other, "en", "src1", len(other)),    # incoming: dup of 1
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    # a single parquet FILE named documents.parquet, like the fixtures
+    # (stream_table's pathGlobFilter matches file names)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(cols[0], pa.int64()),
+                "text": pa.array(cols[1], pa.string()),
+                "lang": pa.array(cols[2], pa.string()),
+                "source": pa.array(cols[3], pa.string()),
+                "n_chars": pa.array(cols[4], pa.int64()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    res = {
+        r["doc_id"]: r
+        for r in QUERIES["stream_dedup_minhash_incremental"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(res) == {3, 7, 11}
+    assert res[3]["is_near_duplicate"] and res[3]["matched_id"] == 0
+    assert res[11]["is_near_duplicate"] and res[11]["matched_id"] == 1
+    assert not res[7]["is_near_duplicate"] and res[7]["matched_id"] is None
+
+
+def test_stream_incremental_probe_batch_replay_idempotent(spark, tmp_path):
+    """Replaying a micro-batch with the SAME batch id (the at-least-once
+    crash window the reference sink documents) must leave the landed
+    verdicts byte-identical — path-overwrite idempotence, the same
+    guarantee streaming/sink.py's ledger gives its Hive writes."""
+    from spark_hive_streaming_sink_spark.streaming.ops import (
+        _minhash_band_index,
+        _probe_batch_against_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    idx = spark.createDataFrame(
+        [(0, base), (1, "other corpus document about hive tables and sinks")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(3, base), (7, "fresh unseen text with its own words")],
+        "doc_id long, text string",
+    )
+    bands, shingles = _minhash_band_index(idx)
+    out = str(tmp_path / "probe_out")
+    _probe_batch_against_index(batch, 0, bands, shingles, out)
+    first = sorted(map(tuple, spark.read.parquet(f"{out}/batch_id=0").collect()))
+    _probe_batch_against_index(batch, 0, bands, shingles, out)  # replay
+    second = sorted(map(tuple, spark.read.parquet(f"{out}/batch_id=0").collect()))
+    assert first == second
+    assert {t[0] for t in first} == {3, 7}  # no duplication across replays
