@@ -135,9 +135,17 @@ KM_K = 4  # clusters
 KM_ITERS = 2  # Lloyd iterations (unrolled in the oracle)
 KM_DIM = 64
 
+# Mirrors Spark's zip_with-then-fold exactly (same convention as
+# similarity._SQL_DOT): NULL list -> NULL, both-empty -> the 0.0 init
+# (list_reduce ERRORS on an empty list), and the series runs over the
+# LONGER list so a length mismatch poisons the fold to NULL like
+# zip_with's NULL padding (len({v})-only indexing would return a
+# finite d2 when v is the shorter side).
 _SQL_D2 = (
-    "list_reduce(list_transform(generate_series(1, len({v})), "
-    "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (x, y) -> x + y)"
+    "CASE WHEN {v} IS NULL OR {c} IS NULL THEN NULL "
+    "WHEN greatest(len({v}), len({c})) = 0 THEN 0.0 "
+    "ELSE list_reduce(list_transform(generate_series(1, greatest(len({v}), len({c}))), "
+    "i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (x, y) -> x + y) END"
 )
 
 _SQL_ASSIGN = """
@@ -215,7 +223,12 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda a, x: a + x,
             ),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), "cid")
+        # asc_nulls_last matches DuckDB's default NULL ordering: d2 is
+        # NULL vs a non-empty centroid but 0.0 vs an empty one when v
+        # itself is empty, so the mixed case is reachable (fuzzer)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.round("d2", 6).asc_nulls_last(), "cid"
+        )
         return (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -421,9 +434,13 @@ SEM_TAU = 0.38  # within-cell cosine threshold for "semantic duplicate"
 # (oracle SQL derives from the same value, so it stays consistent)
 SEM_K = int(os.environ.get("SHSS_SEM_K", "16"))
 
+# Same zip_with-mirroring guard as _SQL_D2 (empty list / NULL list /
+# ragged pair), dot-product form.
 _SQL_DOT_CL = (
-    "list_reduce(list_transform(generate_series(1, len({a})), "
-    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    "CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL "
+    "WHEN greatest(len({a}), len({b})) = 0 THEN 0.0 "
+    "ELSE list_reduce(list_transform(generate_series(1, greatest(len({a}), len({b}))), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y) END"
 )
 
 
@@ -760,19 +777,14 @@ def _pagerank_iter_sql(rin: str, out: str) -> str:
     """
 
 
-_PR_DOT_VV = (
-    "list_reduce(list_transform(generate_series(1, len(embedding)), "
-    "i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y)"
-)
-_PR_DOT_AB = (
-    "list_reduce(list_transform(generate_series(1, len(a.embedding)), "
-    "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)"
-)
-
-
 def _pr_oracle() -> str:
-    from .similarity import _sql_bucket
+    # _sql_dot carries the empty/NULL/ragged-list guard that mirrors
+    # Spark's zip_with fold — the raw list_reduce form ERRORS on the
+    # empty-list embeddings the fuzzer feeds
+    from .similarity import _sql_bucket, _sql_dot
 
+    _PR_DOT_VV = _sql_dot("embedding", "embedding")
+    _PR_DOT_AB = _sql_dot("a.embedding", "b.embedding")
     return f"""
     WITH v AS (SELECT vec_id, embedding,
                       sqrt({_PR_DOT_VV}) AS nrm,
@@ -827,8 +839,7 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector (shuffle on node id — the standard distributed PageRank
     shape) + a bounded-degree aggregate; edges are kNN-bounded (N*k,
     never N^2) and cell-local by construction."""
-    from .similarity import _norm, _spark_bucket, _dot, K_NN_GRAPH
-    from pyspark.sql import Window
+    from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.filter(F.col("embedding").isNotNull()).select(
@@ -837,27 +848,11 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("embedding")).alias("nrm"),
         _spark_bucket(F.col("embedding")).alias("bucket"),
     )
-    b = v.select(
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-        F.col("bucket").alias("b_bucket"),
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    # same per-bucket Arrow gram as sim_knn_graph_lsh — only the N*k
+    # kept edges leave the cells, never the full pair list
     edges = (
-        v.join(b, (F.col("bucket") == F.col("b_bucket")) & (F.col("vec_id") != F.col("dst")))
-        .select(
-            F.col("vec_id").alias("src"),
-            "dst",
-            F.round(
-                _dot(F.col("embedding"), F.col("b_emb"))
-                / (F.col("nrm") * F.col("b_nrm")),
-                6,
-            ).alias("cos"),
-        )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= K_NN_GRAPH)
-        .select("src", "dst")
+        _knn_cell_topk(v, K_NN_GRAPH)
+        .select(F.col("node_id").alias("src"), F.col("neighbor_id").alias("dst"))
         .localCheckpoint(eager=True)  # edges feed deg + 2 iterations
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(

@@ -766,6 +766,90 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 K_NN_GRAPH = 3  # neighbors kept per node
 
 
+def _knn_cell_topk(v: DataFrame, k: int) -> DataFrame:
+    """Per-cell k-NN: one Arrow/BLAS gram matrix per LSH bucket
+    (applyInPandas over the bucket key) with the top-k selection done
+    INSIDE the group — replaces the bucket self-join + per-pair
+    zip_with fold + corpus-wide row_number window. Catalyst's
+    higher-order functions are not codegen'd, so the fold dominated
+    at scale (sim_knn_graph_lsh measured 24.5 s at the x100 stress
+    point in round 7); the gram path also never shuffles the full
+    pair list — only N*k result rows leave the cells.
+
+    Verdict parity with the fold+window formulation (oracle unchanged):
+    the float64 matmul differs from the sequential fold only by
+    summation order (~1e-13 relative, six orders inside the
+    round(cos, 6) quantum); rounding is half-up to match both engines;
+    a zero norm or NULL component poisons the pair's cosine to NaN,
+    which Arrow returns as SQL NULL — the same NULL verdict try_divide
+    and the NULL-padded zip give — and NULL cosines rank last with the
+    neighbor-id tie-break, like both engines' DESC NULLS LAST.
+    Length-mismatched (ragged) pairs are masked to NULL, mirroring
+    zip_with's NULL padding. NaN-valued embedding COMPONENTS are out
+    of scope for this Arrow path (NaN would rank first JVM-side but
+    becomes NULL through Arrow); no fixture or fuzzer produces NaN.
+
+    Input: (vec_id, embedding, nrm, bucket). Output: (node_id,
+    neighbor_id, bucket, cosine, rnk) with rnk <= k."""
+    import numpy as np
+    import pandas as pd
+
+    def cell_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "node_id": np.array([], dtype=np.int64),
+                    "neighbor_id": np.array([], dtype=np.int64),
+                    "bucket": np.array([], dtype=object),
+                    "cosine": np.array([], dtype=np.float64),
+                    "rnk": np.array([], dtype=np.int64),
+                }
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        vecs = pdf["embedding"].to_numpy()
+        lens = np.fromiter((len(a) for a in vecs), dtype=np.int64, count=n)
+        width = max(int(lens.max()), 1)
+        V = np.zeros((n, width), dtype=np.float64)
+        for i, a in enumerate(vecs):
+            # np.asarray maps None components to NaN in a float array
+            V[i, : lens[i]] = np.asarray(a, dtype=np.float64)
+        nrm = pdf["nrm"].to_numpy().astype(np.float64)
+        denom = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (V @ V.T) / denom
+        cos[lens[:, None] != lens[None, :]] = np.nan  # ragged pair -> NULL
+        cos[denom == 0] = np.nan  # zero norm -> NULL (try_divide)
+        cos = _np_round_half_up(cos, 6)
+        # NULL cosines rank last (DESC NULLS LAST in both engines)
+        key = np.where(np.isnan(cos), -np.inf, cos)
+        node, neigh, cval, rnk = [], [], [], []
+        all_idx = np.arange(n)
+        for i in range(n):
+            cand = all_idx[all_idx != i]
+            order = np.lexsort((ids[cand], -key[i, cand]))
+            take = cand[order[:k]]
+            node.append(np.full(len(take), ids[i]))
+            neigh.append(ids[take])
+            cval.append(cos[i, take])
+            rnk.append(np.arange(1, len(take) + 1))
+        return pd.DataFrame(
+            {
+                "node_id": np.concatenate(node),
+                "neighbor_id": np.concatenate(neigh),
+                "bucket": pdf["bucket"].iloc[0],
+                "cosine": np.concatenate(cval),
+                "rnk": np.concatenate(rnk),
+            }
+        )
+
+    return v.groupBy("bucket").applyInPandas(
+        cell_topk,
+        "node_id long, neighbor_id long, bucket string, cosine double, rnk long",
+    )
+
+
 @register(
     "sim_knn_graph_lsh",
     oracle=f"""
@@ -796,13 +880,12 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     node keeps its top-K_NN_GRAPH cosine neighbors *within its
     bucket* — a self-join on the bucket key, never corpus x corpus.
 
-    Scale shape: one shuffle on the bucket key co-locates each cell,
-    pair scoring is cell-local (cell size is tuned by N_PLANES: at
-    100 TB you add planes until cells hold ~10^3 vectors, and union
-    several plane-sets as OR-bands to recover recall). The top-k is a
-    per-node window over only the node's own cell pairs."""
-    from pyspark.sql import Window
-
+    Scale shape: one shuffle on the bucket key co-locates each cell
+    (cell size is tuned by N_PLANES: at 100 TB you add planes until
+    cells hold ~10^3 vectors, and union several plane-sets as OR-bands
+    to recover recall); pair scoring + top-k run INSIDE the cell as one
+    BLAS gram per bucket (_knn_cell_topk), so only the N*k kept edges
+    ever leave a cell — no corpus-wide pair shuffle, no per-pair fold."""
     emb = load_table(spark, sf_dir, "embeddings")
     # NOT checkpointed: per-vector projection (one norm + N_PLANES
     # plane dots) is negligible next to per-PAIR scoring, and the
@@ -815,33 +898,9 @@ def sim_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("embedding")).alias("nrm"),
         _spark_bucket(F.col("embedding")).alias("bucket"),
     )
-    b = v.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-        F.col("bucket").alias("b_bucket"),
+    return _knn_cell_topk(v, K_NN_GRAPH).select(
+        "node_id", "neighbor_id", "bucket", "cosine", "rnk"
     )
-    pairs = v.join(
-        b,
-        (F.col("bucket") == F.col("b_bucket"))
-        & (F.col("vec_id") != F.col("neighbor_id")),
-    ).select(
-        F.col("vec_id").alias("node_id"),
-        "neighbor_id",
-        "bucket",
-        F.round(
-            F.try_divide(
-                _dot(F.col("embedding"), F.col("b_emb")),
-                F.col("nrm") * F.col("b_nrm"),
-            ),
-            6,
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy("node_id").orderBy(F.col("cosine").desc(), "neighbor_id")
-    return pairs.select(
-        "node_id", "neighbor_id", "bucket", "cosine",
-        F.row_number().over(w).alias("rnk"),
-    ).filter(F.col("rnk") <= K_NN_GRAPH)
 
 
 PQ_M = 4  # subspaces

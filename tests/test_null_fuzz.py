@@ -247,6 +247,13 @@ EMB_FUZZED = [
     "dedup_embedding_cosine",
     "sim_ann_lsh",
     "embed_avg_pool",
+    # Arrow gram paths: the BLAS rework must hold the same NULL/ragged
+    # verdicts as the fold formulation the oracles express
+    "sim_knn_graph_lsh",
+    "dedup_semantic_cluster",
+    # iterative ops sharing the same distance/assignment macros
+    "cluster_kmeans_embeddings",
+    "graph_pagerank_knn",
 ]
 
 # element values: exact-in-float32 two-decimal-ish values plus 0 and

@@ -596,19 +596,17 @@ def test_image_ahash_broadcast_bucket_join(spark):
 
 
 def test_knn_graph_bucket_local_no_cartesian(spark):
-    """k-NN graph: pair generation must ride the bucket equi-key (hash
-    join — AQE may broadcast at fixture scale, SMJ at 100 TB), never a
-    cartesian/nested-loop; the per-node top-k must compile to
-    WindowGroupLimit so cells never materialize full pair lists."""
+    """k-NN graph: pair scoring + top-k live INSIDE the bucket cell as
+    one Arrow gram per group (a single FlatMapGroupsInPandas over one
+    bucket exchange) — no join at all, no cartesian, no corpus-wide
+    pair window, no row-at-a-time Python."""
     df = _df(spark, "sim_knn_graph_lsh")
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
-    assert (
-        count_nodes(df, "BroadcastHashJoin") + count_nodes(df, "SortMergeJoin") >= 1
-    )
-    assert count_nodes(df, "WindowGroupLimit") >= 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "FlatMapGroupsInPandas") == 1
     plan = formatted_plan(df)
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_semantic_dedup_cell_local(spark):
