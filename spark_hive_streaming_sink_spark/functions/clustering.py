@@ -901,3 +901,110 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_u").alias("rank_nano"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# label propagation over the kNN graph (semi-supervised curation labels)
+# --------------------------------------------------------------------------
+
+
+def _lp_oracle() -> str:
+    from .similarity import K_NN_GRAPH, _sql_bucket, _sql_dot
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding, label,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+                      {_sql_bucket('embedding')} AS bucket
+               -- NULL embeddings have no neighborhood: excluded
+               -- identically in both engines
+               FROM embeddings WHERE embedding IS NOT NULL),
+    p AS (SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round({_sql_dot('a.embedding', 'b.embedding')}
+                                  / (a.nrm * b.nrm), 6) DESC, b.vec_id) AS rnk
+          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+    edges AS (SELECT node_id, neighbor_id FROM p WHERE rnk <= {K_NN_GRAPH}),
+    votes AS (SELECT e.node_id, l.label AS cand,
+                     CAST(COUNT(*) AS BIGINT) AS n_votes
+              FROM edges e JOIN embeddings l ON l.vec_id = e.neighbor_id
+              WHERE l.label IS NOT NULL
+              GROUP BY e.node_id, l.label),
+    win AS (SELECT node_id, cand, n_votes FROM (
+              SELECT *, row_number() OVER (PARTITION BY node_id
+                                           ORDER BY n_votes DESC, cand) AS rn
+              FROM votes)
+            WHERE rn = 1)
+    SELECT v.vec_id AS node_id, v.label AS old_label,
+           w.cand AS new_label, w.n_votes,
+           CASE WHEN w.cand IS NOT NULL
+                THEN (w.cand IS DISTINCT FROM v.label) END AS changed
+    FROM v LEFT JOIN win w ON w.node_id = v.vec_id
+    """
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lp_oracle(),
+    tags=("llm", "graph", "embedding", "clustering"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of majority-vote label propagation over the kNN
+    similarity graph (Zhu & Ghahramani 2002 label propagation /
+    Raghavan et al. 2007 LPA, the curation use: spread sparse
+    human/classifier domain labels to unlabeled or mislabeled
+    neighbors before cluster-balanced sampling). Each node takes the
+    majority label among its top-K_NN_GRAPH cosine neighbors'
+    CURRENT labels (NULL-label neighbors don't vote; ties break to
+    the smallest label; a node with no labeled neighbors keeps NULL
+    new_label and a NULL changed verdict).
+
+    Scale shape: edges come from the same per-cell Arrow gram as
+    sim_knn_graph_lsh (only N*k edges leave the LSH cells); the vote
+    is one neighbor_id-keyed join against the label column plus a
+    (node, label) count whose per-node row count is bounded by k; the
+    winner is a WindowGroupLimit top-1 over those <= k rows. Repeated
+    rounds = re-running this operator on the updated label column —
+    each round is the same bounded join, no state accumulates."""
+    from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        "embedding",
+        "label",
+        _norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+    )
+    edges = _knn_cell_topk(
+        v.select("vec_id", "embedding", "nrm", "bucket"), K_NN_GRAPH
+    ).select("node_id", "neighbor_id")
+    votes = (
+        edges.join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("cand")
+            ),
+            "neighbor_id",
+        )
+        .filter(F.col("cand").isNotNull())
+        .groupBy("node_id", "cand")
+        .agg(F.count("*").cast("bigint").alias("n_votes"))
+    )
+    w = Window.partitionBy("node_id").orderBy(F.col("n_votes").desc(), "cand")
+    win = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("node_id", F.col("cand").alias("new_label"), "n_votes")
+    )
+    nodes = v.select(
+        F.col("vec_id").alias("node_id"), F.col("label").alias("old_label")
+    )
+    nl = F.col("new_label")
+    return nodes.join(win, "node_id", "left").select(
+        "node_id",
+        "old_label",
+        "new_label",
+        "n_votes",
+        F.when(nl.isNotNull(), ~nl.eqNullSafe(F.col("old_label"))).alias("changed"),
+    )

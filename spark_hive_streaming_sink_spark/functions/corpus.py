@@ -1062,3 +1062,160 @@ def corpus_train_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling (hashed n-gram features)
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64  # hashed-feature buckets (production: 10^4..10^6)
+DSIR_M = 50  # documents selected
+
+
+@register(
+    "corpus_dsir_importance",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS toks
+      FROM documents),
+    feat AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % {DSIR_BUCKETS} AS f
+      FROM (SELECT doc_id, lang,
+                   unnest(list_transform(generate_series(1, len(toks) - 1),
+                                         i -> array_to_string(toks[i:i+1], ' ')))
+                     AS g
+            FROM t)),
+    cnt AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS fr,
+             CAST(COALESCE(COUNT(*) FILTER (lang = 'en'), 0) AS BIGINT) AS ft
+      FROM feat GROUP BY f),
+    tot AS (SELECT CAST(SUM(fr) AS BIGINT) AS rt, CAST(SUM(ft) AS BIGINT) AS tt
+            FROM cnt),
+    w AS (
+      SELECT f,
+             CAST(ROUND(ln(((ft + 1.0) / (tt + {DSIR_BUCKETS}.0))
+                           / ((fr + 1.0) / (rt + {DSIR_BUCKETS}.0))) * 1000000, 0)
+                  AS BIGINT) AS unats
+      FROM cnt CROSS JOIN tot),
+    doc AS (
+      SELECT feat.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(w.unats) AS BIGINT) AS weight_unats
+      FROM feat JOIN w USING (f) GROUP BY feat.doc_id)
+    SELECT doc_id, n_feats, weight_unats,
+           CAST(weight_unats AS DOUBLE) / 1000000.0 AS log_weight,
+           rn <= {DSIR_M} AS is_selected
+    FROM (SELECT *, row_number() OVER (ORDER BY weight_unats DESC, doc_id) AS rn
+          FROM doc)
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection with importance resampling (Xie et
+    al. 2023, arXiv:2302.03169): score every raw document by how
+    target-like its hashed n-gram feature distribution is, then select
+    the top-M. Features are bigrams hashed into DSIR_BUCKETS buckets;
+    the target distribution is the lang='en' slice, the raw
+    distribution is the whole corpus; a document's log importance
+    weight is the sum over its feature OCCURRENCES of
+    ln(p_target(f) / p_raw(f)) with add-one smoothing.
+
+    Determinism: per-feature log-ratios round to integer micro-nats
+    (the text_unigram_surprisal discipline), per-doc sums are exact
+    bigints, and the top-M boundary compares integers. Docs with no
+    features (NULL text, < 2 tokens) are not scored — DSIR has no
+    evidence to weigh them.
+
+    Scale shape: one corpus scan builds features (zip_with bigrams,
+    O(len) per doc); the feature table (<= DSIR_BUCKETS rows, an
+    Aggregate-bounded subtree) broadcasts onto the feature stream; the
+    per-doc sum is one doc_id shuffle. Selection avoids a global
+    single-partition window: a distributed TakeOrdered(M) finds the
+    boundary (M-th best (weight, doc_id)), which broadcasts back as a
+    two-integer comparison — every stage is map-side or a bounded
+    top-k, nothing corpus-sized ever sorts globally."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.split(F.trim(F.col("text")), " ").alias("toks")
+    )
+    toks = F.col("toks")
+    nshift = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(toks, nshift, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    feat = t.select(
+        "doc_id", "lang", F.explode(bigrams).alias("g")
+    ).select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("bigint")
+         % DSIR_BUCKETS).alias("f"),
+    )
+    # Collapse the exploded feature stream ONCE into per-(doc, bucket)
+    # occurrence counts — at most DSIR_BUCKETS rows per doc — and
+    # checkpoint: every downstream consumer (bucket totals, per-doc
+    # sums, the top-M boundary) reads this skinny table instead of
+    # re-running the scan+explode+md5 pipeline (measured 12.1 s -> the
+    # pipeline once at sf0.1). Lineage-truncation tradeoff documented
+    # at dedup.py's checkpoint note.
+    dfc = (
+        feat.groupBy("doc_id", "lang", "f")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cnt = dfc.groupBy("f").agg(
+        F.sum("c").cast("bigint").alias("fr"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == "en", F.col("c"))), F.lit(0)
+        ).cast("bigint").alias("ft"),
+    )
+    tot = cnt.agg(
+        F.sum("fr").cast("bigint").alias("rt"), F.sum("ft").cast("bigint").alias("tt")
+    )
+    b = float(DSIR_BUCKETS)
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.round(
+            F.log(
+                ((F.col("ft") + 1.0) / (F.col("tt") + b))
+                / ((F.col("fr") + 1.0) / (F.col("rt") + b))
+            )
+            * 1000000,
+            0,
+        ).cast("bigint").alias("unats"),
+    )
+    doc = (
+        dfc.join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.sum(F.col("c") * F.col("unats")).cast("bigint").alias("weight_unats"),
+        )
+        .localCheckpoint(eager=True)  # feeds the boundary AND the flag
+    )
+    # boundary = the M-th best (weight_unats DESC, doc_id ASC): min of
+    # struct(weight, -doc_id) over the distributed TakeOrdered(M) rows
+    thr = (
+        doc.orderBy(F.col("weight_unats").desc(), "doc_id")
+        .limit(DSIR_M)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("weight_unats").alias("su"),
+                    (-F.col("doc_id")).alias("nd"),
+                )
+            ).alias("t")
+        )
+    )
+    su = F.col("weight_unats")
+    return doc.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_feats",
+        "weight_unats",
+        (su.cast("double") / 1000000.0).alias("log_weight"),
+        (
+            (su > F.col("t.su"))
+            | ((su == F.col("t.su")) & (F.col("doc_id") <= -F.col("t.nd")))
+        ).alias("is_selected"),
+    )

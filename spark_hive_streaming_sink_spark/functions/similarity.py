@@ -1309,3 +1309,221 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RECALL_K)
         .select("query_id", "cand_id", "cell", "adc_d2", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversity re-ranking (diversity-aware retrieval / coreset pick)
+# --------------------------------------------------------------------------
+
+MMR_POOL = 8  # relevance candidates per query entering the re-rank
+MMR_SELECT = 3  # diverse picks per query (unrolled rounds)
+MMR_LAMBDA = 0.7  # relevance weight; 1-lambda penalizes redundancy
+# integer-exact MMR combine: lambda as a tenth-numerator, so the score
+# is the exact bigint 7*cos_micro - 3*pen_micro (float 0.7*c - 0.3*p
+# lands on .5 rounding boundaries that the two engines split on)
+_MMR_NUM = round(MMR_LAMBDA * 10)
+
+
+def _mmr_oracle() -> str:
+    sel_rounds = []
+    prev_sels = ["s1"]
+    for r in range(2, MMR_SELECT + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT query_id, cand_id FROM {s}" for s in prev_sels
+        )
+        sel_rounds.append(f"""
+    sel{r} AS ({sel_union}),
+    pen{r} AS (SELECT ps.query_id, ps.a_id AS cand_id, MAX(ps.sim) AS pen
+               FROM ps JOIN sel{r} s ON s.query_id = ps.query_id
+                                    AND s.cand_id = ps.b_id
+               GROUP BY ps.query_id, ps.a_id),
+    r{r} AS (SELECT pool.query_id, pool.cand_id, pool.cosine,
+                    {_MMR_NUM} * CAST(round(pool.cosine * 1000000, 0) AS BIGINT)
+                    - {10 - _MMR_NUM} * CAST(round(pen{r}.pen * 1000000, 0) AS BIGINT)
+                      AS mmr_u
+             FROM pool
+             JOIN pen{r} ON pen{r}.query_id = pool.query_id
+                        AND pen{r}.cand_id = pool.cand_id
+             WHERE NOT EXISTS (SELECT 1 FROM sel{r} s
+                               WHERE s.query_id = pool.query_id
+                                 AND s.cand_id = pool.cand_id)),
+    s{r} AS (SELECT query_id, cand_id, cosine,
+                    CAST(mmr_u AS DOUBLE) / 10000000.0 AS mmr_score
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                ORDER BY mmr_u DESC, cand_id) AS rn
+                   FROM r{r})
+             WHERE rn = 1)""")
+        prev_sels.append(f"s{r}")
+    finals = " UNION ALL ".join(
+        f"SELECT query_id, cand_id, {i + 1} AS sel_round, cosine, mmr_score FROM s{i + 1}"
+        for i in range(MMR_SELECT)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+               -- NULL embeddings can't be scored: excluded both engines
+               FROM embeddings WHERE embedding IS NOT NULL),
+    p AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.embedding,
+                 round({_sql_dot('q.embedding', 'c.embedding')}
+                       / (q.nrm * c.nrm), 6) AS cosine
+          FROM v q JOIN v c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < {N_QUERIES}),
+    pool AS (SELECT query_id, cand_id, embedding, cosine FROM (
+               SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, cand_id) AS rnk
+               FROM p)
+             WHERE rnk <= {MMR_POOL}),
+    ps AS (SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+                  round({_sql_dot('a.embedding', 'b.embedding')}
+                        / (sqrt({_sql_dot('a.embedding', 'a.embedding')})
+                           * sqrt({_sql_dot('b.embedding', 'b.embedding')})), 6)
+                    AS sim
+           FROM pool a JOIN pool b ON a.query_id = b.query_id
+                                  AND a.cand_id != b.cand_id),
+    s1 AS (SELECT query_id, cand_id, cosine, cosine AS mmr_score FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, cand_id) AS rn
+             FROM pool)
+           WHERE rn = 1),{','.join(sel_rounds)}
+    {finals}
+    """
+
+
+@register(
+    "sim_mmr_diverse_topk",
+    oracle=_mmr_oracle(),
+    tags=("llm", "similarity", "curation"),
+)
+def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): per query, greedily pick MMR_SELECT results that trade off
+    relevance against redundancy — round 1 takes the top cosine
+    candidate, each later round takes argmax of
+    lambda*cos(q,c) - (1-lambda)*max_{s in selected} sim(c,s) over the
+    MMR_POOL relevance pool. The curation use: diversity-aware
+    retrieval for eval-set building and per-cluster coreset picks,
+    where plain top-k returns near-duplicates.
+
+    Determinism: all cosines round to 6 dp, then to integer
+    MICRO-units; the MMR combine is the exact bigint
+    7*cos_u - 3*pen_u (a float 0.7*c - 0.3*p lands on .5 rounding
+    boundaries the engines split on — caught at sf0.01), ranking
+    compares integers, and the reported score is one IEEE divide of
+    the exact numerator. Ties break on cand_id. A NULL cosine/sim
+    (zero-norm member) propagates NULL and ranks last, identically
+    cross-engine.
+
+    Scale shape: the pool stage is brute-force relevance top-k
+    (WindowGroupLimit per query — swap in the ANN bucket path at
+    scale); everything after operates on POOL-BOUNDED relations:
+    pair sims are pool x pool per query (<= MMR_POOL^2 rows each),
+    each greedy round is a bounded join + per-query top-1. Work after
+    the pool is O(n_queries * MMR_POOL^2) regardless of corpus size —
+    the unrolled rounds add depth, not volume."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    v = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).limit(N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    p = F.broadcast(q).join(v, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        "embedding",
+        F.round(
+            F.try_divide(_dot(F.col("q_emb"), F.col("embedding")),
+                         F.col("q_nrm") * F.col("nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
+    pool = (
+        p.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= MMR_POOL)
+        .select("query_id", "cand_id", "embedding", "cosine")
+        # pool-bounded (<= N_QUERIES * MMR_POOL rows) and consumed by
+        # the pair-sim self-join plus every greedy round
+        .localCheckpoint(eager=True)
+    )
+    b = pool.select(
+        F.col("query_id").alias("b_q"),
+        F.col("cand_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+    )
+    ps = pool.join(
+        b,
+        (F.col("query_id") == F.col("b_q")) & (F.col("cand_id") != F.col("b_id")),
+    ).select(
+        "query_id",
+        F.col("cand_id").alias("a_id"),
+        "b_id",
+        F.round(
+            F.try_divide(
+                _dot(F.col("embedding"), F.col("b_emb")),
+                _norm(F.col("embedding")) * _norm(F.col("b_emb")),
+            ),
+            6,
+        ).alias("sim"),
+    ).localCheckpoint(eager=True)
+    s1 = (
+        pool.withColumn("rn", F.row_number().over(wq.orderBy(F.col("cosine").desc(), "cand_id")))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cand_id", "cosine", F.col("cosine").alias("mmr_score"))
+    )
+    selected = [s1]
+    for r in range(2, MMR_SELECT + 1):
+        sel = selected[0].select("query_id", "cand_id")
+        for s in selected[1:]:
+            sel = sel.unionByName(s.select("query_id", "cand_id"))
+        pen = (
+            ps.join(
+                sel.select(
+                    F.col("query_id").alias("s_q"), F.col("cand_id").alias("s_id")
+                ),
+                (F.col("query_id") == F.col("s_q")) & (F.col("b_id") == F.col("s_id")),
+            )
+            .groupBy("query_id", "a_id")
+            .agg(F.max("sim").alias("pen"))
+        )
+        cand = (
+            pool.join(
+                pen,
+                (pool.query_id == pen.query_id) & (pool.cand_id == pen.a_id),
+            )
+            .select(pool.query_id, pool.cand_id, pool.cosine, pen.pen)
+            .join(sel, ["query_id", "cand_id"], "left_anti")
+            .withColumn(
+                "mmr_u",
+                _MMR_NUM * F.round(F.col("cosine") * 1000000, 0).cast("bigint")
+                - (10 - _MMR_NUM)
+                * F.round(F.col("pen") * 1000000, 0).cast("bigint"),
+            )
+        )
+        wm = Window.partitionBy("query_id").orderBy(F.col("mmr_u").desc(), "cand_id")
+        sr = (
+            cand.withColumn("rn", F.row_number().over(wm))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "cand_id",
+                "cosine",
+                (F.col("mmr_u").cast("double") / 10000000.0).alias("mmr_score"),
+            )
+        )
+        selected.append(sr)
+    out = None
+    for i, s in enumerate(selected):
+        part = s.select(
+            "query_id",
+            "cand_id",
+            F.lit(i + 1).cast("int").alias("sel_round"),
+            "cosine",
+            "mmr_score",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -1516,3 +1516,159 @@ def text_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_terms_matched"),
         (F.sum("score_u").cast("double") / 1000000.0).alias("bm25"),
     )
+
+
+@register(
+    "text_ngram_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> array_to_string(toks[i:i+1], ' '))) AS gram
+      FROM t
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                                   i -> array_to_string(toks[i:i+2], ' '))) AS gram
+      FROM t),
+    c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, n, gram),
+    m AS (
+      SELECT doc_id,
+             CAST(COALESCE(SUM(cnt) FILTER (n = 2), 0) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(SUM(cnt) FILTER (n = 2 AND cnt > 1), 0) AS BIGINT)
+               AS dup_bigram_mass,
+             MAX(cnt) FILTER (n = 2) AS top_bigram_cnt,
+             CAST(COALESCE(SUM(cnt) FILTER (n = 3), 0) AS BIGINT) AS n_trigrams,
+             CAST(COALESCE(SUM(cnt) FILTER (n = 3 AND cnt > 1), 0) AS BIGINT)
+               AS dup_trigram_mass
+      FROM c GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(m.n_bigrams, 0) END AS n_bigrams,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(m.dup_bigram_mass, 0) END AS dup_bigram_mass,
+           m.top_bigram_cnt,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(m.n_trigrams, 0) END AS n_trigrams,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(m.dup_trigram_mass, 0) END AS dup_trigram_mass,
+           CASE WHEN COALESCE(m.n_bigrams, 0) > 0
+                THEN m.dup_bigram_mass / m.n_bigrams END AS dup_bigram_frac,
+           CASE WHEN COALESCE(m.n_bigrams, 0) > 0
+                THEN m.top_bigram_cnt / m.n_bigrams END AS top_bigram_frac,
+           CASE WHEN COALESCE(m.n_trigrams, 0) > 0
+                THEN m.dup_trigram_mass / m.n_trigrams END AS dup_trigram_frac,
+           CASE WHEN COALESCE(m.n_bigrams, 0) > 0
+                THEN m.top_bigram_cnt * 5 <= m.n_bigrams END AS ok_top_bigram,
+           CASE WHEN COALESCE(m.n_trigrams, 0) > 0
+                THEN m.dup_trigram_mass * 5 <= m.n_trigrams END AS ok_dup_trigram
+    FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram repetition quality signals — the Gopher/MassiveText
+    "repetitious text" filters at the n-gram level (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1), token-mass variant: per document, the
+    mass fraction covered by DUPLICATED bigrams/trigrams and by the
+    single most frequent bigram, with integer-threshold verdicts
+    (top bigram <= 20 % of bigram mass, duplicated trigram mass <=
+    20 %). Complements text_repetition_ratio (token level): phrase
+    loops ("click here click here ...") repeat n-grams while keeping
+    token-level stats unremarkable.
+
+    Determinism: every metric is an integer count; fractions are one
+    int/int IEEE divide; verdicts compare integers (never floats).
+    NULL text -> NULL metrics; a doc too short for n-grams -> zero
+    counts and NULL fractions/verdicts (0/0 is undefined, not 0).
+
+    Scale shape: bigrams and trigrams are emitted in ONE pass over the
+    corpus (a single explode of the tagged concat — the oracle's
+    UNION ALL reads its CTE twice, Spark scans once), one shuffle on
+    (doc_id, n, gram) for the counts, then a doc_id-keyed rollup. The
+    final join back to `documents` rides doc_id (SMJ at scale; AQE may
+    broadcast the rollup at fixture scale). No windows, no driver
+    state; per-doc gram counts are bounded by doc length so no key is
+    hotter than the longest document."""
+    d = load_table(spark, sf_dir, "documents")
+    # Materialize toks as an attribute FIRST: referencing the split()
+    # expression directly inside the gram lambdas would re-split the
+    # text once per gram element (O(len^2) splits — measured 17.8 s vs
+    # 1.0 s at sf0.01). toks is non-cheap and multi-referenced, so
+    # CollapseProject keeps the projection boundary (same discipline
+    # as dedup._add_minhash).
+    t = d.select("doc_id", "text", F.split(F.trim(F.col("text")), " ").alias("toks"))
+    toks = F.col("toks")
+
+    def shift(k: int) -> Column:
+        # toks without its first k elements (slice clamps: start past
+        # the end or length 0 -> empty array)
+        return F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+
+    def grams(n: int) -> Column:
+        # zip_with over k-shifted copies: O(len) per doc. The naive
+        # transform(i -> slice(toks, i, n)) form copies a sub-array per
+        # ELEMENT — O(len^2) interpreted work since higher-order
+        # functions never codegen (measured 4.9 s vs 1.0 s at sf0.01).
+        # zip_with pads the shorter side with NULL and concat propagates
+        # it, so the k trailing windows that run off the end become NULL
+        # and the filter drops them; NULL text propagates to a NULL
+        # gram list (explode emits nothing, like the oracle's unnest).
+        z = toks
+        for k in range(1, n):
+            z = F.zip_with(z, shift(k), lambda a, b: F.concat(a, F.lit(" "), b))
+        return F.filter(z, lambda x: x.isNotNull())
+
+    def tagged(n: int) -> Column:
+        return F.transform(
+            grams(n),
+            lambda gr: F.struct(F.lit(n).alias("n"), gr.alias("gram")),
+        )
+
+    # one scan: both gram orders ride a single explode; NULL text ->
+    # concat(NULL, NULL) = NULL -> explode emits nothing (matches the
+    # oracle's unnest(NULL))
+    g = t.select(
+        "doc_id", F.explode(F.concat(tagged(2), tagged(3))).alias("g")
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    c = g.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    cnt = F.col("cnt")
+    is2 = F.col("n") == 2
+    is3 = F.col("n") == 3
+    m = c.groupBy("doc_id").agg(
+        F.coalesce(F.sum(F.when(is2, cnt)), F.lit(0)).cast("bigint").alias("nb"),
+        F.coalesce(F.sum(F.when(is2 & (cnt > 1), cnt)), F.lit(0))
+        .cast("bigint")
+        .alias("db"),
+        F.max(F.when(is2, cnt)).alias("tb"),
+        F.coalesce(F.sum(F.when(is3, cnt)), F.lit(0)).cast("bigint").alias("nt"),
+        F.coalesce(F.sum(F.when(is3 & (cnt > 1), cnt)), F.lit(0))
+        .cast("bigint")
+        .alias("dt"),
+    )
+    j = d.select("doc_id", "text").join(m, "doc_id", "left")
+    has_text = F.col("text").isNotNull()
+    nb = F.col("nb")
+    nt_ = F.col("nt")
+    has_bi = F.coalesce(nb, F.lit(0)) > 0
+    has_tri = F.coalesce(nt_, F.lit(0)) > 0
+    return j.select(
+        "doc_id",
+        F.when(has_text, F.coalesce(nb, F.lit(0)).cast("bigint")).alias("n_bigrams"),
+        F.when(has_text, F.coalesce(F.col("db"), F.lit(0)).cast("bigint")).alias(
+            "dup_bigram_mass"
+        ),
+        F.col("tb").alias("top_bigram_cnt"),
+        F.when(has_text, F.coalesce(nt_, F.lit(0)).cast("bigint")).alias("n_trigrams"),
+        F.when(has_text, F.coalesce(F.col("dt"), F.lit(0)).cast("bigint")).alias(
+            "dup_trigram_mass"
+        ),
+        F.when(has_bi, F.col("db") / nb).alias("dup_bigram_frac"),
+        F.when(has_bi, F.col("tb") / nb).alias("top_bigram_frac"),
+        F.when(has_tri, F.col("dt") / nt_).alias("dup_trigram_frac"),
+        F.when(has_bi, F.col("tb") * 5 <= nb).alias("ok_top_bigram"),
+        F.when(has_tri, F.col("dt") * 5 <= nt_).alias("ok_dup_trigram"),
+    )

@@ -163,6 +163,8 @@ DOC_FUZZED = [
     "text_bpe_merge_pairs",
     "text_bpe_train_rounds",
     "udtf_tokenize",
+    "text_ngram_repetition",
+    "corpus_dsir_importance",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]
@@ -254,6 +256,8 @@ EMB_FUZZED = [
     # iterative ops sharing the same distance/assignment macros
     "cluster_kmeans_embeddings",
     "graph_pagerank_knn",
+    "graph_label_propagation",
+    "sim_mmr_diverse_topk",
 ]
 
 # element values: exact-in-float32 two-decimal-ish values plus 0 and

@@ -923,3 +923,68 @@ def test_temperature_mix_weights_invariants(spark):
         assert abs(r["temp_weight_ppm"] - uniform) <= abs(
             r["prop_weight_ppm"] - uniform
         ) + 1, r
+
+
+def test_ngram_repetition_single_scan_no_window(spark):
+    """Gopher n-gram repetition: bigrams AND trigrams must ride ONE
+    scan of documents (the tagged-concat explode), aggregate without
+    windows, and keep the split() out of the per-element lambdas (a
+    collapsed projection re-splits the text per gram — the O(len^2)
+    trap). The rollup->documents join rides doc_id."""
+    df = _df(spark, "text_ngram_repetition")
+    plan = formatted_plan(df)
+    # exactly one Generate (explode) and one split in the whole plan
+    assert count_nodes(df, "Generate") == 1
+    assert plan.count("split(") == 1
+    assert count_nodes(df, "Window") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_broadcast_weights_no_global_sort(spark):
+    """DSIR: the 64-bucket weight table must broadcast onto the
+    feature stream, and top-M selection must be a distributed
+    TakeOrdered + broadcast boundary compare — never a global
+    single-partition window or a corpus-wide sort."""
+    df = _df(spark, "corpus_dsir_importance")
+    plan = formatted_plan(df)
+    # the feature->weight broadcast join sits above the eager
+    # checkpoint so it is invisible here; what must hold in the final
+    # plan: a distributed TakeOrdered boundary, a single-row broadcast
+    # compare, and no global window/sort over the corpus
+    assert count_nodes(df, "Window") == 0
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1  # 1-row thr
+    # boundary never globally sorts (rangepartitioning is the global
+    # sort's exchange signature; SortAggregate hits are fine)
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_label_propagation_cell_local_bounded_votes(spark):
+    """Label propagation: edges ride the per-cell Arrow gram (one
+    FlatMapGroupsInPandas), the vote join is neighbor_id-keyed (hash
+    family, never nested-loop), and the winner is a WindowGroupLimit
+    over <= k vote rows per node."""
+    df = _df(spark, "graph_label_propagation")
+    assert count_nodes(df, "FlatMapGroupsInPandas") == 1
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert count_nodes(df, "WindowGroupLimit") >= 1
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+
+
+def test_mmr_pool_bounded_rounds(spark):
+    """MMR re-rank: the relevance pool is a WindowGroupLimit top-k;
+    every greedy round operates on pool-bounded checkpointed relations
+    (no corpus-sized join after the pool, no cartesian, no Python)."""
+    df = _df(spark, "sim_mmr_diverse_topk")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # everything after the pool reads the two checkpointed bounded
+    # relations (pool + pair sims): the parquet source appears nowhere
+    # in the final plan
+    assert "Scan parquet" not in plan
