@@ -46,26 +46,31 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     a crawl stops adding fresh content and starts re-collecting what
     the corpus already has.
 
-    Scale: shingle digests explode map-side; MIN(doc_id) per digest is
-    one map-combined shuffle on the (uniform) digest; the novel-count
-    rollup aggregates the much smaller first-occurrence set; per-doc
-    totals join back on doc_id. All-integer output (ppm by integer
-    division)."""
+    Scale: the scan+shingle+md5 pipeline runs ONCE into a checkpointed
+    (doc_id, digest-array) table; per-doc totals are the map-side
+    ARRAY LENGTH of that column (no shuffle, no second pipeline run —
+    the totals groupBy over the exploded stream re-ran the whole md5
+    pipeline: 19.7 s -> 9.6 s warm at the x100 stress point); MIN(doc_id)
+    per digest is one map-combined shuffle on the (uniform) digest;
+    the novel-count rollup aggregates the much smaller
+    first-occurrence set; totals join novel on doc_id. All-integer
+    output (ppm by integer division)."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     from .dedup import _shingles
 
-    sh = d.select(
+    t = d.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                _shingles(F.col("text")),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
-                    "bigint"
-                ),
-            )
-        ).alias("dg"),
+        F.transform(
+            _shingles(F.col("text")),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+        ).alias("dga"),
+    ).localCheckpoint(eager=True)  # feeds totals AND the digest explode
+    # rows = count of DISTINCT SHINGLES (the array is post-distinct),
+    # exactly what the oracle's per-doc COUNT over the unnest counts
+    totals = t.filter(F.size("dga") > 0).select(
+        "doc_id", F.size("dga").cast("bigint").alias("n_shingles")
     )
-    totals = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    sh = t.select("doc_id", F.explode("dga").alias("dg"))
     firsts = sh.groupBy("dg").agg(F.min("doc_id").alias("first_doc"))
     novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count("*").alias("n_novel")
