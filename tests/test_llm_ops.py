@@ -1001,3 +1001,128 @@ def test_stream_incremental_probe_batch_replay_idempotent(spark, tmp_path):
     second = sorted(map(tuple, spark.read.parquet(f"{out}/batch_id=0").collect()))
     assert first == second
     assert {t[0] for t in first} == {3, 7}  # no duplication across replays
+
+
+def test_ngram_repetition_invariants(spark):
+    """Repetition signals: masses never exceed totals, a doc of one
+    repeated token is fully duplicated mass, short docs get zero
+    counts and NULL fractions."""
+    import pyspark.sql.functions as F
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["text_ngram_repetition"].builder(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 500
+    for r in rows.values():
+        if r["n_bigrams"] is None:
+            continue
+        assert 0 <= r["dup_bigram_mass"] <= r["n_bigrams"]
+        assert 0 <= r["dup_trigram_mass"] <= r["n_trigrams"]
+        if r["n_bigrams"] == 0:
+            assert r["dup_bigram_frac"] is None and r["ok_top_bigram"] is None
+    loop = spark.createDataFrame(
+        [(0, "spam " * 50), (1, "a b"), (2, None)],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+    import tempfile, shutil
+
+    d = tempfile.mkdtemp(prefix="shss_rep_")
+    try:
+        loop.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            r["doc_id"]: r
+            for r in QUERIES["text_ngram_repetition"].builder(spark, d).collect()
+        }
+        # "spam spam ... spam" (trailing space -> last empty token):
+        # every bigram repeats, top bigram covers nearly all mass
+        assert out[0]["dup_bigram_mass"] == out[0]["n_bigrams"]
+        assert out[0]["ok_top_bigram"] is False and out[0]["ok_dup_trigram"] is False
+        # two tokens: one bigram, no trigram, fractions defined/NULL
+        assert out[1]["n_bigrams"] == 1 and out[1]["n_trigrams"] == 0
+        assert out[1]["dup_trigram_frac"] is None
+        # NULL text: NULL counts
+        assert out[2]["n_bigrams"] is None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dsir_importance_selects_target_like_docs(spark):
+    """DSIR: exactly min(M, scored docs) selected; a corpus where the
+    target slice uses disjoint vocabulary must rank target-slice docs
+    above raw-only docs."""
+    import tempfile, shutil
+    import pyspark.sql.functions as F
+    from spark_hive_streaming_sink_spark.functions.corpus import DSIR_M
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    res = QUERIES["corpus_dsir_importance"].builder(spark, SF_DIR).collect()
+    n_sel = sum(1 for r in res if r["is_selected"])
+    assert n_sel == min(DSIR_M, len(res))
+    # crafted corpus: 'en' docs speak alpha-speak, others beta-speak
+    rows = [(i, "alpha beta alpha beta alpha", "en", "s") for i in range(10)]
+    rows += [(100 + i, "gamma delta gamma delta gamma", "de", "s") for i in range(10)]
+    d = tempfile.mkdtemp(prefix="shss_dsir_")
+    try:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = QUERIES["corpus_dsir_importance"].builder(spark, d).collect()
+        en = [r["weight_unats"] for r in out if r["doc_id"] < 100]
+        de = [r["weight_unats"] for r in out if r["doc_id"] >= 100]
+        assert min(en) > max(de)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_label_propagation_votes_bounded_and_majority(spark):
+    """Label propagation: n_votes <= k, new_label is always some
+    neighbor's label, changed is NULL iff no labeled neighbor voted."""
+    from spark_hive_streaming_sink_spark.functions.similarity import K_NN_GRAPH
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    out = QUERIES["graph_label_propagation"].builder(spark, SF_DIR).collect()
+    labels = {r["node_id"]: r["old_label"] for r in out}
+    assert len(out) > 0
+    for r in out:
+        if r["new_label"] is None:
+            assert r["n_votes"] is None and r["changed"] is None
+        else:
+            assert 1 <= r["n_votes"] <= K_NN_GRAPH
+            assert r["changed"] == (r["new_label"] != r["old_label"])
+    # labels 0..9 exist in the fixture: propagation must not invent one
+    assert all(
+        r["new_label"] in set(labels.values()) | {None} for r in out
+    )
+
+
+def test_mmr_greedy_diversity_properties(spark):
+    """MMR: per query exactly one pick per round (when pool allows),
+    picks are distinct, round 1 is the plain top-cosine candidate, and
+    later rounds never beat round 1 on raw relevance+diversity score."""
+    from collections import defaultdict
+
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    out = QUERIES["sim_mmr_diverse_topk"].builder(spark, SF_DIR).collect()
+    per_q = defaultdict(dict)
+    for r in out:
+        per_q[r["query_id"]][r["sel_round"]] = r
+    topk = {
+        (r["query_id"], r["rnk"]): r["cand_id"]
+        for r in QUERIES["sim_cosine_topk"].builder(spark, SF_DIR).collect()
+    }
+    for qid, rounds in per_q.items():
+        cands = [r["cand_id"] for r in rounds.values()]
+        assert len(cands) == len(set(cands))  # no repeats
+        assert rounds[1]["cand_id"] == topk[(qid, 1)]  # round 1 = argmax cos
+        assert rounds[1]["mmr_score"] == rounds[1]["cosine"]
+        for rnd, r in rounds.items():
+            if rnd > 1:
+                # redundancy penalty can only lower the score
+                assert r["mmr_score"] <= rounds[1]["mmr_score"]
