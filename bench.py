@@ -89,6 +89,12 @@ HEADLINE = [
     # frozen — totals across rounds compare on the common subset)
     "text_bpe_merge_pairs",
     "corpus_temperature_mix",
+    # round-8 additions (same protocol)
+    "text_bpe_train_rounds",
+    "text_ngram_repetition",
+    "corpus_dsir_importance",
+    "graph_label_propagation",
+    "sim_mmr_diverse_topk",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"
