@@ -95,6 +95,11 @@ HEADLINE = [
     "corpus_dsir_importance",
     "graph_label_propagation",
     "sim_mmr_diverse_topk",
+    "text_readability_scores",
+    "corpus_hashed_classifier_score",
+    "agg_countmin_sketch",
+    "dedup_containment_pairs",
+    "sim_ann_join_ivf",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -1219,3 +1219,123 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((su == F.col("t.su")) & (F.col("doc_id") <= -F.col("t.nd")))
         ).alias("is_selected"),
     )
+
+
+# --------------------------------------------------------------------------
+# hashed linear quality classifier (fastText-style scoring pass)
+# --------------------------------------------------------------------------
+
+# Deterministic pseudo-weight for a hashed feature: 48 bits of md5 map
+# to an integer in [-1000, 1000] milli-units. Stands in for a trained
+# weight vector — the *shape* (hash -> bounded weight, no vocabulary
+# table) is exactly fastText's hashing trick, so swapping in real
+# weights is a broadcast-map change, not a plan change.
+_CLS_W_SQL = (
+    "(CAST(('0x' || substr(md5({f}), 1, 12)) AS BIGINT) % 2001) - 1000"
+)
+
+
+@register(
+    "corpus_hashed_classifier_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id, text, toks,
+             list_transform(generate_series(1, len(toks) - 1),
+                            i -> toks[i] || ' ' || toks[i+1]) AS bis
+      FROM t),
+    s AS (
+      SELECT doc_id, text,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(toks) + len(bis) AS BIGINT) AS n_features,
+             CAST(COALESCE(list_aggregate(list_transform(toks,
+                    x -> {_CLS_W_SQL.format(f='x')}), 'sum'), 0)
+                + COALESCE(list_aggregate(list_transform(bis,
+                    x -> {_CLS_W_SQL.format(f='x')}), 'sum'), 0)
+                AS BIGINT) AS score_milli
+      FROM f)
+    SELECT doc_id,
+           CASE WHEN text IS NOT NULL THEN n_tokens END AS n_tokens,
+           CASE WHEN text IS NOT NULL THEN n_features END AS n_features,
+           CASE WHEN text IS NOT NULL THEN score_milli END AS score_milli,
+           CASE WHEN n_features > 0
+                THEN score_milli / (1000 * n_features) END AS mean_score,
+           CASE WHEN n_features > 0
+                THEN score_milli >= 0 END AS keep
+    FROM s
+    """,
+    tags=("llm", "curation", "quality"),
+)
+def corpus_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier — the fastText-architecture
+    scoring pass LLM curation stacks run corpus-wide (CCNet's Wikipedia
+    LM filter, LLaMA's quality classifier): every unigram and bigram is
+    hashed straight to a weight (no vocabulary table, so OOV is
+    impossible by construction) and a document's score is the mean
+    feature weight. Weights here are md5-derived pseudo-weights in
+    [-1, 1] (milli-units); a trained model drops in by replacing the
+    hash->weight map with a broadcast array lookup — the plan shape
+    (single scan, zero shuffles) is the deliverable.
+
+    Determinism: the score is an exact BIGINT sum of integer
+    milli-weights folded per-row (order-independent); mean_score is one
+    int/int IEEE divide; the keep verdict compares the integer sum to
+    zero — no float anywhere. Bigram count is len-1 (clamped at 0), so
+    n_features <= 2*n_tokens bounds per-row work by doc length.
+
+    NULL text -> all-NULL row; empty text -> zero counts, NULL
+    mean/keep (no features is "no opinion", not "score 0").
+
+    Scale shape: pure map-side scan — tokenize, two array_transform +
+    aggregate folds, zero shuffles, zero joins, no explode (features
+    never leave their row). At 100 TB this is scan-bound; the fold is
+    codegen'd JVM arithmetic over one md5 per feature."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "text",
+        F.filter(F.split(F.trim(F.col("text")), " "), lambda x: x != "").alias(
+            "toks"
+        ),
+    )
+    toks = F.col("toks")
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(toks, shifted, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    f2 = t.select("doc_id", "text", toks.alias("toks"), bigrams.alias("bis"))
+
+    def w(x: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast("bigint") % 2001
+        ) - 1000
+
+    def fold(arr: Column) -> Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("bigint"), lambda acc, x: acc + w(x)
+        )
+
+    s = f2.select(
+        "doc_id",
+        "text",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") + F.size("bis")).cast("bigint").alias("n_features"),
+        (fold(F.col("toks")) + fold(F.col("bis"))).cast("bigint").alias(
+            "score_milli"
+        ),
+    )
+    has_text = F.col("text").isNotNull()
+    nf = F.col("n_features")
+    sm = F.col("score_milli")
+    return s.select(
+        "doc_id",
+        F.when(has_text, F.col("n_tokens")).alias("n_tokens"),
+        F.when(has_text, nf).alias("n_features"),
+        F.when(has_text, sm).alias("score_milli"),
+        F.when(nf > 0, sm / (1000 * nf)).alias("mean_score"),
+        F.when(nf > 0, sm >= 0).alias("keep"),
+    )

@@ -904,3 +904,124 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.alias("exact_jaccard_ppm"),
         F.abs(est - exact).cast("bigint").alias("abs_err_ppm"),
     )
+
+
+# --- directional containment via rare-shingle candidate pairs --------------
+
+# Inverted-index prefix filter: candidate pairs must share at least one
+# shingle whose document frequency is in [2, RARE_DF_CAP]. Popular
+# shingles (boilerplate) never form pairs, which bounds the self-join at
+# sum(df^2) <= RARE_DF_CAP * |postings| — linear in corpus size.
+RARE_DF_CAP = int(os.environ.get("SHSS_RARE_DF_CAP", "16"))
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_transform({_SQL_SHINGLES}, s -> md5(s)) AS shingles
+      FROM t WHERE len(toks) >= 3),
+    e AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
+    rare AS (
+      SELECT h FROM e GROUP BY h
+      HAVING COUNT(*) BETWEEN 2 AND {RARE_DF_CAP}),
+    er AS (SELECT e.doc_id, e.h FROM e JOIN rare USING (h)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM er a JOIN er b ON a.h = b.h AND a.doc_id < b.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           CAST(len(sa.shingles) AS BIGINT) AS n_sh_a,
+           CAST(len(sb.shingles) AS BIGINT) AS n_sh_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+             AS n_common,
+           len(list_intersect(sa.shingles, sb.shingles)) / len(sa.shingles)
+             AS containment_a,
+           len(list_intersect(sa.shingles, sb.shingles)) / len(sb.shingles)
+             AS containment_b,
+           10 * len(list_intersect(sa.shingles, sb.shingles))
+             >= 9 * LEAST(len(sa.shingles), len(sb.shingles)) AS near_superset
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.doc_a
+    JOIN sh sb ON sb.doc_id = p.doc_b
+    """,
+    tags=("llm", "dedup", "containment"),
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment scoring — the dedup signal Jaccard
+    misses: a short document quoted whole inside a long one has high
+    containment C(A,B) = |S_A ∩ S_B| / |S_A| but low Jaccard, so
+    MinHash-LSH (tuned for symmetric similarity) never pairs them.
+    Candidate pairs come from a RARE-shingle inverted index (prefix
+    filtering, the PPJoin family's bound): only shingles with document
+    frequency in [2, SHSS_RARE_DF_CAP] form pairs, so boilerplate
+    n-grams never self-join and pair work is bounded by
+    df_cap * |postings| — linear in the corpus, never all-pairs.
+    Recall bound (documented, not silent): a pair whose every shared
+    shingle is more popular than the cap is missed; near-supersets of
+    non-boilerplate text always share rare shingles in practice.
+
+    Exactness: candidates are approximate, but each emitted pair's
+    containment is EXACT — both docs' full distinct-shingle digest
+    arrays join back by doc_id and intersect per pair (O(|A|+|B|) hash
+    intersect, bounded by doc length). Counts are BIGINTs, containments
+    are single int/int IEEE divides, and the near_superset verdict
+    (>= 0.9 of the smaller side) compares integers — bit-identical in
+    both engines.
+
+    Scale shape: explode distinct shingle digests (uniform md5 keys),
+    one groupBy for document frequency, a semi-join keeps rare
+    postings, the bounded self-join emits DISTINCT pairs, then two
+    doc_id-keyed joins fetch the shingle arrays (SMJ at 100 TB; AQE may
+    broadcast at fixture scale). No minhash approximation, no windows,
+    no Python."""
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.col("text")), " ")
+    # Three consumers (postings explode + both pair-side array fetches)
+    # and heavy per-row compute (shingle + md5) -> materialize once; see
+    # the fault-tolerance note on localCheckpoint at the module's other
+    # call sites.
+    sh = (
+        d.select(
+            "doc_id",
+            F.transform(_shingles(F.col("text")), lambda s: F.md5(s)).alias(
+                "shingles"
+            ),
+        )
+        .filter(F.size(toks) >= 3)
+        .localCheckpoint(eager=True)
+    )
+    e = sh.select("doc_id", F.explode("shingles").alias("h"))
+    rare = (
+        e.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= RARE_DF_CAP))
+        .select("h")
+    )
+    er = e.join(rare, "h")
+    pairs = (
+        er.alias("a")
+        .join(
+            er.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    j = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    na = F.size("sh_a").cast("bigint")
+    nb = F.size("sh_b").cast("bigint")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        na.alias("n_sh_a"),
+        nb.alias("n_sh_b"),
+        common.alias("n_common"),
+        (common / na).alias("containment_a"),
+        (common / nb).alias("containment_b"),
+        (10 * common >= 9 * F.least(na, nb)).alias("near_superset"),
+    )

@@ -77,6 +77,26 @@ def _sql_dot(a: str, b: str) -> str:
     return _SQL_DOT.format(a=a, b=b)
 
 
+# Squared-L2 with the same degenerate-shape guards as _SQL_DOT (and as
+# clustering._SQL_D2): NULL list -> NULL, both-empty -> 0.0 (list_reduce
+# ERRORS on an empty list), series over the LONGER list so a length
+# mismatch poisons the fold to NULL exactly like Spark's zip_with NULL
+# padding. Every IVF-style centroid assignment oracle must use this —
+# the raw fold crashes on zero-length vectors and silently computes a
+# truncated finite d2 for ragged ones.
+_SQL_D2E = (
+    "CASE WHEN {v} IS NULL OR {c} IS NULL THEN NULL "
+    "WHEN greatest(len({v}), len({c})) = 0 THEN 0.0 "
+    "ELSE list_reduce(list_transform(generate_series(1, greatest(len({v}), len({c}))), "
+    "i -> ({v}[i]::DOUBLE - {c}[i]::DOUBLE) * ({v}[i]::DOUBLE - {c}[i]::DOUBLE)), "
+    "(x, y) -> x + y) END"
+)
+
+
+def _sql_d2(v: str, c: str) -> str:
+    return _SQL_D2E.format(v=v, c=c)
+
+
 def _np_round_half_up(x, decimals: int):
     """Match Spark's round() (BigDecimal HALF_UP) and DuckDB's round()
     (half away from zero) instead of NumPy's round-half-even — they
@@ -418,10 +438,15 @@ _SQL_CENTROIDS = """
     dims AS (SELECT label, i AS dim,
                CAST(SUM(CAST(round(embedding[i]::DOUBLE, 6) AS DECIMAL(12,6))) AS DOUBLE)
                  / COUNT(*) AS cv
-             -- i from each row's own len(): no hardcoded dimension
+             -- i from each row's own len(): no hardcoded dimension.
+             -- NULL label is NOT a cell: a NULL cell id can never
+             -- equi-join, and the cl tiebreak orders NULLs
+             -- differently across engines (Spark ASC NULLS FIRST,
+             -- DuckDB NULLS LAST) — fuzzer-found divergence.
              FROM (SELECT label, embedding,
                           unnest(generate_series(1, len(embedding))) AS i
-                   FROM embeddings)
+                   FROM embeddings
+                   WHERE label IS NOT NULL)
              GROUP BY label, i),
     cents AS (SELECT label, list(cv ORDER BY dim) AS cvec FROM dims GROUP BY label)
 """
@@ -432,9 +457,7 @@ _SQL_CENTROIDS = """
     oracle=f"""
     WITH {_SQL_CENTROIDS},
     pairs AS (SELECT e.vec_id, e.embedding, c.label AS cl,
-                     list_reduce(list_transform(generate_series(1, len(e.embedding)),
-                         i -> (e.embedding[i]::DOUBLE - c.cvec[i])
-                            * (e.embedding[i]::DOUBLE - c.cvec[i])), (x, y) -> x + y) AS d2
+                     {_sql_d2('e.embedding', 'c.cvec')} AS d2
               FROM embeddings e CROSS JOIN cents c),
     assign AS (SELECT vec_id, embedding, cl AS cell,
                       row_number() OVER (PARTITION BY vec_id
@@ -468,9 +491,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # centroids: exact decimal means per (label, dim) → dense array
+    # centroids: exact decimal means per (label, dim) → dense array.
+    # NULL label is not a cell (can't equi-join; cl-tiebreak NULL
+    # ordering differs across engines) — excluded in both engines.
     cents = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        emb.filter(F.col("label").isNotNull())
+        .select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", (F.col("pos") + 1).alias("dim"))
         .agg(
             (
@@ -500,7 +526,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = emb.crossJoin(
         F.broadcast(cents.withColumnRenamed("label", "cl"))
     ).select("vec_id", "embedding", "cl", d2.alias("d2"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.round(F.col("d2"), 6), "cl")
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("d2"), 6).asc_nulls_last(), "cl"
+    )
     assign = (
         pairs.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
@@ -907,12 +935,6 @@ PQ_M = 4  # subspaces
 PQ_SUB = DIM // PQ_M  # dims per subspace
 PQ_K = 4  # codebook entries per subspace (vec_id < PQ_K seed rows)
 
-_SQL_SUB_D2 = (
-    "list_reduce(list_transform(generate_series(1, {n}), "
-    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
-)
-
-
 @register(
     "embed_pq_codes",
     oracle=f"""
@@ -928,7 +950,7 @@ _SQL_SUB_D2 = (
       FROM sub WHERE vec_id < {PQ_K}),
     scored AS (
       SELECT s.vec_id, s.m, c.cid,
-             {_SQL_SUB_D2.format(n=PQ_SUB, a='s.vs', b='c.cs')} AS d2
+             {_sql_d2('s.vs', 'c.cs')} AS d2
       FROM sub s JOIN cents c ON c.m = s.m),
     best AS (
       SELECT vec_id, m, cid, round(d2, 6) AS d2r,
@@ -1007,7 +1029,7 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("d2r"),
     )
-    w = Window.partitionBy("vec_id", "m").orderBy("d2r", "cid")
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2r").asc_nulls_last(), "cid")
     best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return best.groupBy("vec_id").agg(
         F.max(F.when(F.col("m") == 0, F.col("cid"))).cast("int").alias("code0"),
@@ -1134,10 +1156,6 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVFPQ_CELLS = 4  # coarse quantizer cells (seed rows vec_id < IVFPQ_CELLS)
 
-_SQL_FULL_D2 = (
-    "list_reduce(list_transform(generate_series(1, len({a})), "
-    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
-)
 
 
 @register(
@@ -1152,7 +1170,7 @@ _SQL_FULL_D2 = (
              row_number() OVER (PARTITION BY vec_id
                                 ORDER BY round(d2, 6), ccid) AS rn
       FROM (SELECT e.vec_id, e.v, cc.ccid,
-                   {_SQL_FULL_D2.format(a='e.v', b='cc.cv')} AS d2
+                   {_sql_d2('e.v', 'cc.cv')} AS d2
             FROM e CROSS JOIN cc)),
     m0 AS (SELECT vec_id, v, cell FROM acell WHERE rn = 1),
     sub AS (
@@ -1163,14 +1181,14 @@ _SQL_FULL_D2 = (
       SELECT vec_id, cell, m, cid AS code FROM (
         SELECT s.vec_id, s.cell, s.m, c.cid,
                row_number() OVER (PARTITION BY s.vec_id, s.m
-                                  ORDER BY round({_SQL_SUB_D2.format(n=PQ_SUB, a='s.vs', b='c.cs')}, 6), c.cid) AS rn
+                                  ORDER BY round({_sql_d2('s.vs', 'c.cs')}, 6), c.cid) AS rn
         FROM sub s JOIN cb c ON c.m = s.m)
       WHERE rn = 1),
     qcell AS (SELECT vec_id AS query_id, cell AS q_cell FROM m0
               WHERE vec_id < {N_QUERIES}),
     dtable AS (
       SELECT s.vec_id AS query_id, s.m, c.cid,
-             CAST(round({_SQL_SUB_D2.format(n=PQ_SUB, a='s.vs', b='c.cs')}, 6)
+             CAST(round({_sql_d2('s.vs', 'c.cs')}, 6)
                   AS DECIMAL(18,6)) AS qd2
       FROM sub s JOIN cb c ON c.m = s.m
       WHERE s.vec_id < {N_QUERIES}),
@@ -1226,7 +1244,9 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    w_cell = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), "ccid")
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.round("d2", 6).asc_nulls_last(), "ccid"
+    )
     m0 = (
         e.crossJoin(F.broadcast(cc))
         .select("vec_id", "v", "ccid", d2_cell.alias("d2"))
@@ -1264,7 +1284,7 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    w_code = Window.partitionBy("vec_id", "m").orderBy("d2r", "cid")
+    w_code = Window.partitionBy("vec_id", "m").orderBy(F.col("d2r").asc_nulls_last(), "cid")
     codes = (
         sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
         .select("vec_id", "cell", "m", "cid", d2_sub.alias("d2r"))
@@ -1303,7 +1323,7 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", F.col("vec_id").alias("cand_id"), "cell")
         .agg(F.round(F.sum("qd2").cast("double"), 6).alias("adc_d2"))
     )
-    w_rank = Window.partitionBy("query_id").orderBy("adc_d2", "cand_id")
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("adc_d2").asc_nulls_last(), "cand_id")
     return (
         adc.withColumn("rnk", F.row_number().over(w_rank))
         .filter(F.col("rnk") <= RECALL_K)
@@ -1527,3 +1547,141 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@register(
+    "sim_ann_join_ivf",
+    oracle=f"""
+    WITH {_SQL_CENTROIDS},
+    nn AS (SELECT vec_id, embedding FROM embeddings
+           WHERE embedding IS NOT NULL),
+    pairs AS (SELECT e.vec_id, e.embedding, c.label AS cl,
+                     {_sql_d2('e.embedding', 'c.cvec')} AS d2
+              FROM nn e CROSS JOIN cents c),
+    assign AS (SELECT vec_id, embedding, cl AS cell,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY round(d2, 6), cl) AS rn
+               FROM pairs),
+    v AS (SELECT vec_id, embedding, cell,
+                 sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+          FROM assign WHERE rn = 1),
+    l AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+    r AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+    scored AS (SELECT l.vec_id AS left_id, r.vec_id AS right_id, l.cell,
+                      round({_sql_dot('l.embedding', 'r.embedding')}
+                            / (l.nrm * r.nrm), 6) AS cosine
+               FROM l JOIN r ON l.cell = r.cell)
+    SELECT left_id, right_id, cell, cosine, rnk FROM (
+      SELECT left_id, right_id, cell, cosine,
+             row_number() OVER (PARTITION BY left_id
+                                ORDER BY cosine DESC, right_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("llm", "similarity", "ann", "ivf", "join"),
+)
+def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided ANN JOIN — nearest neighbors between two LARGE vector
+    sets (here: even vec_ids as the left corpus, odd as the right),
+    where neither side fits in a broadcast. This is the missing shape
+    between sim_cosine_topk (tiny query set, broadcast) and
+    sim_ivf_topk (self-search): linking two corpora — user queries to
+    documents, new crawl to existing index — at 100 TB on BOTH sides.
+
+    Plan: K centroids broadcast once; each side assigns map-side to its
+    nearest cell (argmin over K, no shuffle); then ONE co-partitioned
+    shuffle of each side on its cell key and a cell-local join — pair
+    work is sum over cells of |L_c| x |R_c|, never |L| x |R|. Top-3
+    per left row by exact in-cell cosine. At production scale K grows
+    with the corpus (K ~ sqrt(N), like SHSS_N_PLANES elsewhere) and a
+    hot cell splits by salting the right side; the fixture's K is the
+    label count, matching sim_ivf_topk's deterministic centroid build.
+
+    Determinism: same centroid/assignment arithmetic as sim_ivf_topk
+    (exact decimal centroid means, d2 rounded to 6 before the argmin
+    order, label tiebreak); cosine rounded to 6 in both engines; ties
+    broken by right_id. NULL embeddings are excluded identically on
+    both sides before assignment (they can neither assign nor score).
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    # NULL label is not a cell — same exclusion as _SQL_CENTROIDS
+    cents = (
+        emb.filter(F.col("label").isNotNull())
+        .select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("val").cast("double"), 6).cast("decimal(12,6)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("cv")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = emb.crossJoin(
+        F.broadcast(cents.withColumnRenamed("label", "cl"))
+    ).select("vec_id", "embedding", "cl", d2.alias("d2"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("d2"), 6).asc_nulls_last(), "cl"
+    )
+    v = (
+        pairs.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("cl").alias("cell"),
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+    left = v.select(
+        F.col("vec_id").alias("left_id"),
+        F.col("embedding").alias("l_emb"),
+        F.col("nrm").alias("l_nrm"),
+        "cell",
+    ).filter(F.col("left_id") % 2 == 0)
+    right = v.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("embedding").alias("r_emb"),
+        F.col("nrm").alias("r_nrm"),
+        F.col("cell").alias("r_cell"),
+    ).filter(F.col("right_id") % 2 == 1)
+    # deliberately NO broadcast hint: both sides are corpus-sized; the
+    # join must ride the cell key (test_plans pins the absence of a
+    # static broadcast on either side)
+    scored = left.join(right, F.col("cell") == F.col("r_cell")).select(
+        "left_id",
+        "right_id",
+        "cell",
+        F.round(
+            F.try_divide(
+                _dot(F.col("l_emb"), F.col("r_emb")),
+                F.col("l_nrm") * F.col("r_nrm"),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("left_id").orderBy(F.col("cosine").desc(), "right_id")
+    return scored.select(
+        "left_id", "right_id", "cell", "cosine", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 3)

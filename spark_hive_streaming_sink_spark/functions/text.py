@@ -1672,3 +1672,104 @@ def text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(has_bi, F.col("tb") * 5 <= nb).alias("ok_top_bigram"),
         F.when(has_tri, F.col("dt") * 5 <= nt_).alias("ok_dup_trigram"),
     )
+
+
+@register(
+    "text_readability_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, text,
+             CAST(len(toks) AS BIGINT) AS w,
+             CAST(CASE WHEN len(toks) > 0
+                  THEN GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                  ELSE 0 END AS BIGINT) AS s,
+             CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                  + len(list_filter(toks,
+                        x -> NOT regexp_matches(x, '[aeiouyAEIOUY]')))
+                  AS BIGINT) AS sy
+      FROM t)
+    SELECT doc_id,
+           CASE WHEN text IS NOT NULL THEN w END AS n_words,
+           CASE WHEN text IS NOT NULL THEN s END AS n_sentences,
+           CASE WHEN text IS NOT NULL THEN sy END AS n_syllables,
+           CASE WHEN w > 0 THEN w / s END AS words_per_sentence,
+           CASE WHEN w > 0 THEN sy / w END AS syllables_per_word,
+           CASE WHEN w > 0 THEN
+             (206835*s*w - 1015*w*w - 84600*sy*s) / (1000*s*w)
+           END AS flesch_ease,
+           CASE WHEN w > 0 THEN
+             (390*w*w + 11800*sy*s - 15590*s*w) / (1000*s*w)
+           END AS fk_grade,
+           CASE WHEN w > 0 THEN
+             206835*s*w - 1015*w*w - 84600*sy*s >= 60 * (1000*s*w)
+           END AS is_easy_read
+    FROM c
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document (Kincaid
+    et al. 1975), with the standard vowel-group syllable heuristic:
+    syllables(token) = max(1, count of [aeiouy]+ runs). Readability is
+    a stock quality-filter signal in LLM curation stacks (C4/Gopher
+    lineage) next to text_stats_quality's length/punct ratios.
+
+    Determinism: words / sentences / syllables are integer counts;
+    both scores are a SINGLE int/int IEEE divide of exact BIGINT
+    polynomials (206.835 - 1.015*w/s - 84.6*sy/w ==
+    (206835*s*w - 1015*w*w - 84600*sy*s)/(1000*s*w)), so Spark and
+    DuckDB produce bit-identical doubles; the is_easy_read verdict
+    (ease >= 60) compares the integer numerator against 60*denominator
+    — no float compare anywhere. Products stay in BIGINT for any doc
+    under ~3e6 tokens (2^63/1015 bound); the corpus schema caps well
+    below that.
+
+    NULL text -> all-NULL row; empty/whitespace text -> zero counts
+    with NULL ratios/scores (0/0 undefined, not 0). Sentence count has
+    a floor of 1 only when the doc has words (trailing-punctuation-free
+    prose is one sentence, not zero).
+
+    Scale shape: pure single-scan map-side work — split/regexp_count/
+    array-filter are all codegen'd JVM expressions, zero shuffles,
+    zero joins; at 100 TB this is scan-bound and embarrassingly
+    parallel. Vowel groups are counted once over the raw text (word
+    boundaries are spaces, so text-wide runs == per-token sums) plus a
+    vowel-less-token floor from one array filter."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "text",
+        F.filter(_toks(), lambda x: x != "").alias("toks"),
+    )
+    toks = F.col("toks")
+    w = F.size(toks).cast("bigint")
+    s = F.when(
+        F.size(toks) > 0,
+        F.greatest(F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))),
+    ).otherwise(F.lit(0)).cast("bigint")
+    sy = (
+        F.regexp_count(F.col("text"), F.lit("[aeiouyAEIOUY]+"))
+        + F.size(F.filter(toks, lambda x: ~x.rlike("[aeiouyAEIOUY]")))
+    ).cast("bigint")
+    c = t.select("doc_id", "text", w.alias("w"), s.alias("s"), sy.alias("sy"))
+    wc, sc, syc = F.col("w"), F.col("s"), F.col("sy")
+    has_text = F.col("text").isNotNull()
+    has_words = wc > 0
+    ease_num = 206835 * sc * wc - 1015 * wc * wc - 84600 * syc * sc
+    grade_num = 390 * wc * wc + 11800 * syc * sc - 15590 * sc * wc
+    den = 1000 * sc * wc
+    return c.select(
+        "doc_id",
+        F.when(has_text, wc).alias("n_words"),
+        F.when(has_text, sc).alias("n_sentences"),
+        F.when(has_text, syc).alias("n_syllables"),
+        F.when(has_words, wc / sc).alias("words_per_sentence"),
+        F.when(has_words, syc / wc).alias("syllables_per_word"),
+        F.when(has_words, ease_num / den).alias("flesch_ease"),
+        F.when(has_words, grade_num / den).alias("fk_grade"),
+        F.when(has_words, ease_num >= 60 * den).alias("is_easy_read"),
+    )

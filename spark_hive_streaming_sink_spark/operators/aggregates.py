@@ -1435,3 +1435,123 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("v_loc").cast("double") / 10000.0, 4).alias("ks_location"),
     )
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 128  # buckets per row
+
+_CMS_BUCKET_SQL = (
+    "(CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' "
+    "|| CAST({k} AS VARCHAR)), 1, 12)) AS BIGINT) % " + str(CMS_W) + ")"
+)
+
+
+@register(
+    "agg_countmin_sketch",
+    oracle=f"""
+    WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    b AS (
+      SELECT user_id, j,
+             {_CMS_BUCKET_SQL.format(j="j", k="user_id")} AS bucket
+      FROM e CROSS JOIN (SELECT unnest(generate_series(0, {CMS_D - 1})) AS j)),
+    cms AS (
+      SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY j, bucket),
+    t AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM e GROUP BY user_id),
+    est AS (
+      SELECT t.user_id, MIN(c.cnt) AS cms_est
+      FROM t JOIN cms c
+        ON c.bucket = {_CMS_BUCKET_SQL.format(j="c.j", k="t.user_id")}
+      GROUP BY t.user_id)
+    SELECT t.user_id, t.true_cnt, est.cms_est,
+           est.cms_est - t.true_cnt AS overestimate,
+           est.cms_est = t.true_cnt AS is_exact
+    FROM t JOIN est ON t.user_id = est.user_id
+    ORDER BY t.true_cnt DESC, t.user_id LIMIT 20
+    """,
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) built as a plain
+    aggregation — the mergeable frequency sketch for heavy-hitter
+    monitoring at 100 TB: the sketch is a FIXED 4x128 count
+    grid regardless of corpus size, partial aggregation collapses each
+    map task's contribution to <= 512 rows before the
+    shuffle, and two sketches merge by cell-wise addition (the groupBy
+    IS the merge). Unlike the HLL op (engine-opaque bytes, rows-only
+    check) every cell here is an exact BIGINT count, so the whole
+    sketch AND its estimates are oracle-verified.
+
+    Estimates: est(key) = min over the 4 rows of the key's bucket
+    count — never an undercount (each bucket >= the key's true count),
+    which the is_exact/overestimate columns certify against exact
+    counts for the top-20 keys (deterministic order: count desc, key).
+
+    Scale shape: one scan of events explodes 4 (j, bucket) pairs
+    per row; the shuffle after partial agg is bounded by sketch size x
+    partitions, not data size. The finished 512-cell sketch folds into
+    a single broadcast map row; estimate lookups are map probes — no
+    join against the sketch table. True counts (the audit side) are the
+    only data-sized shuffle, and a real deployment drops them."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+
+    def bucket(j: int, key: Column) -> Column:
+        digest = F.md5(F.concat(F.lit(f"{j}:"), key.cast("string")))
+        return F.conv(F.substring(digest, 1, 12), 16, 10).cast("bigint") % CMS_W
+
+    pairs = e.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(j, F.col("user_id")).alias("bucket"),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("jb")
+    ).select("jb.j", "jb.bucket")
+    cms = pairs.groupBy("j", "bucket").agg(F.count("*").cast("bigint").alias("cnt"))
+    # the finished sketch is 512 cells -> one broadcast map row
+    sketch = cms.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("j") * CMS_W + F.col("bucket")).alias("k"),
+                    F.col("cnt").alias("v"),
+                )
+            )
+        ).alias("m")
+    )
+    t = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("true_cnt"))
+    est = F.least(
+        *[
+            F.element_at(
+                F.col("m"), (F.lit(j * CMS_W) + bucket(j, F.col("user_id")))
+            )
+            for j in range(CMS_D)
+        ]
+    )
+    probed = t.crossJoin(F.broadcast(sketch)).select(
+        "user_id", "true_cnt", est.alias("cms_est")
+    )
+    return (
+        probed.select(
+            "user_id",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).alias("overestimate"),
+            (F.col("cms_est") == F.col("true_cnt")).alias("is_exact"),
+        )
+        .orderBy(F.col("true_cnt").desc(), F.col("user_id"))
+        .limit(20)
+    )

@@ -1126,3 +1126,155 @@ def test_mmr_greedy_diversity_properties(spark):
             if rnd > 1:
                 # redundancy penalty can only lower the score
                 assert r["mmr_score"] <= rounds[1]["mmr_score"]
+
+
+def test_readability_invariants(spark):
+    """Flesch/FK: every word has >=1 syllable, sentence floor is 1
+    only for docs with words, the easy-read verdict matches the score
+    thresholded at 60, degenerate docs get NULLs not crashes."""
+    import pyspark.sql.functions as F
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    rows = list(QUERIES["text_readability_scores"].builder(spark, SF_DIR).collect())
+    assert len(rows) == 500
+    for r in rows:
+        if r["n_words"] is None:
+            assert r["flesch_ease"] is None
+            continue
+        assert r["n_syllables"] >= r["n_words"]
+        if r["n_words"] > 0:
+            assert r["n_sentences"] >= 1
+            assert r["words_per_sentence"] == r["n_words"] / r["n_sentences"]
+            if r["flesch_ease"] > 60.001:
+                assert r["is_easy_read"] is True
+            if r["flesch_ease"] < 59.999:
+                assert r["is_easy_read"] is False
+        else:
+            assert r["flesch_ease"] is None and r["is_easy_read"] is None
+
+    fixture = spark.createDataFrame(
+        [
+            (0, "The cat sat. The dog ran!"),  # 6 words, 2 sentences
+            (1, "tsk tsk"),  # vowel-less: syllable floor 1 each
+            (2, ""),
+            (3, None),
+            (4, "word"),  # no terminal punctuation -> 1 sentence
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="shss_read_")
+    try:
+        fixture.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            r["doc_id"]: r
+            for r in QUERIES["text_readability_scores"].builder(spark, d).collect()
+        }
+        assert out[0]["n_words"] == 6 and out[0]["n_sentences"] == 2
+        assert out[1]["n_syllables"] == 2  # two vowel-less tokens
+        assert out[2]["n_words"] == 0 and out[2]["flesch_ease"] is None
+        assert out[3]["n_words"] is None
+        assert out[4]["n_sentences"] == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hashed_classifier_invariants(spark):
+    """Score bounds: |score| <= n_features (weights are in [-1, 1]),
+    n_features <= 2*n_tokens - 1, keep matches the sign of the integer
+    score, degenerate docs get NULLs."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    rows = list(
+        QUERIES["corpus_hashed_classifier_score"].builder(spark, SF_DIR).collect()
+    )
+    assert len(rows) == 500
+    seen_scored = 0
+    for r in rows:
+        if r["n_tokens"] is None:
+            assert r["score_milli"] is None and r["keep"] is None
+            continue
+        assert abs(r["score_milli"]) <= 1000 * r["n_features"]
+        assert r["n_features"] <= max(2 * r["n_tokens"] - 1, 0)
+        if r["n_features"] > 0:
+            seen_scored += 1
+            assert r["keep"] == (r["score_milli"] >= 0)
+            assert r["mean_score"] == r["score_milli"] / (1000 * r["n_features"])
+        else:
+            assert r["keep"] is None and r["mean_score"] is None
+    assert seen_scored > 400  # the corpus is overwhelmingly real text
+
+
+def test_countmin_sketch_never_undercounts(spark):
+    """The defining CMS guarantee: est >= true for every key, with the
+    overestimate column consistent; output is the deterministic top-20."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    rows = list(QUERIES["agg_countmin_sketch"].builder(spark, SF_DIR).collect())
+    assert 0 < len(rows) <= 20
+    prev = None
+    for r in rows:
+        assert r["cms_est"] >= r["true_cnt"]
+        assert r["overestimate"] == r["cms_est"] - r["true_cnt"]
+        assert r["is_exact"] == (r["overestimate"] == 0)
+        key = (-r["true_cnt"], r["user_id"])
+        if prev is not None:
+            assert key > prev  # count desc, user_id asc
+        prev = key
+
+
+def test_containment_detects_quoted_subset(spark):
+    """A short doc quoted verbatim inside a long doc must surface as a
+    near_superset pair with containment_a == 1.0 even though Jaccard
+    (and so MinHash-LSH) is low; unrelated docs never pair."""
+    import tempfile, shutil
+    import pyspark.sql.functions as F
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+
+    short = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"filler{i} pad{i} word{i}" for i in range(40))
+    other = " ".join(f"unrelated{i} token{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " more trailing text here"),
+         (3, other)],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+    d = tempfile.mkdtemp(prefix="shss_cont_")
+    try:
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            (r["doc_a"], r["doc_b"]): r
+            for r in QUERIES["dedup_containment_pairs"].builder(spark, d).collect()
+        }
+        assert (1, 2) in out
+        pair = out[(1, 2)]
+        assert pair["containment_a"] == 1.0  # every shingle of 1 is in 2
+        assert pair["near_superset"] is True
+        assert pair["containment_b"] < 0.5  # asymmetry: Jaccard is low
+        assert (1, 3) not in out and (2, 3) not in out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_ann_join_sides_disjoint_and_cell_local(spark):
+    """Left ids even, right ids odd, every pair shares the left row's
+    cell, ranks are dense from 1, at most 3 per left row."""
+    from collections import defaultdict
+
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    rows = list(QUERIES["sim_ann_join_ivf"].builder(spark, SF_DIR).collect())
+    assert rows
+    per_left = defaultdict(list)
+    for r in rows:
+        assert r["left_id"] % 2 == 0 and r["right_id"] % 2 == 1
+        per_left[r["left_id"]].append(r["rnk"])
+    for rnks in per_left.values():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= 3

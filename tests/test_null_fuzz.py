@@ -46,6 +46,7 @@ FUZZED = [
     "events_cusum_changepoint",
     "events_markov_transitions",
     "window_session_dynamic_gap",
+    "agg_countmin_sketch",
 ]
 
 _T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
@@ -165,6 +166,9 @@ DOC_FUZZED = [
     "udtf_tokenize",
     "text_ngram_repetition",
     "corpus_dsir_importance",
+    "text_readability_scores",
+    "corpus_hashed_classifier_score",
+    "dedup_containment_pairs",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]
@@ -258,6 +262,12 @@ EMB_FUZZED = [
     "graph_pagerank_knn",
     "graph_label_propagation",
     "sim_mmr_diverse_topk",
+    "sim_ann_join_ivf",
+    # IVF family: centroid-assignment d2 must NULL out (not truncate)
+    # on ragged vectors and survive zero-length ones in both engines
+    "sim_ivf_topk",
+    "sim_ivf_pq_topk",
+    "embed_pq_codes",
 ]
 
 # element values: exact-in-float32 two-decimal-ish values plus 0 and

@@ -988,3 +988,64 @@ def test_mmr_pool_bounded_rounds(spark):
     # relations (pool + pair sims): the parquet source appears nowhere
     # in the final plan
     assert "Scan parquet" not in plan
+
+
+def test_readability_single_scan_no_shuffle(spark):
+    """Readability is pure map-side work: one scan of documents, one
+    split, zero Exchanges (no shuffle at any scale), no explode, no
+    window, no Python eval — scan-bound at 100 TB."""
+    df = _df(spark, "text_readability_scores")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Exchange") == 0
+    assert count_nodes(df, "Generate") == 0
+    assert count_nodes(df, "Window") == 0
+    assert plan.count("split(") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hashed_classifier_map_side_only(spark):
+    """The fastText-style scoring pass must stay one codegen'd scan:
+    zero shuffles, zero joins, no explode (features never leave their
+    row), no Python — scan-bound at 100 TB."""
+    df = _df(spark, "corpus_hashed_classifier_score")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Exchange") == 0
+    assert count_nodes(df, "Generate") == 0
+    assert count_nodes(df, "Window") == 0
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_countmin_sketch_bounded_broadcast(spark):
+    """CMS: the sketch side collapses to a 512-cell aggregate before
+    the broadcast (never a data-sized broadcast), the (j, bucket)
+    explode is the only Generate, and partial aggregation bounds the
+    sketch shuffle by sketch-size x partitions."""
+    df = _df(spark, "agg_countmin_sketch")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Generate") == 1
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # partial+final pairs for cms and true counts: partial agg present
+    assert count_nodes(df, "HashAggregate") >= 4
+
+
+def test_containment_pairs_no_cartesian(spark):
+    """Prefix-filtered containment: pair formation must ride the rare
+    shingle inverted index (equi-joins only — no cartesian, no
+    all-pairs), with the shingle table materialized once."""
+    df = _df(spark, "dedup_containment_pairs")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ann_join_no_corpus_broadcast(spark):
+    """Two-sided ANN join: only the K-centroid aggregate may carry a
+    static broadcast hint — both vector sides must be free to shuffle
+    on the cell key (at 100 TB neither side fits an executor)."""
+    df = _df(spark, "sim_ann_join_ivf")
+    for sub in broadcast_hint_subtrees(df):
+        assert "Aggregate" in sub  # centroids only
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
