@@ -1008,3 +1008,171 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_votes",
         F.when(nl.isNotNull(), ~nl.eqNullSafe(F.col("old_label"))).alias("changed"),
     )
+
+
+# --------------------------------------------------------------------------
+# triangle counting / local clustering coefficient over the kNN graph
+# --------------------------------------------------------------------------
+
+
+def _tri_oracle() -> str:
+    from .similarity import K_NN_GRAPH, _sql_bucket, _sql_dot
+
+    # rank(x) = (degree, id): the degree-ordered orientation below must
+    # be expressed identically in both engines
+    return f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+                      {_sql_bucket('embedding')} AS bucket
+               FROM embeddings WHERE embedding IS NOT NULL),
+    p AS (SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round({_sql_dot('a.embedding', 'b.embedding')}
+                                  / (a.nrm * b.nrm), 6) DESC, b.vec_id) AS rnk
+          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+    und AS (SELECT DISTINCT least(node_id, neighbor_id) AS a,
+                            greatest(node_id, neighbor_id) AS b
+            FROM p WHERE rnk <= {K_NN_GRAPH}),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT a AS node FROM und
+                  UNION ALL SELECT b AS node FROM und)
+            GROUP BY node),
+    o AS (SELECT CASE WHEN da.degree < db.degree
+                        OR (da.degree = db.degree AND u.a < u.b)
+                      THEN u.a ELSE u.b END AS src,
+                 CASE WHEN da.degree < db.degree
+                        OR (da.degree = db.degree AND u.a < u.b)
+                      THEN u.b ELSE u.a END AS dst
+          FROM und u
+          JOIN deg da ON da.node = u.a
+          JOIN deg db ON db.node = u.b),
+    wedge AS (SELECT o1.src AS s, o1.dst AS u, o2.dst AS w
+              FROM o o1 JOIN o o2 ON o1.src = o2.src
+              JOIN deg du ON du.node = o1.dst
+              JOIN deg dw ON dw.node = o2.dst
+              WHERE du.degree < dw.degree
+                 OR (du.degree = dw.degree AND o1.dst < o2.dst)),
+    tri AS (SELECT s, u, w FROM wedge
+            JOIN o ON o.src = wedge.u AND o.dst = wedge.w),
+    ntri AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+             FROM (SELECT s AS node FROM tri
+                   UNION ALL SELECT u AS node FROM tri
+                   UNION ALL SELECT w AS node FROM tri)
+             GROUP BY node)
+    SELECT d.node AS node_id, d.degree,
+           COALESCE(n.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN CAST(round(2000000.0 * COALESCE(n.n_triangles, 0)
+                                / (d.degree * (d.degree - 1)), 0) AS BIGINT)
+           END AS clustering_ppm
+    FROM deg d LEFT JOIN ntri n ON n.node = d.node
+    """
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_tri_oracle(),
+    tags=("llm", "graph", "embedding"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient over the kNN
+    similarity graph — the graph-density audit curation stacks run on
+    embedding neighborhoods: a node whose neighbors are also mutual
+    neighbors (high coefficient) sits inside a tight semantic cluster
+    (dedup/diversity candidate); a high-degree, low-coefficient node
+    is a hub stitching unrelated regions (often boilerplate).
+
+    Algorithm: degree-ordered orientation (Schank's forward /
+    node-iterator++, the MapReduce formulation of Suri & Vassilvitskii
+    2011): orient every undirected edge from its lower (degree, id)
+    endpoint to the higher, enumerate wedges only at each triangle's
+    minimum-rank vertex, and close them with one join against the
+    oriented edge list. Every triangle is counted exactly once, and
+    per-vertex wedge fan-out is bounded by out-degree, which the
+    orientation caps at O(sqrt(E)) for ANY degree distribution — the
+    hub that breaks naive wedge counting (a node in everyone's top-k
+    has in-degree ~N) generates no wedges at all here because hubs
+    rank highest and oriented edges point INTO them.
+
+    Scale shape: undirected edges are kNN-bounded (<= N*k after the
+    canonical distinct); the wedge join shuffles on the wedge center
+    and the closing join on the (u, w) edge key — total work
+    O(E^1.5) worst case, far below it on kNN graphs. The edge list is
+    localCheckpoint'ed once for its four consumers (degree, both
+    orientation sides, closing join); see the fault-tolerance note in
+    dedup.py — at production scale this is the persisted edge table.
+
+    Determinism: counts are exact BIGINTs; the coefficient is one
+    round(2e6*t/(d*(d-1)), 0) per node (NULL when degree < 2 —
+    undefined, not zero). Output covers every node with >= 1 edge."""
+    from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+    )
+    und = (
+        _knn_cell_topk(v, K_NN_GRAPH)
+        .select(
+            F.least("node_id", "neighbor_id").alias("a"),
+            F.greatest("node_id", "neighbor_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("degb"))
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    o1 = o.select(F.col("src").alias("s"), F.col("dst").alias("u"))
+    o2 = o.select(F.col("src").alias("s"), F.col("dst").alias("w"))
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("degu"))
+    dw = deg.select(F.col("node").alias("w"), F.col("degree").alias("degw"))
+    u_first = (F.col("degu") < F.col("degw")) | (
+        (F.col("degu") == F.col("degw")) & (F.col("u") < F.col("w"))
+    )
+    wedge = (
+        o1.join(o2, "s")
+        .join(du, "u")
+        .join(dw, "w")
+        .filter(u_first)
+        .select("s", "u", "w")
+    )
+    tri = wedge.join(
+        o.select(F.col("src").alias("u"), F.col("dst").alias("w")), ["u", "w"]
+    )
+    ntri = (
+        tri.select(F.explode(F.array("s", "u", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    d = F.col("degree")
+    t = F.coalesce("n_triangles", F.lit(0).cast("bigint"))
+    return deg.join(ntri, "node", "left").select(
+        F.col("node").alias("node_id"),
+        "degree",
+        t.alias("n_triangles"),
+        F.when(
+            d >= 2,
+            F.round(F.lit(2000000.0) * t / (d * (d - 1)), 0).cast("bigint"),
+        ).alias("clustering_ppm"),
+    )

@@ -1339,3 +1339,94 @@ def corpus_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFram
         F.when(nf > 0, sm / (1000 * nf)).alias("mean_score"),
         F.when(nf > 0, sm >= 0).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# weighted priority sampling per stratum (Efraimidis–Spirakis A-ES)
+# --------------------------------------------------------------------------
+
+PS_K = 8  # sample size per source stratum
+
+
+@register(
+    "corpus_priority_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(trim(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS w_tokens
+      FROM documents WHERE text IS NOT NULL),
+    k AS (
+      SELECT doc_id, source, w_tokens,
+             CAST(round(1000000.0 * ln(
+                    (CAST(('0x' || substr(md5('ps_' || CAST(doc_id AS VARCHAR)), 1, 12))
+                          AS BIGINT) + 0.5) / 281474976710656.0)
+                  / w_tokens, 0) AS BIGINT) AS key_micro
+      FROM t WHERE w_tokens > 0)
+    SELECT source, doc_id, w_tokens, key_micro, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY key_micro DESC, doc_id) AS rnk
+      FROM k)
+    WHERE rnk <= {PS_K}
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement per source stratum —
+    Efraimidis & Spirakis (2006) A-ES priority sampling, THE
+    distributed idiom for "sample k documents per source with
+    probability proportional to length/quality" at any scale: each row
+    computes key = u^(1/w) independently (u uniform, w its weight) and
+    the sample is the top-k keys per stratum. One scan, zero joins,
+    one window top-k — the sample of a 100 TB corpus costs one shuffle
+    of the (stratum, key) pairs, and partial top-k (WindowGroupLimit)
+    prunes map-side.
+
+    Weights are token counts (length-proportional, the common curation
+    choice); u derives from md5(doc_id) — 48 bits to a dyadic rational
+    in (0,1), exactly representable so both engines feed ln() the SAME
+    double. Ordering uses the monotone-equivalent ln(u)/w (avoids
+    underflow for huge w; same argmax as u^(1/w)), rounded once to
+    integer micro-units — a 1-ulp libm divergence cannot flip an
+    integer round except exactly at a .5 boundary, and ties break on
+    doc_id. Zero-weight docs (empty/NULL text) can never be sampled:
+    excluded in both engines; NULL source is its own stratum (both
+    engines put window-partition NULLs in one group).
+
+    At production scale the weight column is any positive score
+    (quality classifier output, dedup-cluster size) and PS_K scales
+    per-stratum — the plan is unchanged.
+
+    The zero-weight exclusion is expressed as trim(text) != '' on the
+    RAW column (exactly equivalent to w_tokens > 0 for a
+    split-on-space tokenizer) rather than a filter on the computed
+    w_tokens: predicate pushdown would substitute the latter through
+    the projection and re-run the whole split per row in the scan
+    filter (the ROUND_CHECKLIST predicate-substitution trap) — this
+    way the tokenization is evaluated once and the scan filter stays
+    cheap."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda x: x != "")
+    t = d.select("doc_id", "source", F.size(toks).cast("bigint").alias("w_tokens"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ps_"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(0.5)) / F.lit(281474976710656.0)
+    k = t.select(
+        "doc_id",
+        "source",
+        "w_tokens",
+        F.round(F.lit(1000000.0) * F.log(u) / F.col("w_tokens"), 0)
+        .cast("bigint")
+        .alias("key_micro"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("key_micro").desc(), "doc_id")
+    return (
+        k.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= PS_K)
+        .select("source", "doc_id", "w_tokens", "key_micro", "rnk")
+    )

@@ -1278,3 +1278,68 @@ def test_ann_join_sides_disjoint_and_cell_local(spark):
     for rnks in per_left.values():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
         assert len(rnks) <= 3
+
+
+def test_triangle_count_invariants(spark):
+    """Every triangle increments exactly three nodes; the coefficient
+    is bounded [0, 1e6]; degree-1 nodes have NULL coefficient and zero
+    triangles; total per-node triangle count is divisible by 3."""
+    from spark_hive_streaming_sink_spark.registry import queries
+
+    from .conftest import SF_DIR
+
+    df = queries()["graph_triangle_count"](spark, SF_DIR).cache()
+    rows = df.collect()
+    assert rows, "triangle count returned nothing"
+    total = sum(r.n_triangles for r in rows)
+    assert total % 3 == 0, "per-node counts must sum to 3 * n_triangles"
+    for r in rows:
+        assert r.degree >= 1
+        assert r.n_triangles >= 0
+        if r.degree < 2:
+            assert r.clustering_ppm is None
+            assert r.n_triangles == 0
+        else:
+            assert 0 <= r.clustering_ppm <= 1_000_000
+            # n_triangles can't exceed deg-choose-2 closed wedges
+            assert r.n_triangles <= r.degree * (r.degree - 1) // 2
+    df.unpersist()
+
+
+def test_priority_sample_invariants(spark):
+    """Per-stratum caps and weight monotonicity: <= PS_K rows per
+    source, ranks dense from 1, every sampled doc has positive weight,
+    and keys are non-increasing in rank within each stratum (ln(u)/w
+    is the sort key). Longer docs must win more slots than a uniform
+    draw would give them in expectation — checked loosely: the mean
+    sampled w_tokens >= the corpus mean (length-proportional bias)."""
+    from collections import defaultdict
+
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    rows = QUERIES["corpus_priority_sample"].builder(spark, SF_DIR).collect()
+    assert rows
+    by_src = defaultdict(list)
+    for r in rows:
+        assert r.w_tokens > 0
+        by_src[r.source].append(r)
+    from spark_hive_streaming_sink_spark.functions.corpus import PS_K
+
+    for src, grp in by_src.items():
+        grp.sort(key=lambda r: r.rnk)
+        assert len(grp) <= PS_K
+        assert [r.rnk for r in grp] == list(range(1, len(grp) + 1))
+        keys = [r.key_micro for r in grp]
+        assert keys == sorted(keys, reverse=True)
+
+    sampled_mean = sum(r.w_tokens for r in rows) / len(rows)
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView(
+        "_ps_docs"
+    )
+    corpus_mean = spark.sql(
+        "SELECT avg(CAST(size(filter(split(trim(text), ' '), x -> x != '')) AS BIGINT)) "
+        "FROM _ps_docs WHERE text IS NOT NULL AND trim(text) != ''"
+    ).first()[0]
+    assert sampled_mean >= corpus_mean

@@ -169,6 +169,7 @@ DOC_FUZZED = [
     "text_readability_scores",
     "corpus_hashed_classifier_score",
     "dedup_containment_pairs",
+    "corpus_priority_sample",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]
@@ -268,6 +269,7 @@ EMB_FUZZED = [
     "sim_ivf_topk",
     "sim_ivf_pq_topk",
     "embed_pq_codes",
+    "graph_triangle_count",
 ]
 
 # element values: exact-in-float32 two-decimal-ish values plus 0 and

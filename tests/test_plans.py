@@ -1049,3 +1049,34 @@ def test_ann_join_no_corpus_broadcast(spark):
         assert "Aggregate" in sub  # centroids only
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_triangle_count_oriented_no_cartesian(spark):
+    """Triangle counting: edges ride the per-cell Arrow gram, the
+    orientation/wedge/closing joins are all hash joins on node or edge
+    keys (no cartesian, no nested-loop), and post-edge stages read the
+    checkpointed edge list, not the parquet source."""
+    df = _df(spark, "graph_triangle_count")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert "BatchEvalPython" not in plan
+    # the kNN gram + distinct happen before the localCheckpoint: the
+    # final plan must join checkpointed scans only
+    assert "Scan parquet" not in plan
+
+
+def test_priority_sample_single_shuffle_partial_topk(spark):
+    """A-ES priority sampling: one codegen'd scan with the text filter
+    pushed, the split evaluated exactly once (zero-weight exclusion is
+    on the raw column, not the computed w_tokens — the
+    predicate-substitution trap), a map-side WindowGroupLimit BEFORE
+    the single stratum shuffle, and no joins or Python anywhere."""
+    df = _df(spark, "corpus_priority_sample")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Exchange") == 1
+    assert count_nodes(df, "WindowGroupLimit") == 2  # partial + final
+    assert "Join" not in plan
+    assert plan.count("split(") == 1
+    assert any("IsNotNull(text)" in f or "text" in f for f in pushed_filters(df))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -129,6 +129,22 @@ HEADLINE = [
     "dedup_minhash_calibration",
     "agg_subsample_ci",
     "events_autocorr_lag1",
+    # round-7/8 additions: the iterative loops (BPE trainer, label
+    # propagation, MMR) and the new pair-listing op (containment) are
+    # exactly the shapes whose x100 behavior needs measuring
+    "text_bpe_merge_pairs",
+    "corpus_temperature_mix",
+    "text_bpe_train_rounds",
+    "text_ngram_repetition",
+    "corpus_dsir_importance",
+    "graph_label_propagation",
+    "sim_mmr_diverse_topk",
+    "text_readability_scores",
+    "corpus_hashed_classifier_score",
+    "agg_countmin_sketch",
+    "dedup_containment_pairs",
+    "sim_ann_join_ivf",
+    "graph_triangle_count",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
