@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from ..io import load_table, parallelize_scan
@@ -170,6 +170,76 @@ _SQL_MEANS = """
 """
 
 
+def _km_inputs(spark: SparkSession, sf_dir: str):
+    """(points, seed centroids) for the shared Lloyd loop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = e.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    return e, cents
+
+
+def _km_d2(v: Column, c: Column) -> Column:
+    """Squared L2 as the zip_with fold — pure IEEE +,-,* so the value
+    is bit-identical across engines given identical inputs (mirrored
+    by _SQL_D2 incl. NULL/empty/ragged poisoning)."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def _km_score(e: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """Every point against every centroid (broadcast K rows), ranked
+    nearest-first per point. asc_nulls_last matches DuckDB's default
+    NULL ordering: d2 is NULL vs a non-empty centroid but 0.0 vs an
+    empty one when v itself is empty, so the mixed case is reachable
+    (fuzzer)."""
+    from pyspark.sql.window import Window
+
+    scored = e.crossJoin(F.broadcast(cents_df)).withColumn(
+        "d2", _km_d2(F.col("v"), F.col("c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round("d2", 6).asc_nulls_last(), "cid"
+    )
+    return scored.withColumn("rn", F.row_number().over(w))
+
+
+def _km_assign(e: DataFrame, cents_df: DataFrame) -> DataFrame:
+    return (
+        _km_score(e, cents_df)
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+
+
+def _km_means(assigned: DataFrame) -> DataFrame:
+    return (
+        assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cid", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.round("val", 6).cast("decimal(12,6)")).cast("double")
+                / F.count("*")
+            ).alias("cv")
+        )
+    )
+
+
+def _km_regroup(m: DataFrame) -> DataFrame:
+    return m.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s.cv
+        ).alias("c")
+    )
+
+
 @register(
     "cluster_kmeans_embeddings",
     oracle=f"""
@@ -203,59 +273,11 @@ def cluster_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect); lineage stays 2 iterations deep so no checkpoint needed.
     The same loop at K=10k centroids is IVF index construction
     (cf. sim_ivf_topk)."""
-    from pyspark.sql.window import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    cents = e.filter(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("c")
-    )
-
-    def assign(cents_df: DataFrame) -> DataFrame:
-        scored = e.crossJoin(F.broadcast(cents_df)).withColumn(
-            "d2",
-            F.aggregate(
-                F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-        )
-        # asc_nulls_last matches DuckDB's default NULL ordering: d2 is
-        # NULL vs a non-empty centroid but 0.0 vs an empty one when v
-        # itself is empty, so the mixed case is reachable (fuzzer)
-        w = Window.partitionBy("vec_id").orderBy(
-            F.round("d2", 6).asc_nulls_last(), "cid"
-        )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cid")
-        )
-
-    def means(assigned: DataFrame) -> DataFrame:
-        return (
-            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cid", (F.col("pos") + 1).alias("dim"))
-            .agg(
-                (
-                    F.sum(F.round("val", 6).cast("decimal(12,6)")).cast("double")
-                    / F.count("*")
-                ).alias("cv")
-            )
-        )
-
+    e, cents = _km_inputs(spark, sf_dir)
     for _ in range(KM_ITERS - 1):
-        m = means(assign(cents))
-        cents = m.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s.cv
-            ).alias("c")
-        )
-    final_assign = assign(cents)
-    m_final = means(final_assign)
+        cents = _km_regroup(_km_means(_km_assign(e, cents)))
+    final_assign = _km_assign(e, cents)
+    m_final = _km_means(final_assign)
     n = final_assign.groupBy("cid").agg(F.count("*").alias("n_vecs"))
     return m_final.join(n, "cid").select(
         F.col("cid").alias("cluster_id"), "dim", "cv", "n_vecs"
@@ -1175,4 +1197,113 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             d >= 2,
             F.round(F.lit(2000000.0) * t / (d * (d - 1)), 0).cast("bigint"),
         ).alias("clustering_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# simplified-silhouette audit of the fitted k-means model
+# --------------------------------------------------------------------------
+
+
+def _sil_oracle() -> str:
+    # the kmeans chain c0 -> c1 -> c2, then score every point against
+    # the FINAL centroids (c2): assignment-under-the-final-model
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {KM_K}),
+    {_SQL_ASSIGN.format(out="a1", cents="c0", d2=_SQL_D2.format(v="e.v", c="c0.c"))},
+    {_SQL_MEANS.format(out="m1", assign="a1")},
+    c1 AS (SELECT cid, list(cv ORDER BY dim) AS c FROM m1 GROUP BY cid),
+    {_SQL_ASSIGN.format(out="a2", cents="c1", d2=_SQL_D2.format(v="e.v", c="c1.c"))},
+    {_SQL_MEANS.format(out="m2", assign="a2")},
+    c2 AS (SELECT cid, list(cv ORDER BY dim) AS c FROM m2 GROUP BY cid),
+    rk AS (
+      SELECT e.vec_id, c2.cid,
+             {_SQL_D2.format(v="e.v", c="c2.c")} AS d2,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_SQL_D2.format(v="e.v", c="c2.c")}, 6), c2.cid
+             ) AS rn
+      FROM e CROSS JOIN c2),
+    pp AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rn = 1 THEN cid END) AS own_cid,
+             MAX(CASE WHEN rn = 1 THEN d2 END) AS a2,
+             MIN(CASE WHEN rn > 1 THEN d2 END) AS b2
+      FROM rk GROUP BY vec_id),
+    s AS (
+      SELECT own_cid,
+             CASE WHEN a2 IS NULL OR b2 IS NULL THEN NULL
+                  WHEN greatest(sqrt(a2), sqrt(b2)) = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST(round(1000000.0 * (sqrt(b2) - sqrt(a2))
+                                  / greatest(sqrt(a2), sqrt(b2)), 0) AS BIGINT)
+             END AS s_micro
+      FROM pp)
+    SELECT own_cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(s_micro) AS BIGINT) AS n_scored,
+           CASE WHEN COUNT(s_micro) > 0
+                THEN CAST(round(1.0 * SUM(s_micro) / COUNT(s_micro), 0) AS BIGINT)
+           END AS mean_sil_micro,
+           MIN(s_micro) AS min_sil_micro,
+           MAX(s_micro) AS max_sil_micro
+    FROM s GROUP BY own_cid
+    """
+
+
+@register(
+    "cluster_silhouette_audit",
+    oracle=_sil_oracle(),
+    tags=("llm", "clustering", "audit", "embedding", "iterative"),
+)
+def cluster_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified-silhouette audit of the fitted k-means
+    model — the standard "are these clusters real?" check curation
+    stacks run before trusting cluster-balanced sampling or
+    SemDeDup-style per-cluster pruning. Simplified silhouette
+    (Hruschka et al.): a(i) = distance to OWN centroid, b(i) = nearest
+    OTHER centroid, s = (b - a) / max(a, b) — O(N*K) against centroids
+    instead of the O(N^2) pairwise original, which is the only version
+    that exists at 100 TB.
+
+    Runs the same deterministic Lloyd loop as cluster_kmeans_embeddings
+    (shared _km_* helpers, identical centroid doubles), then ONE more
+    broadcast score pass against the final centroids: per point the
+    K distances, a window rank, and a vec_id aggregate — no shuffle
+    beyond kmeans' own plus one N*K-row window. Everything downstream
+    of d2 is IEEE-only arithmetic (sqrt, +, /, no libm transcendentals)
+    on engine-identical doubles, so one final round to integer
+    micro-units is hash-safe; the per-cluster mean divides exact
+    BIGINT sums. Degenerate points (NULL/ragged vectors poison d2 to
+    NULL) stay counted in n_vecs — matching kmeans' n_vecs convention —
+    but are excluded from n_scored and the mean; a point equal to both
+    nearest centroids scores 0 by convention."""
+    e, cents = _km_inputs(spark, sf_dir)
+    for _ in range(KM_ITERS):
+        cents = _km_regroup(_km_means(_km_assign(e, cents)))
+    rk = _km_score(e, cents)
+    pp = rk.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("own_cid"),
+        F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("rn") > 1, F.col("d2"))).alias("b2"),
+    )
+    sa, sb = F.sqrt("a2"), F.sqrt("b2")
+    s_micro = (
+        F.when(F.col("a2").isNull() | F.col("b2").isNull(), F.lit(None))
+        .when(F.greatest(sa, sb) == 0, F.lit(0))
+        .otherwise(F.round(F.lit(1000000.0) * (sb - sa) / F.greatest(sa, sb), 0))
+        .cast("bigint")
+    )
+    s = pp.select("own_cid", s_micro.alias("s_micro"))
+    cnt = F.count("s_micro")
+    return s.groupBy(F.col("own_cid").alias("cluster_id")).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        cnt.cast("bigint").alias("n_scored"),
+        F.when(cnt > 0, F.round(F.lit(1.0) * F.sum("s_micro") / cnt, 0))
+        .cast("bigint")
+        .alias("mean_sil_micro"),
+        F.min("s_micro").alias("min_sil_micro"),
+        F.max("s_micro").alias("max_sil_micro"),
     )

@@ -1343,3 +1343,26 @@ def test_priority_sample_invariants(spark):
         "FROM _ps_docs WHERE text IS NOT NULL AND trim(text) != ''"
     ).first()[0]
     assert sampled_mean >= corpus_mean
+
+
+def test_silhouette_invariants(spark):
+    """Silhouette audit: cluster ids come from the K seeds, per-cluster
+    counts sum to the corpus, scores live in [-1e6, 1e6] micro-units
+    with min <= mean <= max, and n_scored never exceeds n_vecs."""
+    from spark_hive_streaming_sink_spark.functions.clustering import KM_K
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    rows = QUERIES["cluster_silhouette_audit"].builder(spark, SF_DIR).collect()
+    assert rows
+    total = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r.n_vecs for r in rows) == total
+    for r in rows:
+        assert 0 <= r.cluster_id < KM_K
+        assert 0 <= r.n_scored <= r.n_vecs
+        if r.n_scored:
+            assert -1_000_000 <= r.min_sil_micro <= r.max_sil_micro <= 1_000_000
+            assert r.min_sil_micro <= r.mean_sil_micro <= r.max_sil_micro
+        else:
+            assert r.mean_sil_micro is None

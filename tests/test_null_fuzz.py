@@ -270,6 +270,7 @@ EMB_FUZZED = [
     "sim_ivf_pq_topk",
     "embed_pq_codes",
     "graph_triangle_count",
+    "cluster_silhouette_audit",
 ]
 
 # element values: exact-in-float32 two-decimal-ish values plus 0 and

@@ -1080,3 +1080,19 @@ def test_priority_sample_single_shuffle_partial_topk(spark):
     assert plan.count("split(") == 1
     assert any("IsNotNull(text)" in f or "text" in f for f in pushed_filters(df))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_silhouette_broadcast_centroids_only(spark):
+    """Silhouette audit: every centroid pass (the Lloyd loop AND the
+    final scoring pass) broadcasts only K-row aggregate subtrees — the
+    corpus itself must never be broadcast — and the per-point argmin
+    stays JVM-side (no Python)."""
+    df = _df(spark, "cluster_silhouette_audit")
+    subs = broadcast_hint_subtrees(df)
+    assert subs, "expected broadcast centroid subtrees"
+    for sub in subs:
+        seed = "Filter (vec_id" in sub and "< cast(4 as bigint)" in sub
+        assert "Aggregate" in sub or seed
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
