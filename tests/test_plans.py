@@ -1096,3 +1096,27 @@ def test_silhouette_broadcast_centroids_only(spark):
     plan = formatted_plan(df)
     assert count_nodes(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_range_search_cell_local_no_pair_shuffle(spark):
+    """Range search: exactly one shuffle (the bucket co-location for
+    applyInPandas) and the gram + threshold mask inside the cell — no
+    self-join, no corpus-wide pair Exchange, no window."""
+    df = _df(spark, "sim_range_search_cosine")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Exchange") == 1
+    assert "Join" not in plan
+    assert count_nodes(df, "Window") == 0
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_outlier_zscore_broadcast_scalars_only(spark):
+    """Outlier audit: both cross joins carry 1-row/D-row Aggregate
+    broadcasts (mean vector, moments) — the corpus never broadcasts,
+    never self-joins, and all arithmetic stays JVM-side."""
+    df = _df(spark, "embed_outlier_zscore")
+    subs = broadcast_hint_subtrees(df)
+    assert subs and all("Aggregate" in s for s in subs)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert count_nodes(df, "Window") == 0
