@@ -100,6 +100,10 @@ HEADLINE = [
     "agg_countmin_sketch",
     "dedup_containment_pairs",
     "sim_ann_join_ivf",
+    "graph_kcore",
+    "sim_hamming_binary_topk",
+    "agg_bloom_filter_probe",
+    "sim_hard_negative_mining",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -1053,7 +1053,10 @@ def _tri_oracle() -> str:
                    ORDER BY round({_sql_dot('a.embedding', 'b.embedding')}
                                   / (a.nrm * b.nrm), 6) DESC, b.vec_id) AS rnk
           FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
-    und AS (SELECT DISTINCT least(node_id, neighbor_id) AS a,
+    -- MATERIALIZED: deg and o both read und; without the hint DuckDB
+    -- re-inlines (and re-scores) the kNN pair CTE per reference
+    und AS MATERIALIZED (
+            SELECT DISTINCT least(node_id, neighbor_id) AS a,
                             greatest(node_id, neighbor_id) AS b
             FROM p WHERE rnk <= {K_NN_GRAPH}),
     deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
@@ -1306,4 +1309,161 @@ def cluster_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_sil_micro"),
         F.min("s_micro").alias("min_sil_micro"),
         F.max("s_micro").alias("max_sil_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition over the kNN graph (bounded peeling)
+# --------------------------------------------------------------------------
+
+KCORE_K = 2  # minimum within-subgraph degree to survive
+KCORE_ROUNDS = 8  # peeling rounds (unrolled in the oracle)
+
+
+def _kcore_oracle() -> str:
+    from .similarity import K_NN_GRAPH, _sql_bucket, _sql_dot
+
+    # MUTUAL-kNN edges: the plain undirected kNN graph gives every node
+    # degree >= k by construction (its own k picks), so any core with
+    # K <= k keeps everything and K > k dissolves everything — only the
+    # mutual graph (both endpoints picked each other) has the degree
+    # variance that makes peeling meaningful
+    sql = f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+                      {_sql_bucket('embedding')} AS bucket
+               FROM embeddings WHERE embedding IS NOT NULL),
+    -- MATERIALIZED on p: the mutuality test self-joins p, and inlining
+    -- re-scores the full within-bucket kNN gram per reference
+    p AS MATERIALIZED (
+          SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round({_sql_dot('a.embedding', 'b.embedding')}
+                                  / (a.nrm * b.nrm), 6) DESC, b.vec_id) AS rnk
+          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+    und AS MATERIALIZED (
+            SELECT p1.node_id AS a, p1.neighbor_id AS b
+            FROM p p1 JOIN p p2 ON p2.node_id = p1.neighbor_id
+                              AND p2.neighbor_id = p1.node_id
+            WHERE p1.rnk <= {K_NN_GRAPH} AND p2.rnk <= {K_NN_GRAPH}
+              AND p1.node_id < p1.neighbor_id),
+    s0 AS MATERIALIZED (
+            SELECT a AS node FROM und UNION SELECT b AS node FROM und)"""
+    prev = "s0"
+    # every s{r} is referenced TWICE by round r+1 (the x and y joins):
+    # without MATERIALIZED, DuckDB re-inlines the whole peeling chain
+    # per reference — 2^rounds blowup, minutes at 500 rows (measured)
+    for r in range(1, KCORE_ROUNDS + 1):
+        sql += f""",
+    d{r} AS MATERIALIZED (
+             SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+             FROM (SELECT u.a AS node FROM und u
+                   JOIN {prev} x ON x.node = u.a JOIN {prev} y ON y.node = u.b
+                   UNION ALL
+                   SELECT u.b AS node FROM und u
+                   JOIN {prev} x ON x.node = u.a JOIN {prev} y ON y.node = u.b)
+             GROUP BY node),
+    s{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {KCORE_K})"""
+        prev = f"s{r}"
+    sql += f""",
+    dfin AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+             FROM (SELECT u.a AS node FROM und u
+                   JOIN {prev} x ON x.node = u.a JOIN {prev} y ON y.node = u.b
+                   UNION ALL
+                   SELECT u.b AS node FROM und u
+                   JOIN {prev} x ON x.node = u.a JOIN {prev} y ON y.node = u.b)
+             GROUP BY node),
+    conv AS (SELECT COALESCE(MIN(deg) >= {KCORE_K}, TRUE) AS converged FROM dfin)
+    SELECT d.node AS node_id, d.deg AS core_degree, conv.converged
+    FROM dfin d CROSS JOIN conv"""
+    return sql
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    tags=("llm", "graph", "embedding", "iterative"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core extraction over the MUTUAL-kNN similarity graph —
+    iterative peeling: repeatedly delete nodes whose degree WITHIN the
+    surviving subgraph falls below K. The surviving core is the
+    standard dense-region extractor curation stacks use to find tight
+    semantic clusters (aggressive-dedup candidates) and, inverted, to
+    find the sparse periphery (diversity-preserving keep set).
+
+    The graph is the MUTUAL kNN graph (keep an edge only when both
+    endpoints rank each other in their top-k): the plain undirected
+    kNN graph gives every node degree >= k by construction, making
+    every core trivial (see the oracle comment); mutuality is also the
+    standard density filter in kNN-graph clustering precisely because
+    it breaks that floor.
+
+    Semantics: exactly KCORE_ROUNDS peeling rounds (the oracle unrolls
+    the same count), then a final degree pass whose min also yields a
+    `converged` flag — TRUE means the fixpoint was reached and the
+    output IS the true k-core; FALSE tells the caller to raise the
+    round count (the honest-convergence discipline of
+    connected_components, as a flag rather than an exception, because
+    a partial peel is still a valid upper bound on the core).
+
+    Scale shape: the edge list is kNN-bounded (<= N*k) and
+    localCheckpoint'ed once; each round is two hash joins against the
+    shrinking survivor set plus one degree aggregate — all shuffles on
+    node id, survivor sets only ever shrink. Peeling converges in
+    O(max peel depth) rounds, which on kNN graphs (bounded degree) is
+    small; production runs checkpoint every few rounds (see the
+    fault-tolerance note in dedup.py)."""
+    from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+    )
+    knn = _knn_cell_topk(v, K_NN_GRAPH).select("node_id", "neighbor_id")
+    rev = knn.select(
+        F.col("neighbor_id").alias("node_id"), F.col("node_id").alias("neighbor_id")
+    )
+    und = (
+        knn.join(rev, ["node_id", "neighbor_id"])
+        .filter(F.col("node_id") < F.col("neighbor_id"))
+        .select(F.col("node_id").alias("a"), F.col("neighbor_id").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    surv = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+
+    def degrees(surviving: DataFrame) -> DataFrame:
+        sa = surviving.select(F.col("node").alias("a"))
+        sb = surviving.select(F.col("node").alias("b"))
+        kept = und.join(sa, "a").join(sb, "b")
+        return (
+            kept.select(F.col("a").alias("node"))
+            .unionByName(kept.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("deg"))
+        )
+
+    for r in range(KCORE_ROUNDS):
+        surv = (
+            degrees(surv)
+            .filter(F.col("deg") >= KCORE_K)
+            .select("node")
+            # truncate the per-round lineage: each round otherwise
+            # re-executes every earlier round's joins twice (a/b sides)
+            .localCheckpoint(eager=True)
+        )
+    dfin = degrees(surv)
+    conv = dfin.agg(
+        F.coalesce(F.min("deg") >= KCORE_K, F.lit(True)).alias("converged")
+    )
+    return dfin.crossJoin(F.broadcast(conv)).select(
+        F.col("node").alias("node_id"), F.col("deg").alias("core_degree"), "converged"
     )

@@ -1908,3 +1908,261 @@ def embed_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(zs) > 2.0)
         .alias("is_outlier"),
     )
+
+
+# --------------------------------------------------------------------------
+# Binary-quantization ANN: packed sign bits + Hamming coarse search
+# --------------------------------------------------------------------------
+
+HAM_RERANK = 20  # Hamming coarse candidates per query entering exact rerank
+
+
+def _pack_sign_bits(col: Column) -> Column:
+    """Sign-quantize an embedding into ceil(d/32) packed BIGINT words:
+    bit b of word w is 1 iff element (w*32+b+1) > 0. NULL and
+    past-the-end elements quantize to 0 — the coarse code is always
+    defined (exactness is the float rerank's job, not the code's).
+    The per-word fold is acc*2+bit over bits 31..0: integer-exact and
+    shift-free, so the oracle can mirror it verbatim."""
+    nwords = F.ceil(F.size(col) / F.lit(32.0)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), nwords - F.lit(1)),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(31), F.lit(0), F.lit(-1)),
+            F.lit(0).cast("bigint"),
+            lambda acc, b: acc * 2
+            + F.when(F.try_element_at(col, (w * 32 + b + 1).cast("int")) > 0, 1)
+            .otherwise(0),
+        ),
+    )
+
+
+def _hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed codes: XOR + popcount per
+    word, summed. zip_with NULL-pads a word-count mismatch (ragged
+    source dimensions), poisoning the sum to NULL — incomparable codes
+    rank last and are dropped by the rerank's NULL-cosine filter."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+# Oracle mirror of _pack_sign_bits: same nwords, same bit order, same
+# acc*2+bit fold (list_reduce has no init — prepend the 0 accumulator)
+_SQL_PACK = (
+    "list_transform(generate_series(0, CAST(ceil(len({e}) / 32.0) AS INT) - 1), "
+    "w -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(31, 0, -1), "
+    "b -> CASE WHEN {e}[w * 32 + b + 1] > 0 THEN 1 ELSE 0 END)), "
+    "(acc, x) -> acc * 2 + x))"
+)
+
+# Oracle mirror of _hamming: series over the LONGER code so a
+# word-count mismatch poisons the fold to NULL exactly like zip_with
+_SQL_HAM = (
+    "CAST(list_reduce(list_transform("
+    "generate_series(1, greatest(len({a}), len({b}))), "
+    "i -> CAST(bit_count(xor({a}[i], {b}[i])) AS BIGINT)), (x, y) -> x + y) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "sim_hamming_binary_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+                      {_SQL_PACK.format(e='embedding')} AS words
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND len(embedding) > 0),
+    h AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 {_SQL_HAM.format(a='q.words', b='c.words')} AS hamming,
+                 round({_sql_dot('q.embedding', 'c.embedding')}
+                       / (q.nrm * c.nrm), 6) AS cosine
+          FROM v q JOIN v c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < {N_QUERIES}),
+    r AS (SELECT query_id, cand_id, hamming, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY hamming ASC NULLS LAST, cand_id)
+                   AS h_rnk
+          FROM h)
+    SELECT query_id, cand_id, hamming, cosine, rnk FROM (
+      SELECT query_id, cand_id, hamming, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC NULLS LAST, cand_id) AS rnk
+      FROM r WHERE h_rnk <= {HAM_RERANK})
+    WHERE rnk <= {TOP_K} AND cosine IS NOT NULL
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_hamming_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN — the third coarse-search family next
+    to hyperplane LSH (sim_ann_lsh) and IVF (sim_ivf_topk): sign-bits
+    packed into BIGINT words (32x smaller than float32), coarse
+    ranking by Hamming distance (XOR + POPCNT, integer-exact), top
+    HAM_RERANK candidates per query reranked in exact float cosine.
+    This is the standard two-stage binary-code pipeline production
+    vector stores run when the full float index doesn't fit in RAM.
+
+    Scale shape: the quantized query set broadcasts (Q x nwords
+    BIGINTs); the corpus is scanned ONCE and each candidate costs
+    ~nwords XOR+popcounts instead of d float multiplies, so the coarse
+    pass is bandwidth-bound; the per-query top-R window gets a
+    map-side WindowGroupLimit, so only partitions x Q x R rows (and
+    only THEY carry the float vectors onward) reach the single
+    query_id shuffle; the exact rerank touches Q x R rows. No
+    pair-table materialization, no corpus self-join shuffle.
+
+    Determinism: Hamming is integer; rerank cosine is the shared
+    round-6 fold; both ranks tie-break on cand_id; NULL orderings are
+    pinned explicitly on both engines (incomparable ragged pairs rank
+    last coarse, then drop at the NULL-cosine filter)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.filter(F.size("embedding") > 0).select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _pack_sign_bits(F.col("embedding")).alias("words"),
+    )
+    q = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .limit(N_QUERIES)  # GlobalLimit: provably bounded broadcast subtree
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("words").alias("q_words"),
+        )
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            _hamming(F.col("q_words"), F.col("words")).alias("hamming"),
+            "q_emb",
+            "q_nrm",
+            "embedding",
+            "nrm",
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc_nulls_last(), "cand_id"
+    )
+    cand = pairs.withColumn("h_rnk", F.row_number().over(w1)).filter(
+        F.col("h_rnk") <= HAM_RERANK
+    )
+    rer = cand.select(
+        "query_id",
+        "cand_id",
+        "hamming",
+        F.round(
+            F.try_divide(
+                _dot(F.col("q_emb"), F.col("embedding")),
+                F.col("q_nrm") * F.col("nrm"),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), "cand_id"
+    )
+    return rer.withColumn("rnk", F.row_number().over(w2)).filter(
+        (F.col("rnk") <= TOP_K) & F.col("cosine").isNotNull()
+    )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining for contrastive training data
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sim_hard_negative_mining",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding, label,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND label IS NOT NULL),
+    p AS (SELECT q.vec_id AS query_id, q.label AS q_label,
+                 c.vec_id AS cand_id, c.label AS neg_label,
+                 round({_sql_dot('q.embedding', 'c.embedding')}
+                       / (q.nrm * c.nrm), 6) AS cosine
+          FROM v q JOIN v c
+            ON c.vec_id != q.vec_id AND c.label != q.label
+          WHERE q.vec_id < {N_QUERIES})
+    SELECT query_id, q_label, cand_id, neg_label, cosine, rnk FROM (
+      SELECT query_id, q_label, cand_id, neg_label, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC NULLS LAST, cand_id) AS rnk
+      FROM p)
+    WHERE rnk <= {TOP_K} AND cosine IS NOT NULL
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the batch-construction step for
+    contrastive / triplet / InfoNCE training data: for each labeled
+    query vector, the TOP_K candidates that are MOST similar while
+    carrying a DIFFERENT label. These near-boundary negatives are what
+    make embedding training converge (random negatives are too easy);
+    at 100 TB this is the op a retrieval-training pipeline runs over
+    the whole corpus per epoch.
+
+    Scale shape: identical to sim_cosine_topk — the bounded query set
+    broadcasts (GlobalLimit), the corpus is scanned once, the
+    label-disjoint constraint rides the broadcast join condition so
+    same-label candidates never reach the dot product, and the
+    per-query top-k compiles to a map-side WindowGroupLimit before the
+    single query_id shuffle. Unlabeled or NULL vectors are excluded on
+    both engines (a hard negative needs a label to be negative)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    ).select(
+        "vec_id", "embedding", "label", _norm(F.col("embedding")).alias("nrm")
+    )
+    q = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .limit(N_QUERIES)  # GlobalLimit: provably bounded broadcast subtree
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(
+            v,
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("q_label")),
+        )
+        .select(
+            "query_id",
+            "q_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("neg_label"),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("q_emb"), F.col("embedding")),
+                    F.col("q_nrm") * F.col("nrm"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), "cand_id"
+    )
+    return pairs.withColumn("rnk", F.row_number().over(w)).filter(
+        (F.col("rnk") <= TOP_K) & F.col("cosine").isNotNull()
+    )

@@ -1555,3 +1555,160 @@ def agg_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("true_cnt").desc(), F.col("user_id"))
         .limit(20)
     )
+
+
+# --- Bloom filter build + probe ---------------------------------------------
+
+BLOOM_BITS = 256  # filter size (sized small so the FP path is exercised)
+BLOOM_K = 3  # hash functions per key
+BLOOM_BUILD_SRC = "src0"  # membership set: digests of this source's docs
+
+_BLOOM_POS_SQL = (
+    "(CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {k}), 1, 12)) "
+    "AS BIGINT) % " + str(BLOOM_BITS) + ")"
+)
+
+
+@register(
+    "agg_bloom_filter_probe",
+    oracle=f"""
+    WITH d AS (SELECT source, md5(text) AS digest
+               FROM documents WHERE text IS NOT NULL),
+    build AS (SELECT DISTINCT digest FROM d WHERE source = '{BLOOM_BUILD_SRC}'),
+    bbits AS (
+      SELECT {_BLOOM_POS_SQL.format(j="j", k="digest")} AS pos
+      FROM build CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j)),
+    words AS (
+      SELECT pos // 32 AS word,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS BIGINT) AS w
+      FROM bbits GROUP BY pos // 32),
+    probe AS (SELECT DISTINCT source, digest FROM d),
+    pbits AS (
+      SELECT source, digest,
+             {_BLOOM_POS_SQL.format(j="j", k="digest")} AS pos
+      FROM probe CROSS JOIN (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j)),
+    claims AS (
+      SELECT source, digest,
+             bool_and((COALESCE(w.w, 0)
+                       & (CAST(1 AS BIGINT) << CAST(b.pos % 32 AS INT))) <> 0)
+               AS claimed
+      FROM pbits b LEFT JOIN words w ON w.word = b.pos // 32
+      GROUP BY source, digest),
+    flags AS (SELECT c.source, c.claimed, (m.digest IS NOT NULL) AS is_member
+              FROM claims c LEFT JOIN build m ON m.digest = c.digest)
+    SELECT source,
+      CAST(COUNT(*) AS BIGINT) AS n_probed,
+      CAST(SUM(CASE WHEN claimed THEN 1 ELSE 0 END) AS BIGINT) AS n_claimed,
+      CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_true_members,
+      CAST(SUM(CASE WHEN claimed AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_false_pos,
+      CAST(SUM(CASE WHEN is_member AND NOT claimed THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_missed,
+      CAST(SUM(CASE WHEN claimed AND NOT is_member THEN 1 ELSE 0 END)
+           * 1000000 AS BIGINT)
+        // NULLIF(CAST(COUNT(*) AS BIGINT)
+                  - CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT), 0)
+        AS fpr_ppm
+    FROM flags GROUP BY source
+    """,
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (Bloom 1970) as a plain aggregation —
+    the third mergeable sketch next to Count-Min and HLL, and the one
+    a 100 TB crawl pipeline runs constantly ("was this URL/document
+    digest ingested before?") when the exact key set no longer fits
+    anywhere. The filter is a FIXED 256-bit array packed into
+    32-bit words of BIGINTs built with bit_or — associative and
+    commutative, so partial aggregation collapses every map task to
+    <= 32 rows before the shuffle and two shards' filters merge by
+    OR-ing words (the groupBy IS the merge).
+
+    Build: BLOOM_K md5-derived bit positions per distinct digest of
+    the BLOOM_BUILD_SRC docs. The finished filter folds into ONE
+    broadcast map row; each probe is BLOOM_K map lookups + AND — no
+    join against the filter, no shuffle proportional to it. Probes
+    (every other source's distinct (source, digest)) are certified
+    against exact membership (a real join on digest — the audit side a
+    deployment drops): n_missed is structurally ZERO (a Bloom filter
+    never false-negatives; the column proves it), n_false_pos and
+    fpr_ppm measure the lie rate at this fill factor (3
+    hashes, 256 bits — sized small on purpose so FPs occur
+    and the FP path is actually tested).
+
+    Determinism: bit positions are md5-derived (identical hex in both
+    engines), counts and the ppm rate are integer-exact (integer
+    division, NULL on zero negatives)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("source", F.md5("text").alias("digest"))
+    )
+    pow2 = F.array(*[F.lit(1 << i).cast("bigint") for i in range(32)])
+
+    def pos(j: int, key: Column) -> Column:
+        digest = F.md5(F.concat(F.lit(f"{j}:"), key))
+        return F.conv(F.substring(digest, 1, 12), 16, 10).cast(
+            "bigint"
+        ) % BLOOM_BITS
+
+    build = (
+        docs.filter(F.col("source") == BLOOM_BUILD_SRC).select("digest").distinct()
+    )
+    bbits = build.select(
+        F.explode(F.array(*[pos(j, F.col("digest")) for j in range(BLOOM_K)])).alias(
+            "pos"
+        )
+    )
+    words = (
+        bbits.select(
+            F.floor(F.col("pos") / F.lit(32)).cast("bigint").alias("word"),
+            F.element_at(pow2, (F.col("pos") % 32 + 1).cast("int")).alias("v"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("v").alias("w"))
+    )
+    bloom = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word").alias("k"), F.col("w").alias("v")))
+        ).alias("bm")
+    )
+
+    probe = docs.distinct()
+
+    def hit(j: int) -> Column:
+        p = pos(j, F.col("digest"))
+        word = F.floor(p / F.lit(32)).cast("bigint")
+        mask = F.element_at(pow2, (p % 32 + 1).cast("int"))
+        looked = F.coalesce(
+            F.element_at(F.col("bm"), word), F.lit(0).cast("bigint")
+        )
+        return looked.bitwiseAND(mask) != 0
+
+    claimed = hit(0)
+    for j in range(1, BLOOM_K):
+        claimed = claimed & hit(j)
+    claims = probe.crossJoin(F.broadcast(bloom)).select(
+        "source", "digest", claimed.alias("claimed")
+    )
+    flags = claims.join(
+        build.withColumn("is_m", F.lit(True)), "digest", "left"
+    ).select("source", "claimed", F.coalesce("is_m", F.lit(False)).alias("is_member"))
+    return flags.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_probed"),
+        F.sum(F.col("claimed").cast("int")).cast("bigint").alias("n_claimed"),
+        F.sum(F.col("is_member").cast("int")).cast("bigint").alias("n_true_members"),
+        F.sum((F.col("claimed") & ~F.col("is_member")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum((F.col("is_member") & ~F.col("claimed")).cast("int"))
+        .cast("bigint")
+        .alias("n_missed"),
+    ).withColumn(
+        "fpr_ppm",
+        F.expr(
+            "CAST(n_false_pos * 1000000 AS BIGINT) "
+            "div NULLIF(n_probed - n_true_members, 0)"
+        ),
+    )

@@ -1422,3 +1422,184 @@ def test_outlier_zscore_invariants(spark):
     by_d = sorted(scored, key=lambda r: r.d_micro)
     zs = [r.z_micro for r in by_d]
     assert zs == sorted(zs)  # z strictly monotone in distance
+
+
+def test_kcore_invariants(spark):
+    """k-core over the mutual-kNN graph: the converged flag is uniform
+    across rows; on a converged peel every survivor's within-subgraph
+    degree is >= KCORE_K (that IS the k-core definition); node ids are
+    distinct; and the survivor set is non-trivial at sf0.001 (the
+    mutual graph is dense enough that an empty core would mean the
+    peel deleted everything — a regression)."""
+    from spark_hive_streaming_sink_spark.functions.clustering import KCORE_K
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    rows = QUERIES["graph_kcore"].builder(spark, SF_DIR).collect()
+    assert rows, "k-core peeled the whole sf0.001 mutual graph away"
+    flags = {r.converged for r in rows}
+    assert len(flags) == 1, "converged flag must be uniform"
+    ids = [r.node_id for r in rows]
+    assert len(ids) == len(set(ids))
+    if flags == {True}:
+        assert min(r.core_degree for r in rows) >= KCORE_K
+
+
+def test_hamming_binary_topk_invariants(spark):
+    """Binary-quantization ANN: Hamming values must equal a bit-exact
+    Python recomputation from the raw embeddings (sign > 0), ranks are
+    dense 1..TOP_K with cosine non-increasing, and every returned
+    cosine matches the exact float value to 1e-4."""
+    import math
+
+    from spark_hive_streaming_sink_spark.functions.similarity import TOP_K
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    rows = QUERIES["sim_hamming_binary_topk"].builder(spark, SF_DIR).collect()
+    assert rows
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+
+    def bits(v):
+        return [1 if x is not None and x > 0 else 0 for x in v]
+
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        qb, cb = bits(emb[r.query_id]), bits(emb[r.cand_id])
+        assert r.hamming == sum(x != y for x, y in zip(qb, cb))
+        a, b = emb[r.query_id], emb[r.cand_id]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        assert abs(dot / (na * nb) - r.cosine) < 1e-4
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_K
+        cos = [r.cosine for r in rs]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_bloom_filter_probe_invariants(spark):
+    """Bloom law: NEVER a false negative — n_missed is zero in every
+    row; members are all claimed (n_claimed >= n_true_members);
+    n_false_pos <= n_claimed - n_true_members is an equality; the
+    build source's own row is fully claimed with NULL fpr (no
+    negatives probed); fpr_ppm in [0, 1e6] where defined. Cross-checked
+    against a pure-Python Bloom rebuilt from the raw parquet."""
+    import hashlib
+
+    from spark_hive_streaming_sink_spark.operators.aggregates import (
+        BLOOM_BITS,
+        BLOOM_BUILD_SRC,
+        BLOOM_K,
+    )
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    rows = QUERIES["agg_bloom_filter_probe"].builder(spark, SF_DIR).collect()
+    assert rows
+    by_src = {r.source: r for r in rows}
+    for r in rows:
+        assert r.n_missed == 0
+        assert r.n_true_members <= r.n_claimed <= r.n_probed
+        assert r.n_false_pos == r.n_claimed - r.n_true_members
+        if r.fpr_ppm is not None:
+            assert 0 <= r.fpr_ppm <= 1_000_000
+    s0 = by_src[BLOOM_BUILD_SRC]
+    assert s0.n_true_members == s0.n_probed == s0.n_claimed
+    assert s0.fpr_ppm is None
+
+    # pure-Python replica: same digests, same positions, same verdicts
+    docs = [
+        (d.source, hashlib.md5(d.text.encode()).hexdigest())
+        for d in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+        if d.text is not None
+    ]
+    member = {dg for s, dg in docs if s == BLOOM_BUILD_SRC}
+
+    def positions(dg):
+        return [
+            int(hashlib.md5(f"{j}:{dg}".encode()).hexdigest()[:12], 16) % BLOOM_BITS
+            for j in range(BLOOM_K)
+        ]
+
+    bits = {p for dg in member for p in positions(dg)}
+    agg = {}
+    for s, dg in set(docs):
+        claimed = all(p in bits for p in positions(dg))
+        n_p, n_c, n_t, n_fp = agg.get(s, (0, 0, 0, 0))
+        agg[s] = (
+            n_p + 1,
+            n_c + claimed,
+            n_t + (dg in member),
+            n_fp + (claimed and dg not in member),
+        )
+    for s, (n_p, n_c, n_t, n_fp) in agg.items():
+        r = by_src[s]
+        assert (r.n_probed, r.n_claimed, r.n_true_members, r.n_false_pos) == (
+            n_p,
+            n_c,
+            n_t,
+            n_fp,
+        ), s
+
+
+def test_hard_negative_mining_invariants(spark):
+    """Hard negatives: every returned candidate carries a label
+    DIFFERENT from its query's label, ranks are dense with cosine
+    non-increasing, at most TOP_K per query, and each query's top
+    negative really is the most-similar different-label vector
+    (verified against a brute-force Python scan)."""
+    import math
+
+    from spark_hive_streaming_sink_spark.functions.similarity import (
+        N_QUERIES,
+        TOP_K,
+    )
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    rows = QUERIES["sim_hard_negative_mining"].builder(spark, SF_DIR).collect()
+    assert rows
+    emb = {
+        r.vec_id: (r.embedding, r.label)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+        if r.embedding is not None and r.label is not None
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.neg_label != r.q_label
+        assert emb[r.cand_id][1] == r.neg_label
+        assert abs(cos(emb[r.query_id][0], emb[r.cand_id][0]) - r.cosine) < 1e-4
+    for qid, rs in per_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_K
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        # brute force: the rank-1 negative is the true argmax
+        qv, ql = emb[qid]
+        best = max(
+            (round(cos(qv, v), 6), -cid)
+            for cid, (v, l) in emb.items()
+            if cid != qid and l != ql
+        )
+        assert rs[0].cand_id == -best[1] or abs(rs[0].cosine - best[0]) < 1e-9
+    assert len(per_q) <= N_QUERIES

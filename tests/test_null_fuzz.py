@@ -170,6 +170,7 @@ DOC_FUZZED = [
     "corpus_hashed_classifier_score",
     "dedup_containment_pairs",
     "corpus_priority_sample",
+    "agg_bloom_filter_probe",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]
@@ -273,6 +274,9 @@ EMB_FUZZED = [
     "cluster_silhouette_audit",
     "sim_range_search_cosine",
     "embed_outlier_zscore",
+    "graph_kcore",
+    "sim_hamming_binary_topk",
+    "sim_hard_negative_mining",
 ]
 
 # element values: exact-in-float32 two-decimal-ish values plus 0 and

@@ -1120,3 +1120,58 @@ def test_outlier_zscore_broadcast_scalars_only(spark):
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert count_nodes(df, "Window") == 0
+
+
+def test_kcore_checkpointed_hash_joins_only(spark):
+    """k-core peeling: the kNN gram, mutuality join and per-round
+    survivor filters all happen BEFORE the final degree pass's inputs
+    were checkpointed — the returned plan must be hash joins over
+    checkpointed scans (no parquet re-scan, no cartesian, no Python),
+    and the convergence scalar is the only broadcast."""
+    df = _df(spark, "graph_kcore")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1  # 1-row conv scalar
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Scan parquet" not in plan  # edge list + survivors checkpointed
+
+
+def test_hamming_binary_coarse_partial_topk(spark):
+    """Binary-quantization ANN: the quantized query set is the only
+    broadcast (GlobalLimit-bounded), both row_number filters compile
+    to WindowGroupLimit (map-side partial top-R — only R candidate
+    rows per partition carry float vectors into the single query_id
+    shuffle), and the XOR+popcount coarse pass is all JVM-side."""
+    df = _df(spark, "sim_hamming_binary_topk")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "WindowGroupLimit") >= 2
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for sub in broadcast_hint_subtrees(df):
+        assert "GlobalLimit" in sub or "Aggregate" in sub
+
+
+def test_bloom_filter_one_row_broadcast_probe(spark):
+    """Bloom probe: the finished filter folds to a single broadcast
+    map row (every static broadcast subtree is an Aggregate); probes
+    are map lookups, never a join against the filter table; all
+    hashing stays JVM-side."""
+    df = _df(spark, "agg_bloom_filter_probe")
+    subs = broadcast_hint_subtrees(df)
+    assert subs and all("Aggregate" in s for s in subs)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_hard_negative_label_filter_rides_broadcast_join(spark):
+    """Hard-negative mining: the label-disjoint predicate is part of
+    the bounded broadcast join (same-label pairs never reach the dot
+    product), the query side is GlobalLimit-bounded, and the top-k is
+    a WindowGroupLimit."""
+    df = _df(spark, "sim_hard_negative_mining")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "WindowGroupLimit") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for sub in broadcast_hint_subtrees(df):
+        assert "GlobalLimit" in sub or "Aggregate" in sub
