@@ -104,6 +104,7 @@ HEADLINE = [
     "sim_hamming_binary_topk",
     "agg_bloom_filter_probe",
     "sim_hard_negative_mining",
+    "dim_scd2_from_events",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

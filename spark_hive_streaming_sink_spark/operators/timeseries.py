@@ -660,3 +660,117 @@ def events_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
         F.round(F.col("slope_u") / 1000000.0, 6).alias("theil_sen_slope"),
     )
+
+
+# --- SCD2 dimension build ---------------------------------------------------
+
+
+@register(
+    "dim_scd2_from_events",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND ts IS NOT NULL AND event_id IS NOT NULL),
+    marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      -- the running sum MUST share the lag window's total order
+      -- (ts, event_id): duplicate timestamps would otherwise make
+      -- run_id assignment engine-dependent
+      SELECT user_id, event_type, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked),
+    dim AS (
+      SELECT user_id, event_type AS state, run_id,
+             MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, event_type, run_id)
+    SELECT user_id, state,
+           epoch_us(valid_from) AS valid_from_us,
+           epoch_us(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id))
+             AS valid_to_us,
+           (lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+             IS NULL) AS is_current,
+           n_events
+    FROM dim
+    """,
+    tags=("timeseries", "window", "warehouse"),
+)
+def dim_scd2_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event stream —
+    the standard warehouse pattern for turning a mutation log into a
+    point-in-time dimension: consecutive runs of the same per-user
+    state collapse into one row with [valid_from, valid_to) validity,
+    the open row (valid_to NULL) flagged is_current. An AS OF join
+    against this table answers "what was the user's state at time T"
+    — the lookup every feature-backfill pipeline needs.
+
+    Scale shape: ONE shuffle on user_id serves all three windows (the
+    run-start lag, the running run_id sum, and the valid_to lead share
+    the same partitioning), then a partial-aggregating groupBy on the
+    same key — no joins, no second exchange of the event log. Rows
+    with NULL user/state/ts/event_id are excluded on both engines:
+    the window order (ts, event_id) must be total for runs to be
+    deterministic.
+
+    Ref parity: the reference's sink materializes exactly this kind of
+    per-key mutation feed into Hive (HiveStreamDataWriter.scala:39-41);
+    this op is the dimension-table consumer of such a feed."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    runs = marked.select(
+        "user_id",
+        "event_type",
+        "ts",
+        # same total order (ts, event_id) as the lag window — duplicate
+        # timestamps would otherwise make run_id engine-dependent
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("run_id"),
+    )
+    dim = runs.groupBy("user_id", F.col("event_type").alias("state"), "run_id").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    # epoch-micros export: raw timestamp outputs are banned by the
+    # type canon (driver hash diverges on temporal export formats)
+    return dim.select(
+        "user_id",
+        "state",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros(F.lead("valid_from").over(w2)).alias("valid_to_us"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_events",
+    )

@@ -1603,3 +1603,35 @@ def test_hard_negative_mining_invariants(spark):
         )
         assert rs[0].cand_id == -best[1] or abs(rs[0].cosine - best[0]) < 1e-9
     assert len(per_q) <= N_QUERIES
+
+
+def test_scd2_invariants(spark):
+    """SCD2 laws: per user, rows ordered by run form a chain where
+    valid_to equals the next row's valid_from; exactly one open row
+    (valid_to NULL == is_current) per user and it is the last;
+    consecutive rows never share a state (runs are maximal); row
+    event counts sum to the filtered event count."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+
+    from .conftest import SF_DIR
+
+    rows = QUERIES["dim_scd2_from_events"].builder(spark, SF_DIR).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_src = ev.filter(
+        "user_id IS NOT NULL AND event_type IS NOT NULL "
+        "AND ts IS NOT NULL AND event_id IS NOT NULL"
+    ).count()
+    assert sum(r.n_events for r in rows) == n_src
+    per_u = {}
+    for r in rows:
+        assert r.is_current == (r.valid_to_us is None)
+        per_u.setdefault(r.user_id, []).append(r)
+    for u, rs in per_u.items():
+        rs.sort(key=lambda r: r.valid_from_us)
+        assert sum(r.is_current for r in rs) == 1
+        assert rs[-1].is_current
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.state != b.state
+            assert a.valid_from_us <= a.valid_to_us

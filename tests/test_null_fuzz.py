@@ -47,6 +47,7 @@ FUZZED = [
     "events_markov_transitions",
     "window_session_dynamic_gap",
     "agg_countmin_sketch",
+    "dim_scd2_from_events",
 ]
 
 _T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)

@@ -1175,3 +1175,15 @@ def test_hard_negative_label_filter_rides_broadcast_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     for sub in broadcast_hint_subtrees(df):
         assert "GlobalLimit" in sub or "Aggregate" in sub
+
+
+def test_scd2_single_user_exchange(spark):
+    """SCD2 build: ONE hash exchange on user_id serves the run-start
+    lag window, the running run_id sum, the run groupBy (subset-key
+    clustering satisfies it) and the valid_to lead — no joins, no
+    Python, no second shuffle of the event log."""
+    df = _df(spark, "dim_scd2_from_events")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Exchange") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
