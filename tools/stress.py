@@ -145,6 +145,14 @@ HEADLINE = [
     "dedup_containment_pairs",
     "sim_ann_join_ivf",
     "graph_triangle_count",
+    # round-8 final batch: the k-core peel is the new iterative loop,
+    # the Hamming/hard-negative scans and the Bloom/SCD2 aggregates
+    # should stay ~linear — a superlinear jump flags a broken plan
+    "graph_kcore",
+    "sim_hamming_binary_topk",
+    "agg_bloom_filter_probe",
+    "sim_hard_negative_mining",
+    "dim_scd2_from_events",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
