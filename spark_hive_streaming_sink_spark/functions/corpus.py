@@ -1430,3 +1430,78 @@ def corpus_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PS_K)
         .select("source", "doc_id", "w_tokens", "key_micro", "rnk")
     )
+
+
+@register(
+    "corpus_source_kl_divergence",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang FROM documents
+      WHERE source IS NOT NULL AND lang IS NOT NULL),
+    tot AS (SELECT COUNT(*) AS n FROM d),
+    per_l AS (SELECT lang, COUNT(*) AS n_l FROM d GROUP BY lang),
+    per_s AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY source),
+    per_sl AS (SELECT source, lang, COUNT(*) AS n_sl
+               FROM d GROUP BY source, lang),
+    terms AS (
+      SELECT sl.source, s.n_s,
+             CAST(ROUND(
+               (CAST(sl.n_sl AS DOUBLE) / s.n_s)
+               * ln((CAST(sl.n_sl AS DOUBLE) / s.n_s)
+                    / (CAST(l.n_l AS DOUBLE) / t.n)) * 1000000000, 0)
+               AS BIGINT) AS term_nano
+      FROM per_sl sl
+      JOIN per_s s ON sl.source = s.source
+      JOIN per_l l ON sl.lang = l.lang
+      CROSS JOIN tot t)
+    SELECT source, n_s AS n_docs,
+           round(CAST(SUM(term_nano) AS DOUBLE) / 1000000000.0, 6)
+             AS kl_divergence
+    FROM terms GROUP BY source, n_s
+    """,
+    tags=("llm", "curation", "statistics"),
+)
+def corpus_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence between the source's language
+    distribution and the corpus-wide one: KL(P_source ‖ P_corpus) =
+    Σ_lang p(lang|source)·ln(p(lang|source)/p(lang)) — the drift score
+    a curation pipeline watches to spot sources whose composition has
+    shifted from the mix the model was tuned on (0 = identical mix).
+
+    Exactness: all probabilities come from exact integer counts via
+    identical division trees; each KL term is rounded to integer
+    nano-units BEFORE the per-source sum so the fold is
+    order-independent; ln differs by ≤1 ulp across engines, absorbed
+    by the nano rounding + final round-6. KL ≥ 0 within rounding, and
+    every term with n_sl > 0 is finite (p > 0 ⇒ q > 0 since the
+    corpus marginal dominates). Scale: three count aggregates over one
+    scan; the term join runs on (sources × langs) cells — broadcast-
+    sized dimension tables, never the document table."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull() & F.col("lang").isNotNull())
+        .select("source", "lang")
+    )
+    tot = d.agg(F.count("*").alias("n"))
+    per_l = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    per_s = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    per_sl = d.groupBy("source", "lang").agg(F.count("*").alias("n_sl"))
+    p_sl = F.col("n_sl").cast("double") / F.col("n_s")
+    p_l = F.col("n_l").cast("double") / F.col("n")
+    terms = (
+        per_sl.join(per_s, "source")
+        .join(F.broadcast(per_l), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            F.round(p_sl * F.log(p_sl / p_l) * 1000000000, 0)
+            .cast("bigint")
+            .alias("term_nano"),
+        )
+    )
+    return terms.groupBy("source", "n_s").agg(
+        F.round(F.sum("term_nano").cast("double") / 1000000000.0, 6).alias(
+            "kl_divergence"
+        )
+    ).select(F.col("source"), F.col("n_s").alias("n_docs"), "kl_divergence")

