@@ -2166,3 +2166,134 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("rnk", F.row_number().over(w)).filter(
         (F.col("rnk") <= TOP_K) & F.col("cosine").isNotNull()
     )
+
+
+@register(
+    "sim_ivf_multiprobe_topk",
+    oracle=f"""
+    WITH {_SQL_CENTROIDS},
+    pairs AS (SELECT e.vec_id, e.embedding, c.label AS cl,
+                     {_sql_d2('e.embedding', 'c.cvec')} AS d2
+              FROM embeddings e CROSS JOIN cents c),
+    ranked AS (SELECT vec_id, embedding, cl,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY round(d2, 6), cl) AS rn
+               FROM pairs),
+    v AS (SELECT vec_id, embedding, cl AS cell,
+                 sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+          FROM ranked WHERE rn = 1),
+    qprobe AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS q_nrm,
+                      cl AS probe_cell, rn AS probe
+               FROM ranked WHERE rn <= 2 AND vec_id < {N_QUERIES}),
+    scored AS (SELECT q.query_id, c.vec_id AS cand_id, q.probe_cell AS cell,
+                      q.probe,
+                      round({_sql_dot('q.q_emb', 'c.embedding')}
+                            / (q.q_nrm * c.nrm), 6) AS cosine
+               FROM qprobe q JOIN v c ON q.probe_cell = c.cell
+                                     AND c.vec_id != q.query_id)
+    SELECT query_id, cand_id, cell, probe, cosine, rnk FROM (
+      SELECT query_id, cand_id, cell, probe, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: the index assigns each vector to ONE cell
+    (same single-cell inverted file as sim_ivf_topk), but each query
+    probes its TWO nearest centroids — the standard recall repair for
+    quantization-boundary misses that costs 2× probe work instead of
+    rebuilding with more cells. The probe column records which probe
+    (1 = home cell, 2 = spill cell) produced each hit.
+
+    The 100 TB shape: identical index to sim_ivf_topk (broadcast-K
+    map-side argmin assignment, no shuffle); query fan-out is
+    bounded-2 rows per query joined cell-locally, so probe cost scales
+    linearly in probes while the corpus side never re-shuffles. Exact
+    cosine re-rank inside the probed cells only."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("label").isNotNull())
+        .select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("val").cast("double"), 6).cast("decimal(12,6)")
+                ).cast("double")
+                / F.count("*")
+            ).alias("cv")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = emb.crossJoin(
+        F.broadcast(cents.withColumnRenamed("label", "cl"))
+    ).select("vec_id", "embedding", "cl", d2.alias("d2"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("d2"), 6).asc_nulls_last(), "cl"
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w_assign))
+    v = ranked.filter(F.col("rn") == 1).select(
+        "vec_id",
+        "embedding",
+        F.col("cl").alias("cell"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    qprobe = ranked.filter(
+        (F.col("rn") <= 2) & (F.col("vec_id") < N_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_nrm"),
+        F.col("cl").alias("probe_cell"),
+        F.col("rn").alias("probe"),
+    )
+    scored = F.broadcast(qprobe).join(
+        v,
+        (F.col("probe_cell") == F.col("cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.col("probe_cell").alias("out_cell"),
+        "probe",
+        F.round(
+            F.try_divide(
+                _dot(F.col("q_emb"), F.col("embedding")),
+                F.col("q_nrm") * F.col("nrm"),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
+    return (
+        scored.select(
+            "query_id",
+            "cand_id",
+            F.col("out_cell").alias("cell"),
+            "probe",
+            "cosine",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )

@@ -1838,3 +1838,255 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return scored.orderBy(F.col("rake_score").desc(), "word").limit(50)
+
+
+@register(
+    "text_cdc_chunk_boundaries",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    t AS (
+      SELECT doc_id,
+             unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) AS idx
+      FROM d),
+    h AS (
+      SELECT doc_id, tok, idx,
+             CASE WHEN idx >= 3 AND
+               CAST(('0x' || substr(md5(
+                 lag(tok, 2) OVER w || '_' || lag(tok, 1) OVER w || '_' || tok),
+                 1, 15)) AS BIGINT) % 8 = 0
+             THEN 1 ELSE 0 END AS boundary
+      FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+    c AS (
+      SELECT doc_id, tok, idx,
+             CAST(1 + COALESCE(SUM(boundary) OVER (
+               PARTITION BY doc_id ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS chunk_id
+      FROM h)
+    SELECT doc_id, chunk_id,
+           COUNT(*) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY idx)) AS chunk_hash
+    FROM c GROUP BY doc_id, chunk_id
+    """,
+    tags=("llm", "text", "dedup", "chunking"),
+)
+def text_cdc_chunk_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: a chunk boundary opens after token i
+    whenever the rolling 3-token window hash ≡ 0 (mod 8) — so chunk
+    edges move WITH the content, and an insertion near the front of a
+    document shifts only its own chunk, not every downstream
+    fixed-width window (the Rabin/gear-CDC property that makes
+    chunk-level dedup robust to edits; mean chunk ≈ 8 tokens).
+    Emits (doc, chunk, token count, chunk hash) — the dedup-able unit.
+
+    Exactness: the window hash is md5 over '_'-joined tokens reduced
+    mod 8 from the same 15-hex-digit prefix in both engines; chunk ids
+    are integer prefix sums. Scale: one shuffle on doc_id for the
+    token windows (per-doc state only), one map-side-combinable
+    aggregate; nothing crosses documents. At 100 TB the same shape
+    runs per-partition since docs never split across tasks."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim(F.col("text")) != ""))
+        .select(
+            "doc_id",
+            F.split(
+                F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+                " ",
+            ).alias("toks"),
+        )
+    )
+    t = d.select("doc_id", F.posexplode("toks").alias("pos", "tok")).select(
+        "doc_id", "tok", (F.col("pos") + 1).alias("idx")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    win_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_", F.lag("tok", 2).over(w), F.lag("tok", 1).over(w), F.col("tok")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    h = t.select(
+        "doc_id",
+        "tok",
+        "idx",
+        F.when((F.col("idx") >= 3) & (win_hash % 8 == 0), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("boundary"),
+    )
+    wc = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = h.select(
+        "doc_id",
+        "tok",
+        "idx",
+        (F.lit(1) + F.coalesce(F.sum("boundary").over(wc), F.lit(0))).alias(
+            "chunk_id"
+        ),
+    )
+    ordered_toks = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+            lambda s: s.getField("tok"),
+        ),
+        " ",
+    )
+    return c.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.md5(ordered_toks).alias("chunk_hash"),
+    )
+
+
+@register(
+    "corpus_heaps_law_fit",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks
+      -- NULL doc_id is unplaceable on the growth axis (cumulative
+      -- window order): excluded in BOTH engines
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+    per_doc AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM dt),
+    firsts AS (
+      SELECT w, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(toks) AS w FROM dt) GROUP BY w),
+    news AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_words
+      FROM firsts GROUP BY first_doc),
+    curve AS (
+      SELECT p.doc_id,
+             SUM(p.n_toks) OVER (ORDER BY p.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks,
+             SUM(COALESCE(n.new_words, 0)) OVER (ORDER BY p.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+      FROM per_doc p LEFT JOIN news n ON p.doc_id = n.doc_id),
+    lo AS (
+      SELECT CAST(round(ln(CAST(cum_toks AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x_u,
+             CAST(round(ln(CAST(cum_vocab AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y_u
+      FROM curve WHERE cum_toks > 0 AND cum_vocab > 0),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(x_u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(y_u AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x_u AS DECIMAL(38,0)) * y_u) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(x_u AS DECIMAL(38,0)) * x_u) AS DECIMAL(38,0)) AS sxx
+      FROM lo),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(MAX(cum_toks) AS BIGINT) AS total_tokens,
+             CAST(MAX(cum_vocab) AS BIGINT) AS vocab_size
+      FROM curve)
+    SELECT tot.n_docs, tot.total_tokens, tot.vocab_size,
+           round(CAST(fit.k * fit.sxy - fit.sx * fit.sy AS DOUBLE)
+                 / CAST(fit.k * fit.sxx - fit.sx * fit.sx AS DOUBLE), 6)
+             AS heaps_beta,
+           round(exp((CAST(fit.sy AS DOUBLE)
+                      - (CAST(fit.k * fit.sxy - fit.sx * fit.sy AS DOUBLE)
+                         / CAST(fit.k * fit.sxx - fit.sx * fit.sx AS DOUBLE))
+                        * CAST(fit.sx AS DOUBLE))
+                     / fit.k / 1000000.0), 6) AS heaps_k
+    FROM tot CROSS JOIN fit
+    """,
+    tags=("llm", "text", "stats"),
+)
+def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: V(N) ≈ k·N^β estimated by
+    least squares of ln(cum vocab) on ln(cum tokens) along the
+    corpus-order growth curve (docs ordered by id). Natural corpora
+    fit β ≈ 0.4–0.6; β drifting toward 0 flags saturation/duplication
+    and toward 1 flags synthetic/noisy vocabularies — the companion
+    health metric to the Zipf slope.
+
+    Determinism: the growth curve is integer cumulative sums; the
+    log points round to integer micro-nats; OLS moments accumulate
+    as exact DECIMAL(38,0); slope/intercept/exp are one identical
+    double expression per output cell (ln/exp differ ≤1 ulp
+    cross-engine, absorbed by micro-rounding + round-6). Scale: one
+    token scan for counts + first-occurrence aggregate (map-side
+    combinable on word); the cumulative windows run over the per-doc
+    table. The single-partition cumulative window is the documented
+    trade-off — at 100 TB you'd checkpoint the curve at per-shard
+    boundaries instead of every doc; the moment sums are unchanged."""
+    from pyspark.sql import Window
+
+    dt = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", F.split(F.trim(F.col("text")), " ").alias("toks"))
+    )
+    per_doc = dt.select("doc_id", F.size("toks").cast("bigint").alias("n_toks"))
+    firsts = (
+        dt.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    news = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("new_words")
+    )
+    wc = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        per_doc.join(news, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_toks").over(wc).alias("cum_toks"),
+            F.sum(F.coalesce(F.col("new_words"), F.lit(0))).over(wc).alias(
+                "cum_vocab"
+            ),
+        )
+    )
+    lo = curve.filter((F.col("cum_toks") > 0) & (F.col("cum_vocab") > 0)).select(
+        F.round(F.log(F.col("cum_toks").cast("double")) * 1000000, 0)
+        .cast("bigint")
+        .alias("x_u"),
+        F.round(F.log(F.col("cum_vocab").cast("double")) * 1000000, 0)
+        .cast("bigint")
+        .alias("y_u"),
+    )
+    dec38 = "decimal(38,0)"
+    fit = lo.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("x_u").cast(dec38)).cast(dec38).alias("sx"),
+        F.sum(F.col("y_u").cast(dec38)).cast(dec38).alias("sy"),
+        F.sum(F.col("x_u").cast(dec38) * F.col("y_u")).cast(dec38).alias("sxy"),
+        F.sum(F.col("x_u").cast(dec38) * F.col("x_u")).cast(dec38).alias("sxx"),
+    )
+    tot = curve.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.max("cum_toks").cast("bigint").alias("total_tokens"),
+        F.max("cum_vocab").cast("bigint").alias("vocab_size"),
+    )
+    slope = (
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return tot.crossJoin(F.broadcast(fit)).select(
+        "n_docs",
+        "total_tokens",
+        "vocab_size",
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(
+            F.exp(
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("k")
+                / 1000000.0
+            ),
+            6,
+        ).alias("heaps_k"),
+    )

@@ -1114,3 +1114,174 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     )
+
+
+@register(
+    "events_funnel_time_to_convert",
+    oracle="""
+    WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    tv AS (
+      SELECT user_id, MIN(ts) FILTER (event_type = 'view') AS t_view
+      FROM e GROUP BY user_id),
+    tc AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM e JOIN tv ON e.user_id IS NOT DISTINCT FROM tv.user_id
+      WHERE e.event_type = 'click' AND e.ts > tv.t_view
+      GROUP BY e.user_id),
+    tp AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM e JOIN tc ON e.user_id IS NOT DISTINCT FROM tc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > tc.t_click
+      GROUP BY e.user_id),
+    lat AS (
+      SELECT 'view_to_click' AS stage,
+             (epoch_us(tc.t_click) - epoch_us(tv.t_view)) // 1000000 AS lat_s
+      FROM tc JOIN tv ON tc.user_id IS NOT DISTINCT FROM tv.user_id
+      UNION ALL
+      SELECT 'click_to_purchase' AS stage,
+             (epoch_us(tp.t_purchase) - epoch_us(tc.t_click)) // 1000000 AS lat_s
+      FROM tp JOIN tc ON tp.user_id IS NOT DISTINCT FROM tc.user_id)
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(lat_s, 0.5), 6) AS median_latency_s,
+           round(CAST(SUM(lat_s) AS DOUBLE) / COUNT(*), 6) AS mean_latency_s,
+           CAST(MAX(lat_s) AS BIGINT) AS max_latency_s
+    FROM lat GROUP BY stage
+    """,
+    tags=("timeseries", "funnel"),
+)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step-latency distribution: per user, the first view,
+    the first click strictly after it, and the first purchase strictly
+    after that; then per funnel stage the converted-user count and the
+    median / mean / max conversion latency in whole seconds — the
+    'how long does the funnel take' readout next to
+    events_funnel_analysis's 'how many make it'.
+
+    Exactness: latencies are integer whole seconds (epoch-micros
+    integer division); medians interpolate on the integer grid
+    identically in both engines (the MAD-op precedent); the mean is an
+    exact integer sum divided once. Scale: three user-keyed aggregates
+    chained by user-keyed joins (each AQE-sized, rows = users), never
+    a window over the event stream; NULL user_id stays one group via
+    null-safe join keys."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    tv = e.groupBy(F.col("user_id").alias("uid_v")).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    tc = (
+        e.join(tv, F.col("user_id").eqNullSafe(F.col("uid_v")))
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy(F.col("user_id").alias("uid_c"))
+        .agg(F.min("ts").alias("t_click"))
+    )
+    tp = (
+        e.join(tc, F.col("user_id").eqNullSafe(F.col("uid_c")))
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click"))
+        )
+        .groupBy(F.col("user_id").alias("uid_p"))
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat_vc = tc.join(tv, F.col("uid_c").eqNullSafe(F.col("uid_v"))).select(
+        F.lit("view_to_click").alias("stage"),
+        F.expr("(unix_micros(t_click) - unix_micros(t_view)) div 1000000").alias(
+            "lat_s"
+        ),
+    )
+    lat_cp = tp.join(tc, F.col("uid_p").eqNullSafe(F.col("uid_c"))).select(
+        F.lit("click_to_purchase").alias("stage"),
+        F.expr(
+            "(unix_micros(t_purchase) - unix_micros(t_click)) div 1000000"
+        ).alias("lat_s"),
+    )
+    return (
+        lat_vc.unionAll(lat_cp)
+        .groupBy("stage")
+        .agg(
+            F.count("*").cast("bigint").alias("n_converted"),
+            F.round(F.expr("percentile(lat_s, 0.5D)"), 6).alias(
+                "median_latency_s"
+            ),
+            F.round(F.sum("lat_s").cast("double") / F.count("*"), 6).alias(
+                "mean_latency_s"
+            ),
+            F.max("lat_s").cast("bigint").alias("max_latency_s"),
+        )
+    )
+
+
+@register(
+    "events_poisson_dispersion",
+    oracle="""
+    WITH e AS (SELECT * FROM events WHERE ts IS NOT NULL),
+    span AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days FROM e),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      FROM e GROUP BY user_id, day),
+    s AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS sum_c,
+             CAST(SUM(c * c) AS BIGINT) AS sum_c2
+      FROM daily GROUP BY user_id)
+    SELECT s.user_id,
+           sp.n_days,
+           s.sum_c AS n_events,
+           round(CAST(s.sum_c AS DOUBLE) / sp.n_days, 6) AS mean_daily,
+           round((CAST(s.sum_c2 AS DOUBLE)
+                  - CAST(s.sum_c AS DOUBLE) * CAST(s.sum_c AS DOUBLE)
+                    / sp.n_days)
+                 / (sp.n_days - 1), 6) AS var_daily,
+           round(((CAST(s.sum_c2 AS DOUBLE)
+                   - CAST(s.sum_c AS DOUBLE) * CAST(s.sum_c AS DOUBLE)
+                     / sp.n_days)
+                  / (sp.n_days - 1))
+                 / (CAST(s.sum_c AS DOUBLE) / sp.n_days), 6) AS dispersion
+    FROM s CROSS JOIN span sp
+    WHERE sp.n_days >= 2
+    """,
+    tags=("timeseries", "statistics", "anomaly"),
+)
+def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Poisson dispersion (variance-to-mean ratio of DAILY
+    event counts over the full corpus day span, zero days included):
+    ≈1 for Poisson-like behavior, ≫1 flags bursty/bot accounts, ≪1
+    metronomic schedulers — the count-domain overdispersion screen
+    next to the inter-arrival burstiness coefficient.
+
+    Exactness: zero days contribute 0 to both Σc and Σc², so the
+    active-days sums ARE the full-span sums and no zero-fill join is
+    needed; mean/variance/ratio are identical double expression trees
+    over exact integers, rounded to 6. Scale: one (user, day)
+    aggregate then one user aggregate — both map-side combinable; the
+    1-row day-span broadcasts."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    span = e.agg(
+        F.countDistinct(F.col("ts").cast("date")).alias("n_days")
+    )
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("c"))
+    s = daily.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    mean = F.col("sum_c").cast("double") / F.col("n_days")
+    var = (
+        F.col("sum_c2").cast("double")
+        - F.col("sum_c").cast("double")
+        * F.col("sum_c").cast("double")
+        / F.col("n_days")
+    ) / (F.col("n_days") - 1)
+    return (
+        s.crossJoin(F.broadcast(span))
+        .filter(F.col("n_days") >= 2)
+        .select(
+            "user_id",
+            "n_days",
+            F.col("sum_c").alias("n_events"),
+            F.round(mean, 6).alias("mean_daily"),
+            F.round(var, 6).alias("var_daily"),
+            F.round(var / mean, 6).alias("dispersion"),
+        )
+    )

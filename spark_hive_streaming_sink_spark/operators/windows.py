@@ -766,3 +766,89 @@ def window_holt_linear_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("st.l") + F.col("st.b")).alias("forecast_next"),
         )
     )
+
+
+@register(
+    "window_rolling_ols_slope",
+    oracle="""
+    WITH base AS (
+      SELECT MIN(epoch_us(ts)) // 1000000 AS t0 FROM events WHERE ts IS NOT NULL),
+    e AS (
+      -- NULL ts is unplaceable in the window order, NULL value breaks
+      -- the integer moments: excluded in BOTH engines
+      SELECT event_id, user_id,
+             epoch_us(ts) // 1000000 - (SELECT t0 FROM base) AS t_rel,
+             CAST(ROUND(value * 10000, 0) AS BIGINT) AS v_u
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    m AS (
+      SELECT event_id, user_id, t_rel,
+             COUNT(*) OVER w AS n_w,
+             SUM(t_rel) OVER w AS st,
+             SUM(v_u) OVER w AS sv,
+             SUM(t_rel * v_u) OVER w AS stv,
+             SUM(t_rel * t_rel) OVER w AS stt
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY t_rel, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id, t_rel, n_w,
+           -- + 0.0 collapses IEEE -0.0 (a 0/den numerator with den < 0)
+           -- to +0.0 identically in both engines
+           round(CAST(n_w * stv - st * sv AS DOUBLE)
+                 / nullif(CAST(n_w * stt - st * st AS DOUBLE), 0.0e0)
+                 / 10000.0, 6) + 0.0e0 AS slope_per_s
+    FROM m WHERE n_w >= 2
+    """,
+    tags=("window", "regression", "timeseries"),
+)
+def window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling least-squares slope of value against time over each
+    user's last 5 events — the local-trend detector monitoring
+    pipelines run per key (is this metric accelerating RIGHT NOW),
+    complementing the global robust Theil-Sen fit.
+
+    Exactness: times are whole seconds RELATIVE TO THE CORPUS MIN (so
+    t·v products stay ≲2^48 and the BIGINT window sums are exact —
+    absolute epoch seconds would overflow Σt·v); values are exact 1e-4
+    units; the slope is one double division of two exact integers,
+    NULL when the 5 timestamps tie (zero variance). Scale: one shuffle
+    on user_id; all five moments come from the SAME frame in one
+    window pass; the 1-row corpus-min broadcasts."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    base = e.agg(
+        F.expr("min(unix_micros(ts)) div 1000000").alias("t0")
+    )
+    ev = e.crossJoin(F.broadcast(base)).select(
+        "event_id",
+        "user_id",
+        (F.expr("unix_micros(ts) div 1000000") - F.col("t0")).alias("t_rel"),
+        F.round(F.col("value") * 10000, 0).cast("bigint").alias("v_u"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_rel", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    m = ev.select(
+        "event_id",
+        "user_id",
+        "t_rel",
+        F.count("*").over(w).alias("n_w"),
+        F.sum("t_rel").over(w).alias("st"),
+        F.sum("v_u").over(w).alias("sv"),
+        F.sum(F.col("t_rel") * F.col("v_u")).over(w).alias("stv"),
+        F.sum(F.col("t_rel") * F.col("t_rel")).over(w).alias("stt"),
+    ).filter(F.col("n_w") >= 2)
+    num = (F.col("n_w") * F.col("stv") - F.col("st") * F.col("sv")).cast("double")
+    den = F.nullif(
+        (F.col("n_w") * F.col("stt") - F.col("st") * F.col("st")).cast("double"),
+        F.lit(0.0),
+    )
+    return m.select(
+        "event_id",
+        "user_id",
+        "t_rel",
+        "n_w",
+        (F.round(num / den / 10000.0, 6) + F.lit(0.0)).alias("slope_per_s"),
+    )

@@ -1868,3 +1868,202 @@ def test_source_kl_invariants(spark):
         one.write.parquet(f"{tmp}/documents.parquet")
         out = QUERIES["corpus_source_kl_divergence"].builder(spark, tmp).collect()
     assert len(out) == 1 and out[0].kl_divergence == 0.0
+
+
+def test_cdc_chunks_shift_with_content(spark):
+    """The CDC property: inserting a token near the FRONT of a document
+    leaves the tail chunks' hashes intact (boundaries move with
+    content, not position); chunk token counts sum to the doc token
+    count; chunk ids are 1..n dense per doc."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    import tempfile
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega one two three four five six seven eight nine ten") * 3
+    edited = "INSERTED " + base
+    df = spark.createDataFrame(
+        [(1, base, "en", "s", len(base)), (2, edited, "en", "s", len(edited))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        rows = QUERIES["text_cdc_chunk_boundaries"].builder(spark, d).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        ids = sorted(r.chunk_id for r in rs)
+        assert ids == list(range(1, len(ids) + 1))
+    n1 = sum(r.n_tokens for r in by_doc[1])
+    n2 = sum(r.n_tokens for r in by_doc[2])
+    assert n2 == n1 + 1
+    h1 = {r.chunk_hash for r in by_doc[1]}
+    h2 = {r.chunk_hash for r in by_doc[2]}
+    # all chunks after the first boundary re-align: strictly more than
+    # half of doc 1's chunks reappear verbatim in the edited doc
+    assert len(h1 & h2) * 2 > len(h1)
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe laws: probe ∈ {1,2}; per query ≤3 hits ranked by
+    cosine; the multi-probe candidate set is a SUPERSET of the
+    single-probe (home cell) set, so its top-3 cosines are pointwise ≥
+    sim_ivf_topk's."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    mp = QUERIES["sim_ivf_multiprobe_topk"].builder(spark, SF_DIR).collect()
+    sp = QUERIES["sim_ivf_topk"].builder(spark, SF_DIR).collect()
+    assert mp
+    per_q_mp, per_q_sp = {}, {}
+    for r in mp:
+        assert r.probe in (1, 2) and 1 <= r.rnk <= 3
+        per_q_mp.setdefault(r.query_id, []).append(r)
+    for r in sp:
+        per_q_sp.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q_mp.items():
+        rs.sort(key=lambda r: r.rnk)
+        sps = sorted(per_q_sp.get(q, []), key=lambda r: r.rnk)
+        for a, b in zip(rs, sps):
+            assert a.cosine >= b.cosine - 1e-12
+
+
+def test_heaps_fit_invariants(spark):
+    """Heaps laws: 0 < β < 1 on natural-ish text; vocab ≤ tokens;
+    a corpus of identical docs has near-zero β (vocabulary saturates
+    after doc 1)."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    row = QUERIES["corpus_heaps_law_fit"].builder(spark, SF_DIR).collect()[0]
+    assert 0.0 < row.heaps_beta < 1.0
+    assert row.vocab_size <= row.total_tokens
+    assert row.heaps_k > 0
+    import tempfile
+
+    same = [(i, "the same ten words repeat here again and again ok", "en", "s", 49)
+            for i in range(1, 21)]
+    df = spark.createDataFrame(
+        same, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = QUERIES["corpus_heaps_law_fit"].builder(spark, d).collect()[0]
+    assert out.heaps_beta < 0.2
+
+
+def test_funnel_latency_invariants(spark):
+    """Latency laws: strictly-after ordering makes every latency ≥ 0
+    (and min ≤ median ≤ max); click_to_purchase converts no more users
+    than view_to_click; counts agree with events_funnel_analysis's
+    full-funnel count."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    rows = {
+        r.stage: r
+        for r in QUERIES["events_funnel_time_to_convert"].builder(spark, SF_DIR).collect()
+    }
+    assert set(rows) <= {"view_to_click", "click_to_purchase"}
+    for r in rows.values():
+        assert r.median_latency_s >= 0
+        assert r.median_latency_s <= r.max_latency_s
+        assert 0 <= r.mean_latency_s <= r.max_latency_s
+    if "click_to_purchase" in rows and "view_to_click" in rows:
+        assert rows["click_to_purchase"].n_converted <= rows["view_to_click"].n_converted
+
+
+def test_rolling_slope_matches_numpy(spark):
+    """The window moments reproduce numpy's polyfit slope on every
+    full 5-event frame (to the 1e-6 rounding grid)."""
+    import numpy as np
+
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    import duckdb
+
+    from .conftest import SF_DIR
+
+    rows = [
+        r
+        for r in QUERIES["window_rolling_ols_slope"].builder(spark, SF_DIR).collect()
+        if r.n_w == 5 and r.slope_per_s is not None
+    ]
+    assert rows
+    src = duckdb.sql(
+        f"""SELECT user_id, event_id,
+                   epoch_us(ts) // 1000000 AS t_s,
+                   CAST(ROUND(value * 10000, 0) AS BIGINT) AS v_u
+            FROM '{SF_DIR}/events.parquet'
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+            ORDER BY user_id, t_s, event_id"""
+    ).fetchall()
+    t0 = min(t for _, _, t, _ in src)
+    per_u = {}
+    for u, eid, t, v in src:
+        per_u.setdefault(u, []).append((eid, t - t0, v))
+    checked = 0
+    for r in rows[:50]:
+        seq = per_u[r.user_id]
+        i = next(k for k, (eid, t, v) in enumerate(seq) if eid == r.event_id)
+        win = seq[i - 4 : i + 1]
+        ts = np.array([t for _, t, _ in win], dtype=float)
+        vs = np.array([v for _, _, v in win], dtype=float) / 1e4
+        if np.ptp(ts) == 0:
+            continue
+        slope = np.polyfit(ts, vs, 1)[0]
+        assert abs(r.slope_per_s - slope) < 2e-6, (r, slope)
+        checked += 1
+    assert checked >= 10
+
+
+def test_poisson_dispersion_invariants(spark):
+    """Dispersion laws: var ≥ 0 always; a planted one-event-per-day
+    metronome has zero daily variance so dispersion == 0 exactly,
+    while a user firing everything on a single day is overdispersed
+    (dispersion > 1) over the same 10-day span."""
+    import datetime as _dt
+
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    rows = QUERIES["events_poisson_dispersion"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.var_daily >= -1e-9
+        assert r.n_events >= 1
+    t0 = _dt.datetime(2024, 5, 1)
+    recs = []
+    eid = 0
+    for d in range(10):  # metronome: user 1, one event per day
+        recs.append((eid, t0 + _dt.timedelta(days=d), 1, "click", 1.0, None))
+        eid += 1
+    for k in range(10):  # burst: user 2, ten events on day 0
+        recs.append((eid, t0 + _dt.timedelta(minutes=k), 2, "click", 1.0, None))
+        eid += 1
+    df = spark.createDataFrame(
+        recs,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r.user_id: r for r in
+               QUERIES["events_poisson_dispersion"].builder(spark, d).collect()}
+    assert out[1].dispersion == 0.0
+    assert out[2].dispersion > 1.0
+    assert out[1].n_days == out[2].n_days == 10

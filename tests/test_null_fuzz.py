@@ -55,6 +55,9 @@ FUZZED = [
     "window_holt_linear_fold",
     "window_ewma_fold",
     "window_time_weighted_avg",
+    "events_funnel_time_to_convert",
+    "window_rolling_ols_slope",
+    "events_poisson_dispersion",
 ]
 
 _T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
@@ -172,6 +175,8 @@ DOC_FUZZED = [
     "text_bpe_merge_pairs",
     "text_keyword_rake",
     "corpus_source_kl_divergence",
+    "text_cdc_chunk_boundaries",
+    "corpus_heaps_law_fit",
     "text_bpe_train_rounds",
     "udtf_tokenize",
     "text_ngram_repetition",
@@ -259,6 +264,7 @@ def test_doc_null_fuzz_matches_oracle(spark, name, rows):
 # --------------------------------------------------------------------------
 
 EMB_FUZZED = [
+    "sim_ivf_multiprobe_topk",
     "sim_cosine_topk",
     "sim_cosine_topk_numpy",
     "embed_norm_stats",

@@ -1273,3 +1273,56 @@ def test_source_kl_joins_are_broadcast(spark):
     (source × lang) cell table — no sort-merge join anywhere."""
     df = _df(spark, "corpus_source_kl_divergence")
     assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_multiprobe_corpus_never_reshuffles_for_probes(spark):
+    """The probe fan-out must live on the broadcast (query) side: the
+    cell-local scoring join is a BroadcastHashJoin with the corpus as
+    the streamed side, and centroid assignment broadcasts K centroids
+    (no shuffle of the embeddings table for either)."""
+    df = _df(spark, "sim_ivf_multiprobe_topk")
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_cdc_chunks_single_doc_shuffle(spark):
+    """Tokens shuffle once on doc_id; the two windows (lag hash,
+    boundary prefix sum) and the chunk aggregate all reuse that
+    partitioning — exactly one Exchange in the plan."""
+    df = _df(spark, "text_cdc_chunk_boundaries")
+    assert count_nodes(df, "Exchange") == 1
+
+
+def test_heaps_fit_broadcasts_moments(spark):
+    """The 1-row moment/total relations broadcast; nothing sort-merge
+    joins. (Scan count is not asserted: the unexecuted plan prints the
+    shared curve subtree once per consumer — AQE reuses the exchange
+    at runtime.)"""
+    df = _df(spark, "corpus_heaps_law_fit")
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+
+
+def test_funnel_latency_joins_are_keyed(spark):
+    """Stage chaining joins on user keys — no cartesian anywhere; the
+    final stage aggregate is a 2-group hash aggregate."""
+    df = _df(spark, "events_funnel_time_to_convert")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_slope_one_window_pass(spark):
+    """All five OLS moments come from one Window node over one
+    user_id shuffle (plus the broadcast corpus-min)."""
+    df = _df(spark, "window_rolling_ols_slope")
+    assert count_nodes(df, "Window") == 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+
+
+def test_poisson_dispersion_two_hash_agg_levels(spark):
+    """(user, day) then user aggregates — both hash aggregates with
+    map-side partials; the day-span is a broadcast, never a join
+    shuffle."""
+    df = _df(spark, "events_poisson_dispersion")
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "HashAggregate") >= 4  # 2 aggs x partial+final
