@@ -105,6 +105,14 @@ HEADLINE = [
     "agg_bloom_filter_probe",
     "sim_hard_negative_mining",
     "dim_scd2_from_events",
+    "market_basket_lift",
+    "window_holt_linear_fold",
+    "events_seasonal_decompose",
+    "text_keyword_rake",
+    "text_cdc_chunk_boundaries",
+    "sim_ivf_multiprobe_topk",
+    "corpus_heaps_law_fit",
+    "window_rolling_ols_slope",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

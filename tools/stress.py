@@ -153,6 +153,19 @@ HEADLINE = [
     "agg_bloom_filter_probe",
     "sim_hard_negative_mining",
     "dim_scd2_from_events",
+    # round-8 second-session batch: the global-window curves (Heaps,
+    # RFM ntiles) and the order-basket self-join are the shapes to
+    # watch — per-key windows and cell-local joins should stay linear
+    "market_basket_lift",
+    "window_holt_linear_fold",
+    "events_seasonal_decompose",
+    "text_keyword_rake",
+    "text_cdc_chunk_boundaries",
+    "sim_ivf_multiprobe_topk",
+    "corpus_heaps_law_fit",
+    "window_rolling_ols_slope",
+    "events_rfm_segmentation",
+    "events_poisson_dispersion",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
