@@ -1563,6 +1563,7 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ORDER BY round(d2, 6), cl) AS rn
                FROM pairs),
     v AS (SELECT vec_id, embedding, cell,
+                 {_sql_bucket('embedding')} AS bucket,
                  sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
           FROM assign WHERE rn = 1),
     l AS (SELECT * FROM v WHERE vec_id % 2 = 0),
@@ -1570,7 +1571,7 @@ def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (SELECT l.vec_id AS left_id, r.vec_id AS right_id, l.cell,
                       round({_sql_dot('l.embedding', 'r.embedding')}
                             / (l.nrm * r.nrm), 6) AS cosine
-               FROM l JOIN r ON l.cell = r.cell)
+               FROM l JOIN r ON l.cell = r.cell AND l.bucket = r.bucket)
     SELECT left_id, right_id, cell, cosine, rnk FROM (
       SELECT left_id, right_id, cell, cosine,
              row_number() OVER (PARTITION BY left_id
@@ -1588,14 +1589,19 @@ def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_ivf_topk (self-search): linking two corpora — user queries to
     documents, new crawl to existing index — at 100 TB on BOTH sides.
 
-    Plan: K centroids broadcast once; each side assigns map-side to its
-    nearest cell (argmin over K, no shuffle); then ONE co-partitioned
-    shuffle of each side on its cell key and a cell-local join — pair
-    work is sum over cells of |L_c| x |R_c|, never |L| x |R|. Top-3
-    per left row by exact in-cell cosine. At production scale K grows
-    with the corpus (K ~ sqrt(N), like SHSS_N_PLANES elsewhere) and a
-    hot cell splits by salting the right side; the fixture's K is the
-    label count, matching sim_ivf_topk's deterministic centroid build.
+    Plan: K centroids broadcast once; each side assigns map-side to
+    its nearest cell (argmin over K, no shuffle) AND to a
+    sign-random-projection sub-bucket (SHSS_N_PLANES hyperplanes, the
+    same env-scaled planes as sim_ann_lsh); then ONE co-partitioned
+    shuffle of each side on the composite (cell, bucket) key and a
+    key-local join — pair work is sum over sub-cells of |L_c| x |R_c|,
+    never |L| x |R|. Top-3 per left row by exact in-sub-cell cosine.
+    The label-count K is FIXED, so the sub-bucket is what scales:
+    tools/stress.py raises SHSS_N_PLANES with REPL (each plane halves
+    expected sub-cell size) — without it the x30 stress measured this
+    join quadratic (44.9 s at x10 → 224.5 s at x30); candidates drop
+    only where a true neighbor straddles a plane, the standard
+    LSH recall trade.
 
     Determinism: same centroid/assignment arithmetic as sim_ivf_topk
     (exact decimal centroid means, d2 rounded to 6 before the argmin
@@ -1651,6 +1657,7 @@ def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "embedding",
             F.col("cl").alias("cell"),
+            _spark_bucket(F.col("embedding")).alias("bucket"),
             _norm(F.col("embedding")).alias("nrm"),
         )
     )
@@ -1659,17 +1666,23 @@ def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("l_emb"),
         F.col("nrm").alias("l_nrm"),
         "cell",
+        "bucket",
     ).filter(F.col("left_id") % 2 == 0)
     right = v.select(
         F.col("vec_id").alias("right_id"),
         F.col("embedding").alias("r_emb"),
         F.col("nrm").alias("r_nrm"),
         F.col("cell").alias("r_cell"),
+        F.col("bucket").alias("r_bucket"),
     ).filter(F.col("right_id") % 2 == 1)
     # deliberately NO broadcast hint: both sides are corpus-sized; the
     # join must ride the cell key (test_plans pins the absence of a
     # static broadcast on either side)
-    scored = left.join(right, F.col("cell") == F.col("r_cell")).select(
+    scored = left.join(
+        right,
+        (F.col("cell") == F.col("r_cell"))
+        & (F.col("bucket") == F.col("r_bucket")),
+    ).select(
         "left_id",
         "right_id",
         "cell",

