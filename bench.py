@@ -113,6 +113,10 @@ HEADLINE = [
     "sim_ivf_multiprobe_topk",
     "corpus_heaps_law_fit",
     "window_rolling_ols_slope",
+    "agg_proportion_ztest",
+    "stream_windowed_topk",
+    "embed_binary_quantization_audit",
+    "corpus_dedup_rate_by_source",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

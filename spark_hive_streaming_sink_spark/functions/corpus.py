@@ -1505,3 +1505,77 @@ def corpus_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_divergence"
         )
     ).select(F.col("source"), F.col("n_s").alias("n_docs"), "kl_divergence")
+
+
+@register(
+    "corpus_dedup_rate_by_source",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(
+                 string_split(trim(lower(text)), ' '))), ' ')) AS canon
+      -- NULL text can't fingerprint, NULL doc_id can't take the
+      -- deterministic keep-first slot: excluded in BOTH engines
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+    r AS (
+      SELECT source,
+             row_number() OVER (PARTITION BY canon ORDER BY doc_id) > 1
+               AS is_dup
+      FROM c)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+           round(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_rate
+    FROM r GROUP BY source
+    """,
+    tags=("llm", "curation", "dedup", "monitoring"),
+)
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the data-card number every
+    curation report leads with: docs are fingerprinted by canonical
+    token-set hash (the text_fingerprint canon), every fingerprint's
+    lowest-id doc is the original, and the rest count as duplicates
+    against THEIR OWN source — so a source that re-crawls content
+    first seen elsewhere is the one charged for it.
+
+    Exactness: integer counts and one rounded division; keep-first is
+    the deterministic lowest-doc_id rule shared by the whole dedup
+    family. Scale: one scan, one shuffle on the fingerprint for the
+    keep-first window, one map-side-combinable rollup on source —
+    the same single-shuffle shape as dedup_exact."""
+    from pyspark.sql import Window
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.array_distinct(
+                            F.split(F.trim(F.lower(F.col("text"))), " ")
+                        )
+                    ),
+                    " ",
+                )
+            ).alias("canon"),
+        )
+    )
+    w = Window.partitionBy("canon").orderBy("doc_id")
+    r = d.select(
+        "source", (F.row_number().over(w) > 1).alias("is_dup")
+    )
+    return r.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint").alias(
+            "n_dups"
+        ),
+        F.round(
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("dup_rate"),
+    )

@@ -2310,3 +2310,93 @@ def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "embed_binary_quantization_audit",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+               -- NULL embeddings can't be signed or scored: excluded
+               -- identically in both engines
+               FROM embeddings WHERE embedding IS NOT NULL),
+    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 a.embedding AS ea, b.embedding AS eb,
+                 a.nrm AS na, b.nrm AS nb
+          FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+          -- ragged pairs have no aligned sign pattern, 0-dim vectors
+          -- no sign pattern at all: same-dim non-empty only
+          WHERE len(a.embedding) = len(b.embedding)
+            AND len(a.embedding) >= 1)
+    SELECT vec_a, vec_b,
+           CAST(len(ea) AS BIGINT) AS n_dims,
+           CAST(len(list_filter(generate_series(1, len(ea)),
+                i -> (ea[i]::DOUBLE > 0) != (eb[i]::DOUBLE > 0)))
+                AS BIGINT) AS hamming,
+           round(1.0e0 - 2.0e0 * len(list_filter(generate_series(1, len(ea)),
+                i -> (ea[i]::DOUBLE > 0) != (eb[i]::DOUBLE > 0)))
+                / len(ea), 6) AS sign_sim,
+           round({_sql_dot('ea', 'eb')} / nullif(na * nb, 0.0e0), 6) AS cosine
+    FROM p
+    """,
+    tags=("llm", "similarity", "quantization", "audit"),
+)
+def embed_binary_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit quantization audit: for consecutive vector pairs, the
+    sign-pattern Hamming distance and its linear proxy
+    sign_sim = 1 − 2·h/d next to the exact cosine — the measurement
+    that tells you how much retrieval quality a 32× binary compression
+    costs BEFORE you rebuild the index with it (for random vectors
+    E[sign_sim] ≈ 2·asin(cos)/π; a corpus deviating far from that curve
+    quantizes badly).
+
+    Exactness: the sign mismatch count is an integer fold over
+    identically-indexed dims (strict > 0 in both engines, so a 0.0
+    coordinate signs negative in both); sign_sim/cosine are single
+    rounded doubles. Scale: consecutive-id pairing is an equi-join on
+    vec_id+1 — one shuffle, rows = corpus, never all-pairs; the audit
+    needs pair VARIETY, not completeness (the edit-distance op's
+    precedent)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    v = emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("nrm"))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    p = a.join(b, F.col("vec_b") == F.col("vec_a") + 1).filter(
+        (F.size("ea") == F.size("eb")) & (F.size("ea") >= 1)
+    )
+    mismatch = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("ea"),
+                F.col("eb"),
+                lambda x, y: (x.cast("double") > 0) != (y.cast("double") > 0),
+            ),
+            lambda m: m,
+        )
+    ).cast("bigint")
+    return p.select(
+        "vec_a",
+        "vec_b",
+        F.size("ea").cast("bigint").alias("n_dims"),
+        mismatch.alias("hamming"),
+        F.round(
+            F.lit(1.0) - F.lit(2.0) * mismatch / F.size("ea"), 6
+        ).alias("sign_sim"),
+        F.round(
+            F.try_divide(
+                _dot(F.col("ea"), F.col("eb")),
+                F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+            ),
+            6,
+        ).alias("cosine"),
+    )

@@ -553,3 +553,52 @@ def stream_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.read.parquet(f"{out_dir}/batch_id=*").select(
         "doc_id", "matched_id", "is_near_duplicate"
     )
+
+
+@register(
+    "stream_windowed_topk",
+    oracle=f"""
+    WITH counts AS (
+      SELECT strftime(make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000),
+                      '{TS_FMT_DUCK}') AS win_start,
+             event_type,
+             COUNT(*) AS n
+      -- event-time windows drop NULL ts; NULL event_type can't take a
+      -- deterministic rank slot cross-engine: both excluded explicitly
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT win_start, event_type, n, rnk FROM (
+      SELECT win_start, event_type, n,
+             row_number() OVER (PARTITION BY win_start
+                                ORDER BY n DESC, event_type) AS rnk
+      FROM counts)
+    WHERE rnk <= 3
+    """,
+    tags=("streaming", "window", "topk"),
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-now: top-3 event types per 6-hour tumbling window. The
+    windowed counts run as a REAL streaming aggregation (complete mode
+    → memory sink); the rank is a batch window over the (windows ×
+    types) result — the standard split, since per-window top-k isn't
+    an incremental streaming operator but the post-aggregation result
+    is tiny. Scale: streaming state is one count per (window, type);
+    the rank input is windows × types, not events."""
+    ev = stream_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    agg = ev.groupBy(F.window("ts", "6 hours"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    res = run_to_memory(agg, mode="complete")
+    from pyspark.sql import Window
+
+    counts = res.select(
+        F.date_format(F.col("window.start"), TS_FMT_SPARK).alias("win_start"),
+        "event_type",
+        "n",
+    )
+    w = Window.partitionBy("win_start").orderBy(F.col("n").desc(), "event_type")
+    return counts.select(
+        "win_start", "event_type", "n", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 3)

@@ -2092,3 +2092,83 @@ def test_proportion_ztest_invariants(spark):
     assert 0 <= r.c_a <= r.n_a and 0 <= r.c_b <= r.n_b
     if r.z_score is not None and r.lift_abs != 0:
         assert (r.z_score > 0) == (r.lift_abs > 0)
+
+
+def test_stream_windowed_topk_invariants(spark):
+    """Per window: ranks dense from 1, ≤3 rows, counts non-increasing
+    with rank; every (window, type) count matches the batch recount."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    rows = QUERIES["stream_windowed_topk"].builder(spark, SF_DIR).collect()
+    assert rows
+    per_w = {}
+    for r in rows:
+        per_w.setdefault(r.win_start, []).append(r)
+    for w, rs in per_w.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        for a, b in zip(rs, rs[1:]):
+            assert a.n >= b.n
+
+
+def test_binary_quantization_audit_invariants(spark):
+    """Quantization laws: 0 ≤ hamming ≤ n_dims; sign_sim == 1 − 2h/d;
+    an identical pair scores hamming 0 / sign_sim 1 / cosine 1; an
+    exactly-negated pair scores hamming d / sign_sim −1 / cosine −1."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    rows = QUERIES["embed_binary_quantization_audit"].builder(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hamming <= r.n_dims
+        assert abs(r.sign_sim - round(1.0 - 2.0 * r.hamming / r.n_dims, 6)) < 1e-12
+    import tempfile
+
+    v = [1.0, -2.0, 3.0, -4.0]
+    df = spark.createDataFrame(
+        [(0, v, 1), (1, v, 1), (2, [-x for x in v], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/embeddings.parquet")
+        out = {(r.vec_a, r.vec_b): r for r in
+               QUERIES["embed_binary_quantization_audit"].builder(spark, d).collect()}
+    same, neg = out[(0, 1)], out[(1, 2)]
+    assert (same.hamming, same.sign_sim, same.cosine) == (0, 1.0, 1.0)
+    assert (neg.hamming, neg.sign_sim, neg.cosine) == (4, -1.0, -1.0)
+
+
+def test_dedup_rate_by_source_invariants(spark):
+    """Rates in [0,1]; total dups equals total docs minus distinct
+    fingerprints; a source of unique docs scores 0."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    rows = QUERIES["corpus_dedup_rate_by_source"].builder(spark, SF_DIR).collect()
+    assert rows
+    total_docs = sum(r.n_docs for r in rows)
+    total_dups = sum(r.n_dups for r in rows)
+    for r in rows:
+        assert 0.0 <= r.dup_rate <= 1.0
+        assert r.n_dups <= r.n_docs
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        "text IS NOT NULL AND doc_id IS NOT NULL"
+    )
+    n_canon = (
+        d.selectExpr(
+            "md5(array_join(array_sort(array_distinct("
+            "split(trim(lower(text)), ' '))), ' ')) AS canon"
+        )
+        .distinct()
+        .count()
+    )
+    assert total_dups == total_docs - n_canon

@@ -178,6 +178,7 @@ DOC_FUZZED = [
     "corpus_source_kl_divergence",
     "text_cdc_chunk_boundaries",
     "corpus_heaps_law_fit",
+    "corpus_dedup_rate_by_source",
     "text_bpe_train_rounds",
     "udtf_tokenize",
     "text_ngram_repetition",
@@ -266,6 +267,7 @@ def test_doc_null_fuzz_matches_oracle(spark, name, rows):
 
 EMB_FUZZED = [
     "sim_ivf_multiprobe_topk",
+    "embed_binary_quantization_audit",
     "sim_cosine_topk",
     "sim_cosine_topk_numpy",
     "embed_norm_stats",

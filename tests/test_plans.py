@@ -1326,3 +1326,19 @@ def test_poisson_dispersion_two_hash_agg_levels(spark):
     df = _df(spark, "events_poisson_dispersion")
     assert count_nodes(df, "SortMergeJoin") == 0
     assert count_nodes(df, "HashAggregate") >= 4  # 2 aggs x partial+final
+
+
+def test_binary_quant_pairing_is_equi_join(spark):
+    """Consecutive-id pairing must be an equi-join (hash/sort-merge on
+    vec_id+1), never a nested loop over the corpus."""
+    df = _df(spark, "embed_binary_quantization_audit")
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_dedup_rate_single_fingerprint_shuffle(spark):
+    """One shuffle on the fingerprint for keep-first, then a map-side
+    combinable source rollup — two exchanges max (window + final agg)."""
+    df = _df(spark, "corpus_dedup_rate_by_source")
+    assert count_nodes(df, "Exchange") <= 2
+    assert count_nodes(df, "Window") == 1

@@ -166,6 +166,9 @@ HEADLINE = [
     "window_rolling_ols_slope",
     "events_rfm_segmentation",
     "events_poisson_dispersion",
+    "agg_proportion_ztest",
+    "embed_binary_quantization_audit",
+    "corpus_dedup_rate_by_source",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
