@@ -117,6 +117,7 @@ HEADLINE = [
     "stream_windowed_topk",
     "embed_binary_quantization_audit",
     "corpus_dedup_rate_by_source",
+    "multimodal_shot_boundaries",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -780,3 +780,111 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").cast("bigint").alias("n_frames"),
         F.sum("energy").cast("bigint").alias("seg_energy"),
     ).drop("grp")
+
+
+@register(
+    "multimodal_shot_boundaries",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS a
+      FROM documents WHERE text IS NOT NULL),
+    dims AS (
+      SELECT doc_id, a,
+             CAST(greatest(1, floor(sqrt(CAST(floor(length(a) / 3) AS DOUBLE))))
+                  AS BIGINT) AS w,
+             CAST(floor(floor(length(a) / 3)
+                  / greatest(1, floor(sqrt(CAST(floor(length(a) / 3) AS DOUBLE)))))
+                  AS BIGINT) AS h
+      FROM g WHERE floor(length(a) / 3) >= 1),
+    frames AS (
+      SELECT doc_id, w, h, fno,
+             substr(a, CAST((fno - 1) * w * 3 + 1 AS INT), CAST(w * 3 AS INT))
+               AS fstr
+      FROM dims, unnest(generate_series(1, h)) AS u(fno)),
+    m AS (
+      SELECT doc_id, CAST(fno AS BIGINT) AS frame_no,
+             CAST(round(CAST(list_sum(list_transform(
+                    generate_series(1, len(fstr)),
+                    i -> ord(substr(fstr, i, 1)))) AS DOUBLE)
+                  * 1000.0 / (w * 3), 0) AS BIGINT) AS mean_milli
+      FROM frames),
+    d AS (
+      SELECT doc_id, frame_no, mean_milli,
+             lag(mean_milli) OVER (PARTITION BY doc_id ORDER BY frame_no)
+               AS prev_milli
+      FROM m)
+    SELECT doc_id, frame_no, mean_milli,
+           COALESCE(abs(mean_milli - prev_milli) > 10000, FALSE)
+             AS is_boundary
+    FROM d
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the synthetic video: each pixel ROW
+    of the deterministic PPM image (ppm_payloads) is a frame; a shot
+    boundary fires where consecutive frames' mean intensity jumps by
+    more than 10 greyscale units — the cheap luminance-delta first
+    pass every video-curation pipeline runs before expensive per-shot
+    sampling (real decoders swap into the intensity step; the
+    frame/lag/threshold plumbing is the product).
+
+    Exactness: frame geometry is the ppm_payloads integer expression
+    tree; per-frame intensity is an exact ASCII-code sum rounded to
+    integer milli-units before the lag compare, so the boundary
+    predicate compares BIGINTs. Scale: frames explode to h rows per
+    doc (h ~ sqrt(chars)); the lag window shuffles once on doc_id;
+    per-frame char work is linear in payload size, all JVM built-ins —
+    no Python in the loop."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    a = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    npix = F.floor(F.length(a) / 3).cast("bigint")
+    w = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor(F.sqrt(npix.cast("double"))).cast("bigint"),
+    )
+    dims = d.select(
+        "doc_id", a.alias("a"), w.alias("w"), F.floor(npix / w).cast("bigint").alias("h")
+    ).filter(npix >= 1)
+    frames = dims.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("h"))).alias("fno"),
+        "a",
+    ).select(
+        "doc_id",
+        "w",
+        F.col("fno").alias("frame_no"),
+        F.expr("substr(a, CAST((fno - 1) * w * 3 + 1 AS INT), CAST(w * 3 AS INT))").alias(
+            "fstr"
+        ),
+    )
+    m = frames.select(
+        "doc_id",
+        "frame_no",
+        F.round(
+            F.expr(
+                "aggregate(transform(sequence(1, length(fstr)),"
+                " i -> ascii(substring(fstr, i, 1))), 0L, (acc, x) -> acc + x)"
+            ).cast("double")
+            * 1000.0
+            / (F.col("w") * 3),
+            0,
+        )
+        .cast("bigint")
+        .alias("mean_milli"),
+    )
+    from pyspark.sql import Window
+
+    lag = F.lag("mean_milli").over(
+        Window.partitionBy("doc_id").orderBy("frame_no")
+    )
+    return m.select(
+        "doc_id",
+        "frame_no",
+        "mean_milli",
+        F.coalesce(
+            F.abs(F.col("mean_milli") - lag) > 10000, F.lit(False)
+        ).alias("is_boundary"),
+    )

@@ -2172,3 +2172,40 @@ def test_dedup_rate_by_source_invariants(spark):
         .count()
     )
     assert total_dups == total_docs - n_canon
+
+
+def test_shot_boundaries_invariants(spark):
+    """Frame laws: frame_no dense 1..h per doc; first frame is never a
+    boundary; a planted video of two flat 'shots' (low rows then high
+    rows) fires exactly one boundary at the transition."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    from .conftest import SF_DIR
+
+    rows = QUERIES["multimodal_shot_boundaries"].builder(spark, SF_DIR).collect()
+    assert rows
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in per_doc.items():
+        rs.sort(key=lambda r: r.frame_no)
+        assert [r.frame_no for r in rs] == list(range(1, len(rs) + 1))
+        assert rs[0].is_boundary is False
+    # planted: 16 pixels wide=4, h=4: two rows of '!' (33) then two of
+    # 'z' (122) -> one jump of 89 intensity units at frame 3
+    text = ("!" * 12 * 2) + ("z" * 12 * 2)
+    import tempfile
+
+    df = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = sorted(
+            QUERIES["multimodal_shot_boundaries"].builder(spark, d).collect(),
+            key=lambda r: r.frame_no,
+        )
+    assert [r.is_boundary for r in out] == [False, False, True, False]
+    assert out[0].mean_milli == 33000 and out[-1].mean_milli == 122000

@@ -179,6 +179,7 @@ DOC_FUZZED = [
     "text_cdc_chunk_boundaries",
     "corpus_heaps_law_fit",
     "corpus_dedup_rate_by_source",
+    "multimodal_shot_boundaries",
     "text_bpe_train_rounds",
     "udtf_tokenize",
     "text_ngram_repetition",

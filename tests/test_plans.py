@@ -1342,3 +1342,13 @@ def test_dedup_rate_single_fingerprint_shuffle(spark):
     df = _df(spark, "corpus_dedup_rate_by_source")
     assert count_nodes(df, "Exchange") <= 2
     assert count_nodes(df, "Window") == 1
+
+
+def test_shot_boundaries_single_doc_shuffle(spark):
+    """Frames explode map-side from the scan; only the lag window
+    shuffles (once, on doc_id) — and the intensity fold is all JVM
+    built-ins (no BatchEvalPython anywhere)."""
+    df = _df(spark, "multimodal_shot_boundaries")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -169,6 +169,7 @@ HEADLINE = [
     "agg_proportion_ztest",
     "embed_binary_quantization_audit",
     "corpus_dedup_rate_by_source",
+    "multimodal_shot_boundaries",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
