@@ -118,6 +118,12 @@ HEADLINE = [
     "embed_binary_quantization_audit",
     "corpus_dedup_rate_by_source",
     "multimodal_shot_boundaries",
+    # round-9: align with tools/stress.py's round-8 list (ADVICE r8) —
+    # these two were stress-only; stream_windowed_topk stays bench-only
+    # because the stress harness replays replicated parquet without the
+    # streaming checkpoint/temp-view scaffolding the op needs.
+    "events_rfm_segmentation",
+    "events_poisson_dispersion",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"
@@ -235,19 +241,50 @@ def main() -> None:
         mode = "roundrobin"
 
     total = round(sum(t for t in timings.values() if t == t), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(cpus),
-                "mode": mode,
-            }
-        )
+    # NaN (failed child) -> null so strict JSON parsers accept the line
+    clean = {k: (round(v, 2) if v == v else None) for k, v in timings.items()}
+    record = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": clean,
+        "sf": sf,
+        "cpus": int(cpus),
+        "mode": mode,
+    }
+    # Full per-query record on disk (the per-round ledger the judge
+    # reads); the stdout line must stay SMALL — the round-8 driver kept
+    # only the last ~2 KB of stdout and the 75-query line got truncated
+    # mid-JSON (BENCH_r08.json "parsed": null).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "bench_latest.json"
     )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError:
+        full_path = None
+    line = json.dumps(record, separators=(",", ":"))
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1800"))
+    if len(line) > budget:
+        # keep per-query timings slowest-first until the byte budget
+        # (the slow tail carries the perf signal), point at the on-disk
+        # record for the rest — the line always parses whole no matter
+        # how many queries the suite grows to
+        small = dict(record)
+        small["queries"] = {}
+        small["queries_omitted"] = 0
+        small["full_record"] = "tools/bench_latest.json"
+        by_cost = sorted(timings, key=lambda n: -(clean[n] or 0.0))
+        for name in by_cost:
+            trial = dict(small)
+            trial["queries"] = {**small["queries"], name: clean[name]}
+            if len(json.dumps(trial, separators=(",", ":"))) > budget:
+                small["queries_omitted"] = len(timings) - len(small["queries"])
+                break
+            small["queries"] = trial["queries"]
+        line = json.dumps(small, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -769,15 +769,42 @@ def dedup_chunks_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic 1-in-K pair sample for the calibration audit. The audit
+# estimates the |est - exact| error DISTRIBUTION of a band/row config; a
+# hash-sample of candidate pairs estimates that distribution just as
+# well (it is an audit, not a dedup pass — no pair is deleted from it),
+# while dividing the expensive exact-Jaccard re-check by K. K=1 (the
+# default, used by all oracle gates) is exhaustive; tools/stress.py sets
+# K>1 the way a production run over a 100 TB corpus would. The sample is
+# md5(doc_a_doc_b)-keyed, so both engines — and any two runs — select
+# the identical pair subset.
+CALIB_SAMPLE_K = int(os.environ.get("SHSS_CALIB_SAMPLE_K", "1"))
+
+_SQL_CALIB_SAMPLE = (
+    f"""
+    samp AS (
+      SELECT * FROM pairs
+      WHERE CAST(('0x' || substr(md5(concat(doc_a, '_', doc_b)), 1, 7)) AS BIGINT)
+            % {CALIB_SAMPLE_K} = 0),
+    """
+    if CALIB_SAMPLE_K > 1
+    else "samp AS (SELECT * FROM pairs),"
+)
+
+
 @register(
     "dedup_minhash_calibration",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
-    hxt AS (SELECT doc_id, shingles, {_SQL_HX} AS hx FROM sh),
+    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM sh),
     -- degenerate docs (NULL minhash: NULL / <3-token text) are not
-    -- candidates; also guarantees n_union >= 1 below (no 0-divide)
-    mh AS (SELECT * FROM (SELECT doc_id, shingles, {_SQL_MINHASH} FROM hxt)
+    -- candidates; also guarantees n_union >= 1 below (no 0-divide).
+    -- dig = the 60-bit shingle digest (md5 head) already computed for
+    -- the minhash permutations — the exact-Jaccard intersect runs on
+    -- 8-byte ints, not 32-char hex strings
+    mh AS (SELECT * FROM (SELECT doc_id, list_transform(hx, p -> p.h1) AS dig,
+                                 {_SQL_MINHASH} FROM hxt)
            WHERE mh0 IS NOT NULL),
     bands AS (
       SELECT doc_id, 0 AS band_no,
@@ -791,6 +818,7 @@ def dedup_chunks_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM reps a JOIN bands b
         ON a.band_key = b.band_key AND a.band_no = b.band_no
        AND a.doc_id < b.doc_id),
+    {_SQL_CALIB_SAMPLE.strip()}
     j AS (
       SELECT p.doc_a, p.doc_b,
              CAST(((x.mh0 = y.mh0)::INT + (x.mh1 = y.mh1)::INT
@@ -798,10 +826,10 @@ def dedup_chunks_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT
                  + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) AS BIGINT)
                AS n_match_perms,
-             CAST(len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS n_inter,
-             CAST(len(x.shingles) + len(y.shingles)
-                  - len(list_intersect(x.shingles, y.shingles)) AS BIGINT) AS n_union
-      FROM pairs p
+             CAST(len(list_intersect(x.dig, y.dig)) AS BIGINT) AS n_inter,
+             CAST(len(x.dig) + len(y.dig)
+                  - len(list_intersect(x.dig, y.dig)) AS BIGINT) AS n_union
+      FROM samp p
       JOIN mh x ON x.doc_id = p.doc_a
       JOIN mh y ON y.doc_id = p.doc_b)
     SELECT doc_a, doc_b, n_match_perms,
@@ -827,9 +855,16 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidate pairs only (band-bucket-local, the same join as
     dedup_minhash_pairs); the exact-Jaccard re-check touches only
-    those pairs — this is precisely how production pipelines afford
-    exact verification: estimate to find candidates, exact-check the
-    candidates.
+    those pairs. The pair-side fetches ship a PACKED signature (one
+    array of 8 longs) plus the 60-bit shingle DIGESTS already computed
+    for the permutations — never the raw shingle strings (5× narrower
+    through both pair-side shuffles; digest collisions would need two
+    distinct shingles of one doc to share 60 md5 bits, ~2^-60 per
+    in-doc pair). SHSS_CALIB_SAMPLE_K>1 additionally audits a
+    deterministic md5-keyed 1-in-K sample of the candidate pairs —
+    the production posture at 100 TB, where the error distribution is
+    what's being estimated, not any individual pair (see
+    CALIB_SAMPLE_K above); K=1 (default, all gates) is exhaustive.
 
     NOT exhaustive under the star cap: buckets larger than BAND_CAP
     (SHSS_BAND_CAP) omit member-member pairs between two
@@ -839,10 +874,14 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity-selected — but a capped run's pair list is a sample."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     sig = (
-        _add_minhash(
-            d.select("doc_id", _shingles(F.col("text")).alias("shingles")).select(
-                "doc_id", "shingles", _shingle_hashes(F.col("shingles")).alias("hx")
-            )
+        d.select(
+            "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
+        )
+        .withColumn("mh", _minhash_cols())
+        .select(
+            "doc_id",
+            F.transform("hx", lambda p: p.getField("h1")).alias("dig"),
+            "mh",
         )
         # four consumers (two band sides + both pair sides): shingle
         # once — at 100 TB this is the persisted signature table
@@ -853,10 +892,10 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # predicate pushdown substitutes the whole minhash fold into
         # the filter and re-evaluates it per row (measured 1.9 s →
         # 6.2 s); on the materialized column it is a free scan filter
-        .filter(F.col("mh0").isNotNull())
+        .filter(F.col("mh").isNotNull())
     )
-    b0 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)]))
-    b1 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)]))
+    b0 = F.md5(F.concat_ws("_", *[F.col("mh").getItem(i) for i in range(4)]))
+    b1 = F.md5(F.concat_ws("_", *[F.col("mh").getItem(i) for i in range(4, 8)]))
     bands = sig.select(
         "doc_id", F.lit(0).alias("band_no"), b0.alias("band_key")
     ).unionByName(
@@ -864,35 +903,45 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = _band_reps(bands).alias("a")  # star scheme: reps x all members
     b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    raw_pairs = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.band_no") == F.col("b.band_no"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    if CALIB_SAMPLE_K > 1:
+        # the sample key is a pure function of the pair, so filtering
+        # BEFORE the distinct gives the identical pair set while the
+        # dedup shuffle moves 1/K of the rows
+        raw_pairs = raw_pairs.filter(
+            F.conv(
+                F.substring(F.md5(F.concat_ws("_", "doc_a", "doc_b")), 1, 7),
+                16,
+                10,
+            ).cast("bigint")
+            % CALIB_SAMPLE_K
+            == 0
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    pairs = raw_pairs.distinct()
     x = sig.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+        F.col("dig").alias("dig_a"),
+        F.col("mh").alias("mh_a"),
     )
     y = sig.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+        F.col("dig").alias("dig_b"),
+        F.col("mh").alias("mh_b"),
     )
     j = pairs.join(x, "doc_a").join(y, "doc_b")
-    n_match = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_MINHASH)
+    n_match = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda p, q: (p == q).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
     ).cast("bigint")
-    n_inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    n_inter = F.size(F.array_intersect("dig_a", "dig_b")).cast("bigint")
     n_union = (
-        F.size("sh_a").cast("bigint") + F.size("sh_b").cast("bigint") - n_inter
+        F.size("dig_a").cast("bigint") + F.size("dig_b").cast("bigint") - n_inter
     )
     est = F.round(n_match * 1000000.0 / N_MINHASH, 0).cast("bigint")
     exact = F.round(n_inter * 1000000.0 / n_union, 0).cast("bigint")
@@ -921,7 +970,9 @@ RARE_DF_CAP = int(os.environ.get("SHSS_RARE_DF_CAP", "16"))
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
     sh AS (
       SELECT doc_id,
-             list_transform({_SQL_SHINGLES}, s -> md5(s)) AS shingles
+             list_transform({_SQL_SHINGLES},
+                            s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))
+               AS shingles
       FROM t WHERE len(toks) >= 3),
     e AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
     rare AS (
@@ -965,17 +1016,21 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: candidates are approximate, but each emitted pair's
     containment is EXACT — both docs' full distinct-shingle digest
     arrays join back by doc_id and intersect per pair (O(|A|+|B|) hash
-    intersect, bounded by doc length). Counts are BIGINTs, containments
-    are single int/int IEEE divides, and the near_superset verdict
-    (>= 0.9 of the smaller side) compares integers — bit-identical in
-    both engines.
+    intersect, bounded by doc length). Digests are the 60-bit md5 head
+    as a BIGINT (8 bytes/shingle through the pair-side shuffles, 5×
+    narrower than 32-char hex; a within-pair collision needs two
+    distinct shingles sharing 60 md5 bits, ~2^-60). Counts are BIGINTs,
+    containments are single int/int IEEE divides, and the near_superset
+    verdict (>= 0.9 of the smaller side) compares integers —
+    bit-identical in both engines.
 
-    Scale shape: explode distinct shingle digests (uniform md5 keys),
+    Scale shape: explode distinct shingle digests (uniform hash keys),
     one groupBy for document frequency, a semi-join keeps rare
     postings, the bounded self-join emits DISTINCT pairs, then two
-    doc_id-keyed joins fetch the shingle arrays (SMJ at 100 TB; AQE may
-    broadcast at fixture scale). No minhash approximation, no windows,
-    no Python."""
+    doc_id-keyed joins fetch the digest arrays from the SAME
+    materialized signature relation — Spark's ReuseExchange serves both
+    fetches from one shuffle of it (pinned in tests/test_plans.py). No
+    minhash approximation, no windows, no Python."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), " ")
     # Three consumers (postings explode + both pair-side array fetches)
@@ -985,9 +1040,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         d.select(
             "doc_id",
-            F.transform(_shingles(F.col("text")), lambda s: F.md5(s)).alias(
-                "shingles"
-            ),
+            F.transform(
+                _shingles(F.col("text")),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                    "bigint"
+                ),
+            ).alias("shingles"),
         )
         .filter(F.size(toks) >= 3)
         .localCheckpoint(eager=True)
@@ -999,7 +1057,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= 2) & (F.col("df") <= RARE_DF_CAP))
         .select("h")
     )
-    er = e.join(rare, "h")
+    # er is BOTH sides of the pair self-join below; without the
+    # checkpoint each side re-runs the explode + document-frequency
+    # shuffle over the full postings (measured as two identical
+    # Exchange(h) subtrees). Materializing the rare-postings index once
+    # is exactly what a production pipeline persists; it is df-capped,
+    # so its size is bounded by RARE_DF_CAP × |rare shingles|.
+    er = e.join(rare, "h").localCheckpoint(eager=True)
     pairs = (
         er.alias("a")
         .join(

@@ -44,6 +44,12 @@ os.environ.setdefault("SHSS_N_PLANES", str(4 + _REPL.bit_length()))
 # keeps stress pair counts linear while leaving fixture-scale
 # semantics untouched (fixture buckets are far below any cap).
 os.environ.setdefault("SHSS_BAND_CAP", "16")
+# calibration audit: at stress scale, audit a deterministic 1-in-16
+# hash-sample of candidate pairs (the 100 TB production posture — the
+# audit estimates an error distribution, a sample estimates it equally
+# well; ~90k pairs at x100 is still a tight estimate); oracle gates run
+# exhaustive K=1
+os.environ.setdefault("SHSS_CALIB_SAMPLE_K", "16")
 
 import pyspark.sql.functions as F  # noqa: E402
 
@@ -203,11 +209,16 @@ def main() -> None:
         materialize(spark, repl, out_dir)
         print(f"materialized x{repl} in {time.time() - t0:.1f}s", file=sys.stderr)
     qs = queries()
+    # optional query subset: python tools/stress.py REPL CPUS name...
+    names = sys.argv[3:] or HEADLINE
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
     # min of 2 runs, as in bench.py: first execution at a new scale pays
     # JIT/codegen compilation (observed 19.8 s cold vs 1.6 s warm for the
     # same minhash plan) — the minimum is the plan's actual cost
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
