@@ -844,9 +844,20 @@ def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("bigint"),
         F.floor(F.sqrt(npix.cast("double"))).cast("bigint"),
     )
-    dims = d.select(
-        "doc_id", a.alias("a"), w.alias("w"), F.floor(npix / w).cast("bigint").alias("h")
-    ).filter(npix >= 1)
+    # filter on the selected npix column (not the pre-projection
+    # expression) so the plan never leans on ResolveMissingReferences
+    # re-resolving through the Project — ADVICE r8
+    dims = (
+        d.select(
+            "doc_id",
+            a.alias("a"),
+            npix.alias("npix"),
+            w.alias("w"),
+            F.floor(npix / w).cast("bigint").alias("h"),
+        )
+        .filter(F.col("npix") >= 1)
+        .drop("npix")
+    )
     frames = dims.select(
         "doc_id",
         "w",

@@ -9,6 +9,8 @@ map-side-only work (no shuffle at all except the final stats).
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
@@ -17,6 +19,10 @@ from ..registry import register
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _SQL_STOP = ", ".join(f"'{w}'" for w in STOPWORDS)
+# regex alternation of the stopwords, each escaped so a future stopword
+# carrying a regex metacharacter cannot silently change matching (both
+# engines receive the identical escaped pattern)
+_STOP_ALT = "|".join(_re.escape(w) for w in STOPWORDS)
 
 # marker words per language for the n-gram/stopword language-ID heuristic
 LANG_MARKERS = {
@@ -1781,7 +1787,7 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH canon AS (
       SELECT regexp_replace(
                regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
-               '\\b({"|".join(STOPWORDS)})\\b', '|', 'g') AS t
+               '\\b({_STOP_ALT})\\b', '|', 'g') AS t
       FROM documents WHERE text IS NOT NULL),
     phrases AS (
       SELECT trim(p) AS phrase
@@ -1802,8 +1808,10 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE (Rapid Automatic Keyword Extraction) word scores over the
-    corpus: text splits into candidate phrases at stopword/punctuation
-    boundaries; each word scores degree/frequency, where degree sums
+    corpus: text splits into candidate phrases at stopword boundaries
+    (the fixture corpus is pre-tokenized words — punctuation splitting
+    would be a no-op here and is deliberately not claimed); each word
+    scores degree/frequency, where degree sums
     the lengths of every phrase containing it — words that live in
     long multi-word phrases rank above merely-frequent ones. Top 50
     by (score, word) — the corpus keyword table a data card reports.
@@ -1815,7 +1823,7 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as explode_wordcount). The top-50 is a TakeOrdered, not a
     global sort."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    stop_re = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    stop_re = r"\b(" + _STOP_ALT + r")\b"
     t = F.regexp_replace(
         F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
         stop_re,

@@ -20,15 +20,18 @@ Where we deliberately diverge (SURVEY.md §1.4, §7):
 - The reference writes row-at-a-time JSON through the Hive streaming
   API and its epoch ``commit``/``abort`` are no-ops
   (``HiveStreamWriter.scala:39-41``) → at-least-once. We write whole
-  micro-batches columnar (``insertInto`` dynamic partition insert) and
-  keep a batch-id ledger, skipping batches already committed →
-  effective exactly-once on query restart/retry.
+  micro-batches columnar through a staged publish
+  (:class:`StagedBatchPublisher`): stage the batch as parquet under the
+  table's own ``_shss_staging`` dir, durably record a rename manifest,
+  then publish via idempotent per-file renames → exactly-once table
+  contents at EVERY crash point (a replay resumes the manifest instead
+  of re-appending). The batch-id ledger marker remains the fast
+  replay-skip path; correctness no longer depends on its timing.
 - Hive ACID/bucketed ORC is a Hive-side storage feature OSS Spark
-  cannot write; destinations are Spark-managed partitioned tables.
-  Durability of a batch rests on Spark's FileCommitProtocol (atomic
-  job commit), the ledger marker is written after commit; the
-  crash window between the two is replay-safe for re-run batches and
-  documented.
+  cannot write; destinations are Spark-managed partitioned tables
+  behind a pluggable table-format seam (see ``TABLE_FORMAT_PROVIDERS``)
+  whose default provider maps the reference's ACID guarantees onto the
+  staged-rename protocol.
 
 Scale posture: each micro-batch is repartitioned by the destination's
 partition columns before insert so one task owns one output partition
@@ -180,16 +183,15 @@ class BatchCommitLedger:
     the scope is derived from the destination table plus the query
     name (see :func:`write_stream_to_table`).
 
-    Delivery semantics: creation-after-commit plus Spark's at-most-once
-    batch replay per checkpoint gives exactly-once table contents on
-    restart/retry. The one remaining window: a crash AFTER the
-    insert's job commit but BEFORE the marker write replays that batch
-    as a duplicate append on restart — i.e. the guarantee is
-    effectively-exactly-once with an at-least-once window exactly one
-    batch wide. (Closing it fully would require committing the marker
-    inside the same job transaction, e.g. a ledger partition in the
-    destination table or an ACID table format like Iceberg/Delta;
-    documented trade-off, SURVEY.md §7a.)
+    Delivery semantics: the marker is the FAST replay-skip path, not
+    the correctness anchor. Exactly-once is carried by the staged
+    publish (:class:`StagedBatchPublisher`): a batch whose marker was
+    lost to a crash re-enters ``publish``, finds its durable manifest,
+    sees every target file already in place, and re-appends nothing.
+    The pre-staged-publish design had a one-batch-wide at-least-once
+    window here (crash between job commit and marker); the manifest
+    closed it — the true exactly-once upgrade over the reference's
+    no-op epoch commit (``HiveStreamWriter.scala:39-41``).
     """
 
     def __init__(self, ledger_dir: str, scope: str = "_global"):
@@ -212,24 +214,236 @@ def _slug(s: str) -> str:
     return "".join(ch if ch.isalnum() or ch in "._-" else "_" for ch in s) or "_global"
 
 
+class StagedBatchPublisher:
+    """Exactly-once micro-batch append into a Spark file-format table
+    (parquet/ORC/...) via stage → durable manifest → idempotent
+    rename-publish.
+
+    Protocol (every step idempotent under replay of the whole batch):
+
+    1. **Stage**: write the aligned batch in the DESTINATION's own file
+       format (catalog ``Provider`` — the reference's tables are ORC,
+       ``HiveStreamingExample.scala:26-31``) under the table's
+       own ``<location>/_shss_staging/<scope>/batch-<id>`` (leading
+       ``_`` hides it from Spark's file listing, same convention as
+       ``_spark_metadata``; living inside the table location guarantees
+       same-filesystem renames). ``mode=overwrite`` makes a re-stage
+       after a mid-stage crash self-cleaning.
+    2. **Manifest**: list the staged data files, record
+       ``[staged-relative-path, table-relative-target]`` pairs, write
+       the manifest to a temp file and atomically rename it into place.
+       Target names are prefixed ``b<batch_id>-`` so no other batch can
+       collide. The manifest is the commit point: it exists exactly
+       from staging-complete until after the ledger marker is durable.
+    3. **Publish**: per manifest entry, rename staged file → target
+       (HDFS/posix rename is atomic per file). A target that already
+       exists is a resumed replay — skip it. New partition directories
+       are registered with ``ALTER TABLE ADD IF NOT EXISTS PARTITION``
+       (idempotent).
+
+    Crash anywhere before the manifest → replay re-stages (overwrite)
+    and nothing reached the table. Crash during/after publish → replay
+    finds the manifest, skips every already-renamed target, completes
+    the rest: the table converges to exactly one copy of the batch.
+    Readers can observe a partially-published batch only while the
+    query is down mid-crash (per-file visibility, same class of window
+    as FileCommitProtocol's driver-side commitJob loop); it converges
+    on restart. This is the atomic-with-data replay detection the
+    batch-id ledger alone could not give (its marker write was a
+    separate step — see :class:`BatchCommitLedger`).
+
+    Reference comparison: Hive streaming holds metastore transactions
+    open per writer and its Spark-side epoch commit is a no-op
+    (``HiveStreamWriter.scala:39-41``, at-least-once); here the
+    manifest plays the transaction log's role with plain-filesystem
+    atomicity, no metastore txn service required.
+
+    Scale: staging is one distributed columnar write job (identical
+    cost to the previous ``insertInto``); manifest+renames are
+    driver-side METADATA ops, O(files-per-batch) — bounded by the
+    pre-publish ``repartition`` on the partition columns.
+    """
+
+    def __init__(self, spark: SparkSession, qualified: str, part_cols: list[str]):
+        self.spark = spark
+        self.qualified = qualified
+        self.part_cols = part_cols
+        meta = _table_meta(spark, qualified)
+        self.location = meta["Location"].rstrip("/")
+        # stage in the destination's own file format so renamed files
+        # are indistinguishable from insert-written ones
+        self.file_format = meta.get("Provider", "parquet").lower()
+        self._jvm = spark.sparkContext._jvm
+        self._hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def _path(self, s: str):
+        return self._jvm.org.apache.hadoop.fs.Path(s)
+
+    def _fs(self):
+        return self._path(self.location).getFileSystem(self._hconf)
+
+    def _staging(self, batch_id: int) -> str:
+        return f"{self.location}/_shss_staging/batch-{batch_id}"
+
+    def publish(self, aligned: DataFrame, batch_id: int) -> None:
+        self._publish_entries(self._ensure_staged(aligned, batch_id), batch_id)
+
+    def _ensure_staged(self, aligned: DataFrame, batch_id: int) -> list:
+        """Stage the batch and durably commit the rename manifest;
+        idempotent — an existing manifest short-circuits to its
+        entries (the staged files are known complete)."""
+        fs = self._fs()
+        staging = self._staging(batch_id)
+        staging_q = fs.makeQualified(self._path(staging)).toString()
+        manifest = self._path(staging + "/_MANIFEST")
+        if not fs.exists(manifest):
+            # (re)stage — overwrite wipes any partial previous attempt
+            w = aligned.write.mode("overwrite").format(self.file_format)
+            if self.part_cols:
+                w = w.partitionBy(*self.part_cols)
+            w.save(staging)
+            entries: list[list[str]] = []
+            it = fs.listFiles(self._path(staging), True)
+            while it.hasNext():
+                p = it.next().getPath()
+                name = p.getName()
+                if name.startswith(("_", ".")):
+                    continue  # _SUCCESS etc.
+                rel = fs.makeQualified(p).toString()[len(staging_q) :].lstrip("/")
+                parent = rel[: -len(name)].rstrip("/")
+                target = (f"{parent}/" if parent else "") + f"b{batch_id}-{name}"
+                entries.append([rel, target])
+            import json as _json
+
+            tmp = self._path(staging + "/_MANIFEST.tmp")
+            out = fs.create(tmp, True)
+            out.write(bytearray(_json.dumps(entries).encode("utf-8")))
+            out.close()
+            if not fs.rename(tmp, manifest):
+                raise HiveStreamingSinkError(
+                    f"could not commit staging manifest for batch {batch_id}"
+                )
+        else:
+            import json as _json
+
+            stream = fs.open(manifest)
+            raw = self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            stream.close()
+            entries = _json.loads(raw)
+        return entries
+
+    def _publish_entries(self, entries: list, batch_id: int) -> None:
+        """Idempotent rename-publish of manifest entries (already-
+        published targets are skipped — the replay/resume path)."""
+        fs = self._fs()
+        staging = self._staging(batch_id)
+        new_part_dirs: set[str] = set()
+        for rel, target in entries:
+            if "/" in target:
+                new_part_dirs.add(target.rsplit("/", 1)[0])
+            dst = self._path(f"{self.location}/{target}")
+            if fs.exists(dst):
+                continue  # already published by the pre-crash attempt
+            src = self._path(f"{staging}/{rel}")
+            fs.mkdirs(dst.getParent())
+            if not fs.rename(src, dst):
+                raise HiveStreamingSinkError(
+                    f"publish rename failed for batch {batch_id}: {rel} -> {target}"
+                )
+        if self.part_cols and new_part_dirs:
+            unescape = (
+                self._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
+            )
+            for pdir in sorted(new_part_dirs):
+                specs = []
+                for seg in pdir.split("/"):
+                    col, _, val = seg.partition("=")
+                    if val == "__HIVE_DEFAULT_PARTITION__":
+                        raise HiveStreamingSinkError(
+                            "NULL partition values are not routable via "
+                            "ALTER TABLE ADD PARTITION; filter or default "
+                            f"the partition column(s) {self.part_cols} "
+                            "upstream of the sink"
+                        )
+                    v = unescape(val).replace("'", "''")
+                    specs.append(f"{col}='{v}'")
+                self.spark.sql(
+                    f"ALTER TABLE {self.qualified} ADD IF NOT EXISTS "
+                    f"PARTITION ({', '.join(specs)})"
+                )
+
+    def cleanup(self, batch_id: int) -> None:
+        """Drop the batch's staging dir. Only safe once the ledger
+        marker is durable (a manifest must never vanish mid-window);
+        best-effort — a leaked dir is re-cleaned on the next replay."""
+        try:
+            self._fs().delete(self._path(self._staging(batch_id)), True)
+        except Exception:  # pragma: no cover - FS hiccup; next pass retries
+            pass
+
+
+# --- pluggable table-format seam ------------------------------------------
+#
+# The reference's example DDL requires a Hive ACID destination
+# (`clustered by (id) into 5 buckets stored as orc
+# tblproperties("transactional"="true")`, HiveStreamingExample.scala:26-31).
+# OSS Spark cannot write Hive ACID tables, so the design maps the ACID
+# guarantees onto providers:
+#
+#   native (default) — a Spark-managed file-format table (parquet or
+#       ORC, per the catalog Provider) + StagedBatchPublisher:
+#       atomicity    = per-file renames resumed via the durable manifest
+#       consistency  = ALTER TABLE ADD PARTITION after files land
+#       isolation    = single-writer-per-destination contract (below)
+#       durability   = data files + manifest + ledger on the DFS
+#   delta / iceberg — table formats with a real transaction log: their
+#       commit IS the marker, so `publish` would be a single
+#       format-native append of the staged files (or a direct
+#       transactional write) carrying the batch id in commit metadata
+#       (Delta: txn appId/version; Iceberg: snapshot summary). The
+#       provider interface point is here; the formats aren't bundled in
+#       this environment, so selecting them raises with guidance rather
+#       than silently degrading.
+TABLE_FORMAT_PROVIDERS = {"native"}
+
+
+def _resolve_provider(options: "HiveSinkOptions") -> str:
+    provider = str(options.extra.get("table.format", "native")).lower()
+    if provider not in TABLE_FORMAT_PROVIDERS:
+        raise HiveStreamingSinkError(
+            f"table.format {provider!r} is not available in this build; "
+            f"available: {sorted(TABLE_FORMAT_PROVIDERS)}. delta/iceberg "
+            "destinations need their runtime on the classpath — the "
+            "provider seam maps the batch publish onto their native "
+            "transactional commit (see TABLE_FORMAT_PROVIDERS)"
+        )
+    return provider
+
+
 def make_batch_writer(
     options: HiveSinkOptions,
     part_cols: list[str],
     ledger: BatchCommitLedger,
     stream_columns: list[str],
 ):
-    """Build the foreachBatch callable: ledger check → column reorder →
-    partition-clustered columnar append → ledger record.
+    """Build the foreachBatch callable: ledger check → column align →
+    staged exactly-once publish → ledger record → staging cleanup.
 
     Replaces the reference's per-row path (extract partition values →
     JSON-encode → HiveWriter.write, ``HiveStreamDataWriter.scala:72-106``)
-    with one dynamic-partition insert per micro-batch.
+    with one staged columnar parquet job per micro-batch.
     """
+    _resolve_provider(options)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if ledger.committed(batch_id):
-            return  # replayed batch — exactly-once skip
         spark = batch_df.sparkSession
+        if ledger.committed(batch_id):
+            # replayed batch — exactly-once skip; reclaim staging if the
+            # pre-crash attempt died between marker and cleanup
+            StagedBatchPublisher(spark, options.qualified_name, part_cols).cleanup(
+                batch_id
+            )
+            return
         if part_cols and not options.auto_create_partitions:
             # HiveOptions.scala:35 / HiveWriter.scala:44 — with
             # auto.create.partitions=false the reference's Hive endpoint
@@ -250,22 +464,26 @@ def make_batch_writer(
                     f"auto.create.partitions=false and batch {batch_id} contains "
                     f"unknown partition(s): {sorted(missing)}"
                 )
-        dest_cols = [f.name for f in spark.table(options.qualified_name).schema.fields]
-        # insertInto is positional: align to destination column order
-        # (the reference validates name-sets only; we also conform order,
-        # the README tells its users to do this by hand with selectExpr).
-        aligned = batch_df.select(*[F.col(c) for c in dest_cols])
+        dest_fields = spark.table(options.qualified_name).schema.fields
+        # align by NAME and cast to the destination types (the staged
+        # files must be type-identical to the table's own files; the
+        # reference validates name-sets only, README tells its users to
+        # conform order by hand with selectExpr).
+        aligned = batch_df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in dest_fields]
+        )
         if part_cols:
             # one task per output partition → bounded file counts
             aligned = aligned.repartition(*[F.col(c) for c in part_cols])
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        aligned.write.mode("append").insertInto(options.qualified_name)
+        publisher = StagedBatchPublisher(spark, options.qualified_name, part_cols)
+        publisher.publish(aligned, batch_id)
         # invalidate this session's cached file index; NB foreachBatch runs
         # in a CLONED session, so concurrent readers in other sessions of an
         # UNPARTITIONED table must refreshTable themselves before reading
         # (partitioned tables see new data via partition metadata)
         spark.catalog.refreshTable(options.qualified_name)
         ledger.record(batch_id)
+        publisher.cleanup(batch_id)
 
     return write_batch
 
@@ -336,11 +554,13 @@ def write_stream_to_table(
     contract: a second concurrent writer is refused at start (see
     ``_claim_destination``) within the driver process, and running two
     separate applications against one destination is unsupported (their
-    ledgers cannot see each other's appends). Delivery is
-    effectively exactly-once with one documented at-least-once window:
-    a crash between a batch's job commit and its marker write replays
-    that single batch as a duplicate append (see
-    :class:`BatchCommitLedger`).
+    ledgers cannot see each other's appends). Delivery is exactly-once
+    at every crash point: the staged publish's durable manifest makes a
+    replayed batch resume its renames instead of re-appending (see
+    :class:`StagedBatchPublisher`; the ledger marker is the fast skip
+    path). ``table.format`` selects the destination provider
+    (``parquet`` default; the delta/iceberg seam is documented at
+    ``TABLE_FORMAT_PROVIDERS``).
 
     Example::
 
@@ -389,11 +609,22 @@ def write_stream_to_table(
     return query
 
 
-def _table_location(spark: SparkSession, qualified: str) -> str:
+def _table_meta(spark: SparkSession, qualified: str) -> dict[str, str]:
+    """Catalog metadata rows (Location, Provider, ...) from DESCRIBE
+    TABLE EXTENDED — one metadata call, no data scan."""
+    meta = {}
     for r in spark.sql(f"DESCRIBE TABLE EXTENDED {qualified}").collect():
-        if r.col_name == "Location":
-            return r.data_type
-    raise HiveStreamingSinkError(f"no Location in catalog metadata for {qualified}")
+        if r.col_name and r.data_type:
+            meta.setdefault(r.col_name, r.data_type)
+    if "Location" not in meta:
+        raise HiveStreamingSinkError(
+            f"no Location in catalog metadata for {qualified}"
+        )
+    return meta
+
+
+def _table_location(spark: SparkSession, qualified: str) -> str:
+    return _table_meta(spark, qualified)["Location"]
 
 
 def _partition_file_counts(

@@ -365,6 +365,64 @@ def test_emb_null_fuzz_matches_oracle(spark, name, rows):
         shutil.rmtree(d, ignore_errors=True)
 
 
+# --------------------------------------------------------------------------
+# lineitem-basket family: the r8 market-basket op is the one newly-
+# certified operator whose input table (lineitem) had no fuzzer. NULL
+# order/part keys, empty baskets after the NULL filter, duplicate
+# (order, part) lines (the DISTINCT path), and baskets of size 1 (no
+# pairs) are the degenerate shapes the static fixture cannot vary.
+# --------------------------------------------------------------------------
+
+BASKET_FUZZED = ["market_basket_lift"]
+
+
+@st.composite
+def lineitem_table(draw):
+    n = draw(st.integers(min_value=4, max_value=40))
+    rows = []
+    for _ in range(n):
+        rows.append(
+            (
+                draw(st.one_of(st.none(), st.integers(1, 6))),  # l_orderkey
+                draw(st.one_of(st.none(), st.integers(1, 5))),  # l_partkey
+            )
+        )
+    return rows
+
+
+def _write_lineitem(rows, out_dir):
+    cols = list(zip(*rows))
+    t = pa.table(
+        {
+            "l_orderkey": pa.array(cols[0], pa.int64()),
+            "l_partkey": pa.array(cols[1], pa.int64()),
+        }
+    )
+    pq.write_table(t, os.path.join(out_dir, "lineitem.parquet"))
+
+
+@pytest.mark.parametrize("name", BASKET_FUZZED)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=lineitem_table())
+def test_basket_null_fuzz_matches_oracle(spark, name, rows):
+    d = tempfile.mkdtemp(prefix="shss_fuzz_")
+    try:
+        _write_lineitem(rows, d)
+        scols, sn, dcols, dn = _run_both(spark, name, d, table="lineitem")
+        assert scols == dcols
+        assert sn == dn, (
+            f"{name} diverged on fuzzed NULL-key basket pattern; "
+            f"first diffs: {[p for p in zip(sn, dn) if p[0] != p[1]][:3]} "
+            f"(spark={len(sn)} rows, duck={len(dn)} rows)"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_asof_simultaneous_click_counts_as_prior(spark):
     """Pinned fuzzer counterexample: a click at EXACTLY the purchase's
     timestamp (higher event_id) is a prior click under ASOF's inclusive

@@ -518,13 +518,13 @@ def _run_events_stream(spark, table, ckpt, ledger):
     return spark.table(table).count()
 
 
-def test_crash_between_job_commit_and_marker_is_at_least_once(spark, tmp_path):
-    """The documented crash window (streaming/sink.py:183-191) must
-    behave exactly as documented: a crash AFTER the insert's job commit
-    but BEFORE the ledger marker replays that one batch as a duplicate
-    append on restart (at-least-once fallback), and the stated recovery
-    guidance — dedup on the natural key — restores exactly-once
-    contents."""
+def test_crash_between_publish_and_marker_is_exactly_once(spark, tmp_path):
+    """The historical at-least-once window (crash AFTER the batch's
+    publish but BEFORE the ledger marker) is CLOSED by the staged
+    publish: the replay re-enters publish, finds the durable manifest
+    with every target file already renamed into the table, re-appends
+    nothing, and then writes the marker — exactly-once contents with no
+    dedup-on-replay needed."""
     from pyspark.errors import StreamingQueryException
 
     table, _ = _mk_table(spark)
@@ -537,20 +537,17 @@ def test_crash_between_job_commit_and_marker_is_at_least_once(spark, tmp_path):
             spark, table, ckpt, _FaultInjectedLedger(ledger_dir, crash="before")
         )
     spark.catalog.refreshTable(table)
-    # the insert's job commit already landed; the marker did not
+    # the staged publish already landed; the marker did not
     assert spark.table(table).count() == expected
     assert not BatchCommitLedger(ledger_dir).committed(0)
 
-    # restart from the same checkpoint: Spark replays the uncommitted
-    # batch, the ledger has no marker -> duplicate append
-    total = _run_events_stream(
-        spark, table, ckpt, BatchCommitLedger(ledger_dir)
-    )
-    assert total > expected, "replay inside the window must duplicate (at-least-once)"
-    # the documented dedup-on-replay guidance recovers exactly-once
+    # restart from the same checkpoint: Spark replays the batch, the
+    # manifest resume skips every already-published file -> no dupes
+    total = _run_events_stream(spark, table, ckpt, BatchCommitLedger(ledger_dir))
+    assert total == expected, "manifest resume must not duplicate the batch"
     assert spark.table(table).dropDuplicates(["event_id"]).count() == expected
-    # window is one batch wide: marker now durable, a further restart
-    # from a fresh checkpoint adds nothing
+    # marker now durable; a further restart from a fresh checkpoint
+    # (same ledger) adds nothing, and the staging dir was reclaimed
     assert BatchCommitLedger(ledger_dir).committed(0)
     assert (
         _run_events_stream(
@@ -558,6 +555,51 @@ def test_crash_between_job_commit_and_marker_is_at_least_once(spark, tmp_path):
         )
         == total
     )
+
+
+def test_crash_mid_publish_resumes_exactly_once(spark, tmp_path):
+    """Hardest crash point: some manifest entries renamed into the
+    table, some still staged (a crash inside the publish loop). The
+    replay must complete ONLY the missing renames — never re-append
+    the already-published files."""
+    from pyspark.sql import functions as F
+
+    from spark_hive_streaming_sink_spark.streaming.sink import StagedBatchPublisher
+
+    table, _ = _mk_table(spark)  # partitioned by event_type
+    opts = HiveSinkOptions(db="default", table=table)
+    part_cols = validate_destination(
+        spark, ["event_id", "user_id", "value", "event_type"], opts
+    )
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    dest_fields = spark.table(opts.qualified_name).schema.fields
+    aligned = src.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in dest_fields]
+    ).repartition(*[F.col(c) for c in part_cols])
+    expected = src.count()
+
+    publisher = StagedBatchPublisher(spark, opts.qualified_name, part_cols)
+    entries = publisher._ensure_staged(aligned, 0)
+    assert len(entries) >= 2, "need multiple files to split the crash"
+    # simulated crash: only the first half of the renames happened
+    publisher._publish_entries(entries[: len(entries) // 2], 0)
+    spark.catalog.refreshTable(opts.qualified_name)
+    partial = spark.table(opts.qualified_name).count()
+    assert 0 < partial < expected
+
+    # replay path: manifest still present -> resume, no duplicates
+    publisher.publish(aligned, 0)
+    publisher.cleanup(0)
+    spark.catalog.refreshTable(opts.qualified_name)
+    assert spark.table(opts.qualified_name).count() == expected
+    assert (
+        spark.table(opts.qualified_name).dropDuplicates(["event_id"]).count()
+        == expected
+    )
+    # and a third publish (late replay after cleanup would be guarded
+    # by the ledger in the writer; here we just assert idempotence of
+    # the already-published half) — every target already exists
+    # because the staging dir is gone, so committed state is final.
 
 
 def test_crash_after_marker_replays_exactly_once(spark, tmp_path):
