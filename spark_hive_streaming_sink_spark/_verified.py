@@ -350,16 +350,70 @@ ROWS_ONLY_JUDGED: frozenset[str] = frozenset(
     {"agg_approx", "agg_hll_mergeable_sketch", "source_rate_stream"}
 )
 
-# Nothing is red after round 7 (0 outstanding wrong answers; all 236
-# registered queries driver-judged). With the pending set empty, emission
-# falls back to stalest-verdict-first (see ``registry``) so early-round
-# greens get re-certified on a rolling basis.
+_GREEN_R8: frozenset[str] = frozenset(
+    {
+        "agg_approx_error_bounds",
+        "agg_bloom_filter_probe",
+        "agg_countmin_sketch",
+        "agg_grouping_id_rollup",
+        "agg_hll_union_error_bound",
+        "agg_listagg_ordered",
+        "agg_proportion_ztest",
+        "cluster_silhouette_audit",
+        "corpus_dedup_rate_by_source",
+        "corpus_dsir_importance",
+        "corpus_hashed_classifier_score",
+        "corpus_heaps_law_fit",
+        "corpus_priority_sample",
+        "corpus_source_kl_divergence",
+        "dedup_containment_pairs",
+        "dim_scd2_from_events",
+        "embed_binary_quantization_audit",
+        "embed_outlier_zscore",
+        "events_cohort_ltv",
+        "events_funnel_analysis",
+        "events_funnel_time_to_convert",
+        "events_interarrival_burstiness",
+        "events_poisson_dispersion",
+        "events_rfm_segmentation",
+        "events_seasonal_decompose",
+        "graph_kcore",
+        "graph_label_propagation",
+        "graph_triangle_count",
+        "join_bucketed_colocated",
+        "layout_shard_export",
+        "market_basket_lift",
+        "multimodal_shot_boundaries",
+        "sim_ann_join_ivf",
+        "sim_hamming_binary_topk",
+        "sim_hard_negative_mining",
+        "sim_ivf_multiprobe_topk",
+        "sim_mmr_diverse_topk",
+        "sim_range_search_cosine",
+        "stream_dedup_minhash_incremental",
+        "stream_windowed_topk",
+        "text_bpe_train_rounds",
+        "text_cdc_chunk_boundaries",
+        "text_keyword_rake",
+        "text_ngram_repetition",
+        "text_readability_scores",
+        "window_holt_linear_fold",
+        "window_rolling_ols_slope",
+    }
+)
+
+# Nothing is red after round 8 (0 outstanding wrong answers; all 273
+# oracle-bearing queries hold a green driver verdict, CORRECTNESS_r08
+# 47/47). With the pending set empty, emission falls back to
+# stalest-verdict-first (see ``registry``) so early-round greens get
+# re-certified on a rolling basis.
 PRIORITY_RECHECK: tuple[str, ...] = ()
 
 # Union of every green ever recorded (a later re-judge can only refresh the
 # verdict, never remove it — reds would move to PRIORITY_RECHECK instead).
 GREEN: frozenset[str] = (
     _GREEN_R1 | _GREEN_R2 | _GREEN_R4 | _GREEN_R5 | _GREEN_R6 | _GREEN_R7
+    | _GREEN_R8
 )
 
 # Round of each query's MOST RECENT green verdict. With the pending set
@@ -368,7 +422,8 @@ GREEN: frozenset[str] = (
 # since been refactored — get re-certified within ~2 driver rounds.
 LAST_GREEN_ROUND: dict[str, int] = {}
 for _round, _names in ((1, _GREEN_R1), (2, _GREEN_R2), (4, _GREEN_R4),
-                       (5, _GREEN_R5), (6, _GREEN_R6), (7, _GREEN_R7)):
+                       (5, _GREEN_R5), (6, _GREEN_R6), (7, _GREEN_R7),
+                       (8, _GREEN_R8)):
     for _name in _names:
         LAST_GREEN_ROUND[_name] = _round
 del _round, _names, _name
