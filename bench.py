@@ -124,6 +124,10 @@ HEADLINE = [
     # streaming checkpoint/temp-view scaffolding the op needs.
     "events_rfm_segmentation",
     "events_poisson_dispersion",
+    # round-9 additions (new keys only per BASELINE.md protocol)
+    "text_char_entropy",
+    "text_pii_signal_counts",
+    "embed_winsorize_audit",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -2400,3 +2400,90 @@ def embed_binary_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFra
             6,
         ).alias("cosine"),
     )
+
+
+# --------------------------------------------------------------------------
+# per-dimension winsorization audit: tail clipping an embedding store
+# runs before quantization (outlier dims wreck int8 scale factors)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embed_winsorize_audit",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings WHERE embedding IS NOT NULL),
+    x AS (
+      SELECT vec_id, i AS dim, v[i] AS val
+      FROM (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM e)
+      WHERE v[i] IS NOT NULL),
+    q AS (
+      SELECT dim, COUNT(*) AS n_vals,
+             round(quantile_cont(val, 0.05), 6) AS lo,
+             round(quantile_cont(val, 0.95), 6) AS hi
+      FROM x GROUP BY dim)
+    SELECT x.dim, q.lo, q.hi,
+           CAST(q.n_vals AS BIGINT) AS n_vals,
+           CAST(SUM((val < lo)::INT) AS BIGINT) AS n_below,
+           CAST(SUM((val > hi)::INT) AS BIGINT) AS n_above,
+           CAST((SUM((val < lo)::INT) + SUM((val > hi)::INT)) * 1000000
+                // q.n_vals AS BIGINT) AS clipped_ppm
+    FROM x JOIN q USING (dim)
+    GROUP BY x.dim, q.lo, q.hi, q.n_vals
+    """,
+    tags=("llm", "embedding", "audit"),
+)
+def embed_winsorize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension winsorization audit: the p05/p95 clip bounds of
+    every embedding dimension plus how many values each bound would
+    clip — the pre-quantization pass an embedding store runs because a
+    single heavy-tailed dimension wrecks int8 scale factors (see
+    embed_quantize_int8). Output is one row per dimension.
+
+    Exactness: both engines compute the same linearly-interpolated
+    percentile (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, the
+    agg_percentile-proven pairing), rounded to 6 before the clip
+    comparisons so the counts compare floats that are bit-identical by
+    construction; NULL elements and NULL/ragged vectors drop out of
+    both engines identically (a dimension exists exactly where a
+    vector has a non-NULL element at it).
+
+    Scale: posexplode is linear in corpus floats; the percentile
+    groupBy keys on dim (bounded by model dimensionality, ≤ a few
+    thousand) — acceptable state per group because percentile state is
+    the group's values ONCE, the same memory the sort-based exact
+    percentile needs anywhere; the bounds table (one row per dim) is
+    explicitly broadcast back, so the clip-count pass is a map-side
+    join + re-aggregation on dim. Two shuffles total, both on the
+    bounded dim key."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val32")
+    ).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.col("val32").cast("double").alias("val"),
+    ).filter(
+        F.col("val").isNotNull()
+    )
+    q = x.groupBy("dim").agg(
+        F.count("*").alias("n_vals"),
+        F.round(F.expr("percentile(val, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(val, 0.95)"), 6).alias("hi"),
+    )
+    j = x.join(F.broadcast(q), "dim")
+    below = F.sum((F.col("val") < F.col("lo")).cast("int")).cast("bigint")
+    above = F.sum((F.col("val") > F.col("hi")).cast("int")).cast("bigint")
+    return j.groupBy("dim", "lo", "hi", "n_vals").agg(
+        below.alias("n_below"),
+        above.alias("n_above"),
+        F.expr(
+            "CAST((SUM(CAST(val < lo AS INT)) + SUM(CAST(val > hi AS INT)))"
+            " * 1000000 div n_vals AS BIGINT)"
+        ).alias("clipped_ppm"),
+    ).select(
+        "dim", "lo", "hi", F.col("n_vals").cast("bigint").alias("n_vals"),
+        "n_below", "n_above", "clipped_ppm",
+    )

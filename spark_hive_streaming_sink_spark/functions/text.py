@@ -2098,3 +2098,165 @@ def corpus_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("heaps_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# character-level Shannon entropy: the classic gibberish / compression-
+# ratio quality signal
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND len(text) >= 1),
+    ch AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+      FROM d, unnest(generate_series(1, len(text))) AS u(i)),
+    cc AS (SELECT doc_id, c, COUNT(*) AS n_c FROM ch GROUP BY doc_id, c),
+    tt AS (SELECT doc_id, n_c,
+                  SUM(n_c) OVER (PARTITION BY doc_id) AS n
+           FROM cc),
+    sc AS (SELECT doc_id, n, n_c,
+                  CAST(ROUND(ln(CAST(n_c AS DOUBLE) / n) * 1000000, 0)
+                       AS BIGINT) AS unats
+           FROM tt)
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_chars,
+           COUNT(*) AS n_distinct_chars,
+           CAST(-SUM(n_c * unats) AS DOUBLE) / 1000000.0 / MAX(n)
+             AS entropy_nats
+    FROM sc GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the cheapest
+    gibberish/boilerplate signal a quality pipeline computes (random
+    bytes score high, single-character spam scores ~0; natural English
+    sits ~2.5-4.2 nats). Emitted as (n_chars, distinct chars, entropy
+    in nats).
+
+    Exactness: the only transcendental is ln(p), rounded to integer
+    MICRO-NATS before the weighted sum (the text_unigram_surprisal
+    convention) so a 1-ulp libm divergence between engines cannot
+    reach the hash; the final division chain runs on integer-derived
+    doubles, bit-identical.
+
+    Scale: one scan; the char explode is linear in corpus bytes with a
+    uniform (doc_id, char) groupBy key, the per-doc total rides a
+    doc_id window on the already-aggregated (doc, char) table (≤256
+    rows per doc for ASCII), and the final groupBy is doc-cardinality.
+    No joins, no Python."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= 1))
+        .select("doc_id", "text")
+    )
+    ch = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substr(text, CAST(i AS INT), 1)").alias("c"))
+    cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("n_c"))
+    from pyspark.sql import Window
+
+    n = F.sum("n_c").over(Window.partitionBy("doc_id"))
+    sc = cc.select(
+        "doc_id",
+        "n_c",
+        n.alias("n"),
+        F.round(F.log(F.col("n_c").cast("double") / n) * 1000000.0, 0)
+        .cast("bigint")
+        .alias("unats"),
+    )
+    return sc.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+        (
+            (-F.sum(F.col("n_c") * F.col("unats"))).cast("double")
+            / 1000000.0
+            / F.max("n")
+        ).alias("entropy_nats"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII-signal scan: regex census + redacted fingerprint (the scrub pass
+# every public-corpus release runs)
+# --------------------------------------------------------------------------
+
+# Java regex (Spark) and RE2 (DuckDB) agree on this common subset:
+# character classes, bounded repetition, \b, \d, \s — no lookaround,
+# no backreferences.
+_PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_URL = r"https?://[^\s]+"
+_PII_NUMBER = r"\b\d+\b"
+_PII_LONG_TOKEN = r"\b[a-z]{12,}\b"
+
+
+@register(
+    "text_pii_signal_counts",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(text, '{_PII_URL}')) AS n_urls,
+             len(regexp_extract_all(text, '{_PII_NUMBER}')) AS n_numbers,
+             len(regexp_extract_all(text, '{_PII_LONG_TOKEN}')) AS n_long_tokens,
+             md5(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                     '{_PII_URL}', '<URL>', 'g'),
+                   '{_PII_NUMBER}', '<NUM>', 'g')) AS redacted_fingerprint
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_urls AS BIGINT) AS n_urls,
+           CAST(n_numbers AS BIGINT) AS n_numbers,
+           CAST(n_long_tokens AS BIGINT) AS n_long_tokens,
+           n_emails + n_urls + n_numbers > 0 AS has_pii_signal,
+           redacted_fingerprint
+    FROM r
+    """,
+    tags=("llm", "text", "quality", "pii"),
+)
+def text_pii_signal_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-signal census per document: counts of email-shaped,
+    URL-shaped and bare-number spans plus a long-token smell, and the
+    md5 fingerprint of the REDACTED text (emails/URLs/numbers replaced
+    by typed placeholders) — the audit table a public-corpus release
+    pipeline reviews before scrubbing, with the fingerprint pinning
+    the exact redaction output byte-for-byte.
+
+    Exactness: counts are regex match counts and the fingerprint is an
+    md5 of a deterministic replacement chain; the patterns use only
+    the Java-regex/RE2 common subset (classes, bounded repetition,
+    \\b/\\d/\\s) so both engines match identical spans. Scale: pure
+    map-side scan work — no shuffle at all, the same shape the scrub
+    pass itself has at 100 TB."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_URL,
+            "<URL>",
+        ),
+        _PII_NUMBER,
+        "<NUM>",
+    )
+    n_emails = F.regexp_count("text", F.lit(_PII_EMAIL)).cast("bigint")
+    n_urls = F.regexp_count("text", F.lit(_PII_URL)).cast("bigint")
+    n_numbers = F.regexp_count("text", F.lit(_PII_NUMBER)).cast("bigint")
+    n_long = F.regexp_count("text", F.lit(_PII_LONG_TOKEN)).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"),
+        n_numbers.alias("n_numbers"),
+        n_long.alias("n_long_tokens"),
+        (n_emails + n_urls + n_numbers > 0).alias("has_pii_signal"),
+        F.md5(redacted).alias("redacted_fingerprint"),
+    )

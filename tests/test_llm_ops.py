@@ -2209,3 +2209,80 @@ def test_shot_boundaries_invariants(spark):
         )
     assert [r.is_boundary for r in out] == [False, False, True, False]
     assert out[0].mean_milli == 33000 and out[-1].mean_milli == 122000
+
+
+def test_char_entropy_bounds(spark):
+    """0 <= H <= ln(distinct chars) (+1e-6 rounding slack); distinct
+    chars never exceed total chars; uniform-ish text scores > 0."""
+    import math
+
+    from spark_hive_streaming_sink_spark.functions.text import text_char_entropy
+    from .conftest import SF_DIR
+
+    rows = text_char_entropy(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_distinct_chars"] <= r["n_chars"]
+        assert -1e-6 <= r["entropy_nats"] <= math.log(r["n_distinct_chars"]) + 1e-6
+        if r["n_distinct_chars"] == 1:
+            assert abs(r["entropy_nats"]) < 1e-6
+
+
+def test_pii_signal_counts_planted_fixture(spark):
+    """Planted emails/URLs/numbers are counted and redacted: the
+    fingerprint of the redacted text equals md5 of the expected
+    placeholder string; clean docs report zero signals."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at bob@example.com or https://ex.com/x now"),
+            (2, "call 555 1234 maybe"),
+            (3, "plain words only here"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+    d = tempfile.mkdtemp(prefix="shss_pii_")
+    try:
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            r["doc_id"]: r
+            for r in QUERIES["text_pii_signal_counts"].builder(spark, d).collect()
+        }
+        assert out[1]["n_emails"] == 1 and out[1]["n_urls"] == 1
+        assert out[1]["has_pii_signal"] is True
+        exp1 = "contact me at <EMAIL> or <URL> now"
+        assert out[1]["redacted_fingerprint"] == hashlib.md5(exp1.encode()).hexdigest()
+        assert out[2]["n_numbers"] == 2 and out[2]["n_emails"] == 0
+        exp2 = "call <NUM> <NUM> maybe"
+        assert out[2]["redacted_fingerprint"] == hashlib.md5(exp2.encode()).hexdigest()
+        assert out[3]["has_pii_signal"] is False
+        assert (
+            out[3]["redacted_fingerprint"]
+            == hashlib.md5(b"plain words only here").hexdigest()
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_winsorize_audit_bounds(spark):
+    """Per-dim: lo <= hi; clip counts are each <= 5% of values (+1 for
+    interpolation ties); clipped_ppm is the integer ppm of the sum."""
+    from spark_hive_streaming_sink_spark.functions.similarity import (
+        embed_winsorize_audit,
+    )
+    from .conftest import SF_DIR
+
+    rows = embed_winsorize_audit(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["lo"] <= r["hi"]
+        assert 0 <= r["n_below"] <= r["n_vals"] * 0.05 + 1
+        assert 0 <= r["n_above"] <= r["n_vals"] * 0.05 + 1
+        assert r["clipped_ppm"] == (r["n_below"] + r["n_above"]) * 1_000_000 // r["n_vals"]

@@ -189,6 +189,8 @@ DOC_FUZZED = [
     "dedup_containment_pairs",
     "corpus_priority_sample",
     "agg_bloom_filter_probe",
+    "text_char_entropy",
+    "text_pii_signal_counts",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]
@@ -297,6 +299,7 @@ EMB_FUZZED = [
     "graph_kcore",
     "sim_hamming_binary_topk",
     "sim_hard_negative_mining",
+    "embed_winsorize_audit",
 ]
 
 # element values: exact-in-float32 two-decimal-ish values plus 0 and

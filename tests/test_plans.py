@@ -1352,3 +1352,36 @@ def test_shot_boundaries_single_doc_shuffle(spark):
     plan = formatted_plan(df)
     assert count_nodes(df, "Exchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_char_entropy_two_shuffles_no_python(spark):
+    """Char entropy: explode → (doc, char) agg → doc_id window → doc
+    agg; everything JVM-side, shuffles only on doc-keyed exchanges."""
+    df = _df(spark, "text_char_entropy")
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "Generate") == 1  # one explode only
+
+
+def test_pii_signal_counts_map_only(spark):
+    """PII census is a pure scan: zero exchanges, zero joins, no
+    Python — the shape the scrub pass must keep at 100 TB."""
+    df = _df(spark, "text_pii_signal_counts")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Exchange") == 0
+    assert count_nodes(df, "BatchEvalPython") == 0
+    assert "Join" not in plan
+
+
+def test_winsorize_audit_broadcast_bounds_only(spark):
+    """Winsorize audit: the only static broadcast is the per-dim
+    bounds AGGREGATE (bounded by model dimensionality); the clip-count
+    join must be a hash join, never a cartesian; no Python."""
+    df = _df(spark, "embed_winsorize_audit")
+    for sub in broadcast_hint_subtrees(df):
+        assert "Aggregate" in sub  # bounds table only
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -176,6 +176,12 @@ HEADLINE = [
     "embed_binary_quantization_audit",
     "corpus_dedup_rate_by_source",
     "multimodal_shot_boundaries",
+    # round-9 additions: char explode (linear scan), regex census
+    # (map-only), and the dim-keyed percentile + clip-count pass —
+    # all should scale linearly; a jump flags a broken plan
+    "text_char_entropy",
+    "text_pii_signal_counts",
+    "embed_winsorize_audit",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
@@ -199,10 +205,33 @@ def materialize(spark, repl: int, out_dir: str) -> None:
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
+def _run_one(spark, qs, name: str, out_dir: str) -> float:
+    # min of 2 runs, as in bench.py: first execution at a new scale pays
+    # JIT/codegen compilation (observed 19.8 s cold vs 1.6 s warm for the
+    # same minhash plan) — the minimum is the plan's actual cost
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        qs[name](spark, out_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     repl = _REPL
     cpus = sys.argv[2] if len(sys.argv) > 2 else "32"
     out_dir = f"/tmp/shss_stress_x{repl}"
+    argv = [a for a in sys.argv[3:] if not a.startswith("--")]
+    isolate = "--isolate" in sys.argv
+
+    if "--one" in sys.argv:
+        # child body for --isolate: fresh JVM, one query, one JSON line
+        name = argv[0]
+        spark = get_spark(f"stress-{name}", cpus=cpus)
+        print(json.dumps({"query": name, "sec": _run_one(spark, queries(), name, out_dir)}))
+        spark.stop()
+        return
+
     spark = get_spark("stress", cpus=cpus)
     if not os.path.exists(f"{out_dir}/lineitem.parquet"):
         t0 = time.time()
@@ -210,34 +239,53 @@ def main() -> None:
         print(f"materialized x{repl} in {time.time() - t0:.1f}s", file=sys.stderr)
     qs = queries()
     # optional query subset: python tools/stress.py REPL CPUS name...
-    names = sys.argv[3:] or HEADLINE
+    names = argv or HEADLINE
     unknown = [n for n in names if n not in qs]
     if unknown:
         sys.exit(f"unknown queries: {unknown}")
-    # min of 2 runs, as in bench.py: first execution at a new scale pays
-    # JIT/codegen compilation (observed 19.8 s cold vs 1.6 s warm for the
-    # same minhash plan) — the minimum is the plan's actual cost
     timings: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            qs[name](spark, out_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+    if isolate:
+        # ISOLATE MODE (the round-9 default for recorded runs): one
+        # subprocess per query. Shared-JVM stress runs contaminate
+        # later queries — accumulated localCheckpoint blocks, GC debt
+        # and code-cache pressure measured q9_product_profit at 82 s
+        # in a shared session vs ~12 s isolated on identical code.
+        # Cross-round comparisons are only valid between isolate runs.
+        import subprocess
+
+        spark.stop()  # free the 32 threads for the children
+        for name in names:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), str(repl), str(cpus),
+                 name, "--one"],
+                capture_output=True, text=True, env=os.environ,
+            )
+            line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+            try:
+                timings[name] = json.loads(line)["sec"]
+            except Exception:
+                print(f"isolate child failed for {name}: {proc.stderr[-2000:]}",
+                      file=sys.stderr)
+                timings[name] = float("nan")
+            print(json.dumps({"query": name, "sec": timings[name]}), file=sys.stderr)
+    else:
+        for name in names:
+            timings[name] = _run_one(spark, qs, name, out_dir)
     print(
         json.dumps(
             {
                 "metric": "stress_total_wall",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(t for t in timings.values() if t == t), 3),
                 "unit": "sec",
                 "queries": timings,
                 "repl": repl,
                 "cpus": int(cpus),
+                "mode": "isolate" if isolate else "shared",
             }
         )
     )
-    spark.stop()
+    if not isolate:
+        spark.stop()
 
 
 if __name__ == "__main__":
