@@ -128,6 +128,9 @@ HEADLINE = [
     "text_char_entropy",
     "text_pii_signal_counts",
     "embed_winsorize_audit",
+    "events_retention_triangle",
+    "sim_rank_fusion_rrf",
+    "dedup_simhash_hamming_pairs",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -1089,3 +1089,141 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (common / nb).alias("containment_b"),
         (10 * common >= 9 * F.least(na, nb)).alias("near_superset"),
     )
+
+
+# --- SimHash Hamming near-dup pairs via pigeonhole bands --------------------
+
+SIMHASH_PAIR_BITS = 60  # 15 hex chars of md5: exact 60-bit long in both engines
+SIMHASH_BANDS = 4  # 15 bits each: Hamming <= 3 -> >= 1 identical band
+SIMHASH_HAM_MAX = 3
+
+_SQL_SH_SIG = " + ".join(
+    f"(CASE WHEN 2 * SUM((mask >> {i}) & 1) > COUNT(*) "
+    f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(SIMHASH_PAIR_BITS)
+)
+_SQL_SH_HAM = " + ".join(
+    f"((xor(x.sig, y.sig) >> {i}) & 1)" for i in range(SIMHASH_PAIR_BITS)
+)
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL AND len(trim(text)) >= 1),
+    m AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS mask
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+    sig AS (
+      SELECT doc_id, {_SQL_SH_SIG} AS sig
+      FROM m GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b AS band_no,
+             CAST((sig >> (15 * b)) & 32767 AS BIGINT) AS band_key
+      FROM sig, unnest([0, 1, 2, 3]) AS u(b)),
+    {_SQL_BAND_REPS.strip()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM reps a JOIN bands b
+        ON a.band_key = b.band_key AND a.band_no = b.band_no
+       AND a.doc_id < b.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           CAST({_SQL_SH_HAM} AS BIGINT) AS hamming,
+           CAST({_SQL_SH_HAM} AS BIGINT) <= {SIMHASH_HAM_MAX} AS is_near
+    FROM pairs p
+    JOIN sig x ON x.doc_id = p.doc_a
+    JOIN sig y ON y.doc_id = p.doc_b
+    """,
+    tags=("llm", "dedup", "simhash"),
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs with exact Hamming verification
+    — the Charikar/Manku-Jain-Sarma pipeline (WWW'07): a 60-bit
+    majority-vote SimHash per document, pigeonholed into 4 bands of 15
+    bits (any pair within Hamming 3 must agree on at least one whole
+    band), candidates generated ONLY inside band buckets, then the
+    exact Hamming distance recomputed per candidate (two 8-byte longs
+    per side through the pair join — the cheapest verify in the dedup
+    family).
+
+    Signature shape: tokens explode to (doc, 60-bit md5 mask) rows and
+    ONE groupBy(doc_id) computes all 60 per-bit majority counts as
+    map-side-combinable SUMs — no ordered fold, no per-bit pass over
+    the token array (the dedup_simhash lesson: N separate array passes
+    generate a codegen unit that runs interpreted).
+
+    Scale: 15-bit bands give 32768 buckets per band, so bucket
+    occupancy — and with it pair volume — grows linearly with the
+    corpus at fixture dimensions; the BAND_CAP star scheme bounds
+    replicated-corpus blowup exactly as in dedup_minhash_pairs (same
+    truncation semantics caveat). On a random corpus candidate pairs
+    are near-uniform bucket collisions with is_near=false; recall on
+    planted near-dups is pinned by tests/test_llm_ops.py."""
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.col("text")), " ")
+    m = (
+        d.filter(F.col("text").isNotNull() & (F.length(F.trim("text")) >= 1))
+        .select("doc_id", F.explode(toks).alias("tok"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("mask"),
+        )
+    )
+    bit_sums = [
+        F.sum(F.shiftright("mask", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+        for i in range(SIMHASH_PAIR_BITS)
+    ]
+    g = m.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
+    sig_expr = None
+    for i in range(SIMHASH_PAIR_BITS):
+        term = F.when(
+            2 * F.col(f"c{i}") > F.col("n"), F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    # two band sides + both pair sides read it: materialize once (the
+    # persisted signature table at 100 TB)
+    sig = g.select("doc_id", sig_expr.alias("sig")).localCheckpoint(eager=True)
+    bands = None
+    for b in range(SIMHASH_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_no"),
+            F.shiftright("sig", 15 * b).bitwiseAND(F.lit(32767))
+            .cast("bigint")
+            .alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = _band_reps(bands).alias("a")  # star scheme: reps x all members
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    ham = None
+    for i in range(SIMHASH_PAIR_BITS):
+        term = F.shiftright(xor, i).bitwiseAND(F.lit(1))
+        ham = term if ham is None else ham + term
+    return (
+        pairs.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ham.cast("bigint").alias("hamming"),
+            (ham.cast("bigint") <= SIMHASH_HAM_MAX).alias("is_near"),
+        )
+    )

@@ -2487,3 +2487,129 @@ def embed_winsorize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim", "lo", "hi", F.col("n_vals").cast("bigint").alias("n_vals"),
         "n_below", "n_above", "clipped_ppm",
     )
+
+
+# --------------------------------------------------------------------------
+# reciprocal-rank fusion of two retrieval channels (hybrid search)
+# --------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al., 2009)
+
+
+@register(
+    "sim_rank_fusion_rrf",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+                      {_sql_bucket('embedding')} AS bucket
+               FROM embeddings WHERE embedding IS NOT NULL),
+    ea AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                  round({_sql_dot('q.embedding', 'c.embedding')}
+                        / (q.nrm * c.nrm), 6) AS cosine
+           FROM v q JOIN v c ON c.vec_id != q.vec_id
+           WHERE q.vec_id < {N_QUERIES}),
+    a AS (SELECT query_id, cand_id, rnk AS rank_exact FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rnk
+            FROM ea) WHERE rnk <= {TOP_K}),
+    eb AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                  round({_sql_dot('q.embedding', 'c.embedding')}
+                        / (q.nrm * c.nrm), 6) AS cosine
+           FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+           WHERE q.vec_id < {N_QUERIES}),
+    b AS (SELECT query_id, cand_id, rnk AS rank_lsh FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rnk
+            FROM eb) WHERE rnk <= {TOP_K})
+    SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+           COALESCE(a.cand_id, b.cand_id) AS cand_id,
+           a.rank_exact, b.rank_lsh,
+           CAST(round((COALESCE(1.0 / ({RRF_K} + a.rank_exact), 0)
+                     + COALESCE(1.0 / ({RRF_K} + b.rank_lsh), 0)) * 1000000,
+                      0) AS BIGINT) AS rrf_ppm
+    FROM a FULL OUTER JOIN b
+      ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+    """,
+    tags=("llm", "similarity", "retrieval"),
+)
+def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, Cormack et al. 2009) of two
+    retrieval channels per query vector: the exact-cosine top-k and
+    the LSH-bucketed ANN top-k, fused as sum(1/(60+rank)) — the
+    standard hybrid-search merge (vector + lexical, or two ANN
+    indexes) an embedding-retrieval stack runs. Channels disagree
+    exactly where LSH recall fails, so the fused table doubles as a
+    recall diagnostic: a candidate with rank_exact set and rank_lsh
+    NULL is a miss of the ANN channel.
+
+    Exactness: ranks are integers with total-order tiebreaks, the RRF
+    score is a two-term double sum of integer reciprocals rounded to
+    integer ppm. Scale: channel A broadcasts the {N_QUERIES}-row query
+    set against the corpus (the exact baseline — at 100 TB swap the
+    IVF channel in, same fusion shape); channel B is bucket-local;
+    the fusion is a (query_id, cand_id)-keyed full outer join of two
+    top-k tables, each ≤ queries × k rows — trivially small."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    v = emb.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cos = F.round(
+        F.try_divide(
+            _dot(F.col("q_emb"), F.col("embedding")),
+            F.col("q_nrm") * F.col("nrm"),
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "cand_id")
+    a = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", F.col("rnk").alias("rank_exact"))
+    )
+    b = (
+        F.broadcast(q)
+        .join(
+            v,
+            (F.col("q_bucket") == F.col("bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("cand_id"), cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", F.col("rnk").alias("rank_lsh"))
+    )
+    fused = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.cand_id") == F.col("b.cand_id")),
+        "full_outer",
+    )
+    rrf = (
+        F.coalesce(1.0 / (F.lit(RRF_K) + F.col("a.rank_exact")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("b.rank_lsh")), F.lit(0.0))
+    ) * 1000000.0
+    return fused.select(
+        F.coalesce(F.col("a.query_id"), F.col("b.query_id")).alias("query_id"),
+        F.coalesce(F.col("a.cand_id"), F.col("b.cand_id")).alias("cand_id"),
+        F.col("a.rank_exact").alias("rank_exact"),
+        F.col("b.rank_lsh").alias("rank_lsh"),
+        F.round(rrf, 0).cast("bigint").alias("rrf_ppm"),
+    )

@@ -1285,3 +1285,77 @@ def events_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(var / mean, 6).alias("dispersion"),
         )
     )
+
+
+@register(
+    "events_retention_triangle",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    c AS (SELECT user_id, MIN(wk) AS cohort_week FROM f GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, wk FROM f),
+    s AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM c
+          GROUP BY cohort_week),
+    j AS (
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, a.wk) // 7 AS BIGINT)
+               AS week_index,
+             a.user_id
+      FROM a JOIN c USING (user_id)),
+    g AS (
+      SELECT cohort_week, week_index,
+             COUNT(DISTINCT user_id) AS n_active
+      FROM j GROUP BY cohort_week, week_index)
+    SELECT strftime(g.cohort_week, '%Y-%m-%d') AS cohort_week,
+           g.week_index, g.n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(g.n_active * 1000000 // s.cohort_size AS BIGINT)
+             AS retained_ppm
+    FROM g JOIN s USING (cohort_week)
+    """,
+    tags=("aggregate", "window", "timeseries", "retention"),
+)
+def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted as retained in every later week they act in — the
+    (cohort_week, week_index) matrix every growth/engagement dashboard
+    renders, with exact integer-ppm retention rates.
+
+    Exactness: week buckets are Monday-midnight date_trunc in both
+    engines; week_index is an integer day-difference of two truncated
+    midnights div 7; rates are integer-ppm floor division — all
+    hash-exact. Scale: two shuffles on user_id (cohort min + activity
+    distinct), one on the (cohort_week, week_index) key; the cohort-
+    size table (one row per week) joins back via broadcast — at 100 TB
+    weeks number in the hundreds while events number in the trillions,
+    the classic tiny-dim join."""
+    f = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+    )
+    c = f.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    a = f.distinct()
+    s = c.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    j = a.join(c, "user_id").select(
+        "cohort_week",
+        F.expr("CAST(datediff(wk, cohort_week) div 7 AS BIGINT)").alias(
+            "week_index"
+        ),
+        "user_id",
+    )
+    g = j.groupBy("cohort_week", "week_index").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return g.join(F.broadcast(s), "cohort_week").select(
+        # temporal outputs leave as formatted strings (type canon —
+        # raw TIMESTAMP/DATE hash-diverge under the driver comparator)
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_index",
+        "n_active",
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        F.expr("CAST(n_active * 1000000 div cohort_size AS BIGINT)").alias(
+            "retained_ppm"
+        ),
+    )

@@ -2286,3 +2286,86 @@ def test_winsorize_audit_bounds(spark):
         assert 0 <= r["n_below"] <= r["n_vals"] * 0.05 + 1
         assert 0 <= r["n_above"] <= r["n_vals"] * 0.05 + 1
         assert r["clipped_ppm"] == (r["n_below"] + r["n_above"]) * 1_000_000 // r["n_vals"]
+
+
+def test_retention_triangle_invariants(spark):
+    """Week 0 retains the full cohort (ppm == 1e6); later weeks never
+    exceed cohort size; indexes are non-negative."""
+    from spark_hive_streaming_sink_spark.operators.timeseries import (
+        events_retention_triangle,
+    )
+    from .conftest import SF_DIR
+
+    rows = events_retention_triangle(spark, SF_DIR).collect()
+    assert rows
+    seen_w0 = set()
+    for r in rows:
+        assert r["week_index"] >= 0
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        assert r["retained_ppm"] == r["n_active"] * 1_000_000 // r["cohort_size"]
+        if r["week_index"] == 0:
+            # everyone in a cohort is active in their own first week
+            assert r["n_active"] == r["cohort_size"]
+            seen_w0.add(r["cohort_week"])
+    assert seen_w0  # at least one cohort observed at week 0
+
+
+def test_rank_fusion_scores_and_recall_diagnostic(spark):
+    """RRF: every row carries at least one channel rank; the score is
+    exactly the ppm-rounded sum of present reciprocals; rank_exact==1
+    rows exist (the top hit of the exact channel always fuses)."""
+    from spark_hive_streaming_sink_spark.functions.similarity import (
+        RRF_K,
+        sim_rank_fusion_rrf,
+    )
+    from .conftest import SF_DIR
+
+    rows = sim_rank_fusion_rrf(spark, SF_DIR).collect()
+    assert rows
+    tops = 0
+    for r in rows:
+        assert r["rank_exact"] is not None or r["rank_lsh"] is not None
+        expect = 0.0
+        if r["rank_exact"] is not None:
+            expect += 1.0 / (RRF_K + r["rank_exact"])
+        if r["rank_lsh"] is not None:
+            expect += 1.0 / (RRF_K + r["rank_lsh"])
+        assert abs(r["rrf_ppm"] - round(expect * 1_000_000)) <= 1
+        if r["rank_exact"] == 1:
+            tops += 1
+    assert tops >= 1
+
+
+def test_simhash_hamming_detects_planted_near_dup(spark):
+    """Two documents differing in one token out of 40 must pair with
+    small Hamming distance and is_near=True; an unrelated doc must not
+    be near any of them."""
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "tokX")
+    other = " ".join(f"zzz{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s"))
+    d = tempfile.mkdtemp(prefix="shss_simham_")
+    try:
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = {
+            (r["doc_a"], r["doc_b"]): r
+            for r in QUERIES["dedup_simhash_hamming_pairs"].builder(spark, d).collect()
+        }
+        assert (1, 2) in out
+        assert out[(1, 2)]["is_near"] is True
+        assert out[(1, 2)]["hamming"] <= 3
+        for k, r in out.items():
+            if 3 in k:
+                assert r["is_near"] is False
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

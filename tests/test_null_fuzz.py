@@ -59,6 +59,7 @@ FUZZED = [
     "window_rolling_ols_slope",
     "events_poisson_dispersion",
     "agg_proportion_ztest",
+    "events_retention_triangle",
 ]
 
 _T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
@@ -191,6 +192,7 @@ DOC_FUZZED = [
     "agg_bloom_filter_probe",
     "text_char_entropy",
     "text_pii_signal_counts",
+    "dedup_simhash_hamming_pairs",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]
@@ -300,6 +302,7 @@ EMB_FUZZED = [
     "sim_hamming_binary_topk",
     "sim_hard_negative_mining",
     "embed_winsorize_audit",
+    "sim_rank_fusion_rrf",
 ]
 
 # element values: exact-in-float32 two-decimal-ish values plus 0 and

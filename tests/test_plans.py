@@ -1385,3 +1385,36 @@ def test_winsorize_audit_broadcast_bounds_only(spark):
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_retention_triangle_broadcast_cohort_sizes(spark):
+    """Retention triangle: the per-week cohort-size table broadcasts
+    (bounded aggregate); no cartesian; everything JVM-side."""
+    df = _df(spark, "events_retention_triangle")
+    for sub in broadcast_hint_subtrees(df):
+        assert "Aggregate" in sub  # cohort sizes only
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rank_fusion_broadcast_queries_windowed_topk(spark):
+    """RRF fusion: both channels broadcast the bounded query set, each
+    ranking compiles to a WindowGroupLimit, the fusion join is tiny —
+    never a cartesian or nested loop over the corpus."""
+    df = _df(spark, "sim_rank_fusion_rrf")
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "WindowGroupLimit") >= 2
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_hamming_pairs_banded_no_cartesian(spark):
+    """SimHash pairing must ride the band-bucket equi-join (no
+    cartesian, no nested loop) with the signature aggregation as
+    map-side-combinable partial sums (partial+final HashAggregate)."""
+    df = _df(spark, "dedup_simhash_hamming_pairs")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -182,6 +182,13 @@ HEADLINE = [
     "text_char_entropy",
     "text_pii_signal_counts",
     "embed_winsorize_audit",
+    # user-keyed cohort rollup + two-channel fusion: both should ride
+    # their bounded keys linearly
+    "events_retention_triangle",
+    "sim_rank_fusion_rrf",
+    # pigeonhole-banded simhash pairing: 15-bit bands keep bucket
+    # occupancy linear; star cap bounds replicated corpora
+    "dedup_simhash_hamming_pairs",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
@@ -225,10 +232,19 @@ def main() -> None:
     isolate = "--isolate" in sys.argv
 
     if "--one" in sys.argv:
-        # child body for --isolate: fresh JVM, one query, one JSON line
+        # child body for --isolate: fresh JVM, sf0.001 warm-up (JIT the
+        # generated code against tiny data, exactly like bench.py's
+        # isolate children), one query, one JSON line
         name = argv[0]
         spark = get_spark(f"stress-{name}", cpus=cpus)
-        print(json.dumps({"query": name, "sec": _run_one(spark, queries(), name, out_dir)}))
+        qs = queries()
+        try:
+            qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+        print(json.dumps({"query": name, "sec": _run_one(spark, qs, name, out_dir)}))
         spark.stop()
         return
 
