@@ -131,6 +131,7 @@ HEADLINE = [
     "events_retention_triangle",
     "sim_rank_fusion_rrf",
     "dedup_simhash_hamming_pairs",
+    "events_session_paths_topk",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

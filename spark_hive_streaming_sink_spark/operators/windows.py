@@ -852,3 +852,114 @@ def window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_w",
         (F.round(num / den / 10000.0, 6) + F.lit(0.0)).alias("slope_per_s"),
     )
+
+
+@register(
+    "events_session_paths_topk",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events
+      -- NULL ts is unplaceable in session order; NULL event_type has
+      -- no path token: excluded identically in both engines
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+    marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked),
+    paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             COUNT(*) AS path_len
+      FROM sessions GROUP BY user_id, session_no),
+    tot AS (SELECT COUNT(*) AS n_total FROM paths),
+    g AS (
+      SELECT path, MAX(path_len) AS path_len, COUNT(*) AS n_sessions
+      FROM paths GROUP BY path)
+    SELECT g.path, CAST(g.path_len AS BIGINT) AS path_len,
+           g.n_sessions,
+           CAST(g.n_sessions * 1000000 // t.n_total AS BIGINT)
+             AS sessions_ppm
+    FROM g CROSS JOIN tot t
+    ORDER BY n_sessions DESC, path LIMIT 25
+    """,
+    tags=("window", "session", "funnel"),
+)
+def events_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 session paths (the '>'-joined event-type sequence of each
+    30-min-gap session) with session counts and corpus share — the
+    path-mining table behind every funnel/journey dashboard, built from
+    the same gaps-and-islands sessionization as
+    window_gaps_islands_sessionize.
+
+    Exactness: path strings are ordered by (ts, event_id) — a total
+    order after the NULL filters — in both engines (Spark sorts the
+    collected struct array, DuckDB uses aggregate ORDER BY); counts and
+    the integer-ppm share are exact; the top-25 carries (n_sessions
+    DESC, path) as a total-order tiebreak.
+
+    Scale: one shuffle on user_id serves the lag window, the running
+    session sum AND the per-session path aggregation (same key); the
+    path groupBy shuffles one row per session; the 1-row session total
+    broadcasts; the top-25 is a TakeOrdered, never a global sort."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = marked.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session").over(run).alias("session_no"),
+    )
+    paths = sessions.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s.getField("event_type"),
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").alias("path_len"),
+    )
+    tot = paths.agg(F.count("*").alias("n_total"))
+    g = paths.groupBy("path").agg(
+        F.max("path_len").cast("bigint").alias("path_len"),
+        F.count("*").alias("n_sessions"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "path_len",
+            "n_sessions",
+            F.expr("CAST(n_sessions * 1000000 div n_total AS BIGINT)").alias(
+                "sessions_ppm"
+            ),
+        )
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(25)
+    )

@@ -2369,3 +2369,22 @@ def test_simhash_hamming_detects_planted_near_dup(spark):
                 assert r["is_near"] is False
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_session_paths_invariants(spark):
+    """Paths are '>'-joined event types of the declared length; shares
+    are ppm-exact and rows arrive most-frequent-first."""
+    from spark_hive_streaming_sink_spark.operators.windows import (
+        events_session_paths_topk,
+    )
+    from .conftest import SF_DIR
+
+    rows = events_session_paths_topk(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= 25
+    last = None
+    for r in rows:
+        assert len(r["path"].split(">")) == r["path_len"]
+        assert r["n_sessions"] >= 1 and 0 < r["sessions_ppm"] <= 1_000_000
+        if last is not None:
+            assert r["n_sessions"] <= last
+        last = r["n_sessions"]

@@ -60,6 +60,7 @@ FUZZED = [
     "events_poisson_dispersion",
     "agg_proportion_ztest",
     "events_retention_triangle",
+    "events_session_paths_topk",
 ]
 
 _T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)

@@ -1418,3 +1418,14 @@ def test_simhash_hamming_pairs_banded_no_cartesian(spark):
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_session_paths_single_user_shuffle_takeordered(spark):
+    """Path mining: the lag window, running sum and per-session path
+    agg all ride ONE user_id exchange; the top-25 compiles to
+    TakeOrderedAndProject, never a global Sort; no Python."""
+    df = _df(spark, "events_session_paths_topk")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

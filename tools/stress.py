@@ -189,6 +189,8 @@ HEADLINE = [
     # pigeonhole-banded simhash pairing: 15-bit bands keep bucket
     # occupancy linear; star cap bounds replicated corpora
     "dedup_simhash_hamming_pairs",
+    # session path mining: one user_id shuffle + TakeOrdered
+    "events_session_paths_topk",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
@@ -232,16 +234,18 @@ def main() -> None:
     isolate = "--isolate" in sys.argv
 
     if "--one" in sys.argv:
-        # child body for --isolate: fresh JVM, sf0.001 warm-up (JIT the
-        # generated code against tiny data, exactly like bench.py's
-        # isolate children), one query, one JSON line
+        # child body for --isolate: fresh JVM, sf0.1 warm-up, one
+        # query, one JSON line. The warm-up runs the ORIGINAL sf0.1
+        # fixture (not sf0.001): the big generated-code queries need
+        # enough loop iterations to trigger C2 compilation before the
+        # timed runs, or the record carries a JIT lottery — measured
+        # 18 s / 56 s / 111 s on three identical isolate runs of
+        # dedup_semantic_cluster with an sf0.001 warm-up.
         name = argv[0]
         spark = get_spark(f"stress-{name}", cpus=cpus)
         qs = queries()
         try:
-            qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-                "overwrite"
-            ).save()
+            qs[name](spark, SRC).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
         print(json.dumps({"query": name, "sec": _run_one(spark, qs, name, out_dir)}))
