@@ -2562,7 +2562,10 @@ def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("embedding")).alias("nrm"),
         _spark_bucket(F.col("embedding")).alias("bucket"),
     )
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+    # filter + limit: the GlobalLimit marks the broadcast side provably
+    # bounded for the static-broadcast plan rule (vec_ids are unique,
+    # so the limit is a no-op on values — same as sim_cosine_topk)
+    q = v.filter(F.col("vec_id") < N_QUERIES).limit(N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),

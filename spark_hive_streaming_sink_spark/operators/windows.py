@@ -813,10 +813,12 @@ def window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL when the 5 timestamps tie (zero variance). Scale: one shuffle
     on user_id; all five moments come from the SAME frame in one
     window pass; the 1-row corpus-min broadcasts."""
-    e = load_table(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull() & F.col("value").isNotNull()
-    )
-    base = e.agg(
+    ev_all = load_table(spark, sf_dir, "events")
+    e = ev_all.filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+    # t0 over ALL non-NULL timestamps (matching the oracle's base CTE):
+    # filtering NULL values first would shift every t_rel whenever the
+    # corpus-min event carries a NULL value — fuzzer-caught divergence
+    base = ev_all.filter(F.col("ts").isNotNull()).agg(
         F.expr("min(unix_micros(ts)) div 1000000").alias("t0")
     )
     ev = e.crossJoin(F.broadcast(base)).select(
