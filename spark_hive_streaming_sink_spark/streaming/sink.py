@@ -354,23 +354,31 @@ class StagedBatchPublisher:
             unescape = (
                 self._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName
             )
+            needs_recover = False
             for pdir in sorted(new_part_dirs):
                 specs = []
                 for seg in pdir.split("/"):
                     col, _, val = seg.partition("=")
                     if val == "__HIVE_DEFAULT_PARTITION__":
-                        raise HiveStreamingSinkError(
-                            "NULL partition values are not routable via "
-                            "ALTER TABLE ADD PARTITION; filter or default "
-                            f"the partition column(s) {self.part_cols} "
-                            "upstream of the sink"
-                        )
+                        # NULL partition value: ADD PARTITION cannot
+                        # express it; MSCK-style recovery registers the
+                        # default-partition dir and scans map it back
+                        # to NULL (same convention the reference's Hive
+                        # endpoint uses for NULL partition keys)
+                        needs_recover = True
+                        specs = []
+                        break
                     v = unescape(val).replace("'", "''")
                     specs.append(f"{col}='{v}'")
-                self.spark.sql(
-                    f"ALTER TABLE {self.qualified} ADD IF NOT EXISTS "
-                    f"PARTITION ({', '.join(specs)})"
-                )
+                if specs:
+                    self.spark.sql(
+                        f"ALTER TABLE {self.qualified} ADD IF NOT EXISTS "
+                        f"PARTITION ({', '.join(specs)})"
+                    )
+            if needs_recover:
+                # one metadata-listing pass, only on NULL-partition
+                # batches — a rare shape worth the O(#partitions) scan
+                self.spark.catalog.recoverPartitions(self.qualified)
 
     def cleanup(self, batch_id: int) -> None:
         """Drop the batch's staging dir. Only safe once the ledger

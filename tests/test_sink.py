@@ -646,3 +646,34 @@ def test_continuous_trigger_rejected_with_guidance(spark, tmp_path):
             table=table,
             trigger={"continuous": "3 seconds"},
         )
+
+
+def test_null_partition_value_routes_to_default_partition(spark, tmp_path):
+    """A NULL partition-column value must land in Hive's default
+    partition (__HIVE_DEFAULT_PARTITION__) and read back as NULL —
+    the staged publisher registers it via partition recovery since
+    ALTER TABLE ADD PARTITION cannot express NULL (adv-gate
+    regression, round 9)."""
+    from pyspark.sql import functions as F
+
+    from spark_hive_streaming_sink_spark.streaming.sink import StagedBatchPublisher
+
+    table, _ = _mk_table(spark)  # partitioned by event_type
+    opts = HiveSinkOptions(db="default", table=table)
+    part_cols = validate_destination(
+        spark, ["event_id", "user_id", "value", "event_type"], opts
+    )
+    batch = spark.createDataFrame(
+        [(1, 10, 1.5, "click"), (2, 11, 2.5, None)],
+        "event_id long, user_id long, value double, event_type string",
+    )
+    dest_fields = spark.table(opts.qualified_name).schema.fields
+    aligned = batch.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in dest_fields]
+    )
+    pub = StagedBatchPublisher(spark, opts.qualified_name, part_cols)
+    pub.publish(aligned, 0)
+    pub.cleanup(0)
+    spark.catalog.refreshTable(opts.qualified_name)
+    rows = {r["event_id"]: r["event_type"] for r in spark.table(opts.qualified_name).collect()}
+    assert rows == {1: "click", 2: None}
