@@ -863,8 +863,11 @@ def window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id, event_type
       FROM events
       -- NULL ts is unplaceable in session order; NULL event_type has
-      -- no path token: excluded identically in both engines
-      WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+      -- no path token; NULL event_id breaks the (ts, event_id) tie
+      -- order (NULLS FIRST vs LAST differs between engines): all three
+      -- excluded identically in both engines
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        AND event_id IS NOT NULL),
     marked AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
@@ -877,7 +880,10 @@ def window_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM marked),
     paths AS (
       SELECT user_id, session_no,
-             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             -- event_type mirrors the Spark side's struct tie-break
+             -- (array_sort over (ts, event_id, event_type)) for
+             -- duplicate (ts, event_id) rows
+             string_agg(event_type, '>' ORDER BY ts, event_id, event_type) AS path,
              COUNT(*) AS path_len
       FROM sessions GROUP BY user_id, session_no),
     tot AS (SELECT COUNT(*) AS n_total FROM paths),
@@ -900,9 +906,9 @@ def events_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same gaps-and-islands sessionization as
     window_gaps_islands_sessionize.
 
-    Exactness: path strings are ordered by (ts, event_id) — a total
-    order after the NULL filters — in both engines (Spark sorts the
-    collected struct array, DuckDB uses aggregate ORDER BY); counts and
+    Exactness: path strings are ordered by (ts, event_id, event_type)
+    over NULL-free keys in both engines (Spark sorts the collected
+    struct array, DuckDB uses aggregate ORDER BY); counts and
     the integer-ppm share are exact; the top-25 carries (n_sessions
     DESC, path) as a total-order tiebreak.
 
@@ -911,7 +917,9 @@ def events_session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path groupBy shuffles one row per session; the 1-row session total
     broadcasts; the top-25 is a TakeOrdered, never a global sort."""
     e = load_table(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(

@@ -214,6 +214,12 @@ def _slug(s: str) -> str:
     return "".join(ch if ch.isalnum() or ch in "._-" else "_" for ch in s) or "_global"
 
 
+# formats a path-based DataFrameWriter can produce files for; anything
+# else (notably Provider 'hive' on SerDe tables) must be rejected at
+# publisher construction, not at stage time.
+_PATH_WRITABLE_FORMATS = {"parquet", "orc", "avro", "json", "csv", "text"}
+
+
 class StagedBatchPublisher:
     """Exactly-once micro-batch append into a Spark file-format table
     (parquet/ORC/...) via stage → durable manifest → idempotent
@@ -264,15 +270,40 @@ class StagedBatchPublisher:
     pre-publish ``repartition`` on the partition columns.
     """
 
-    def __init__(self, spark: SparkSession, qualified: str, part_cols: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        qualified: str,
+        part_cols: list[str],
+        scope: str | None = None,
+    ):
         self.spark = spark
         self.qualified = qualified
         self.part_cols = part_cols
+        # the staging path MUST carry the same scope as the ledger: a
+        # bare batch-<id> path would let a stale manifest from a crashed
+        # run under a DIFFERENT query name / fresh checkpoint (batch ids
+        # restart at 0) short-circuit _ensure_staged and silently drop
+        # the new batch's data.
+        self.scope = scope or qualified
         meta = _table_meta(spark, qualified)
         self.location = meta["Location"].rstrip("/")
         # stage in the destination's own file format so renamed files
         # are indistinguishable from insert-written ones
         self.file_format = meta.get("Provider", "parquet").lower()
+        if self.file_format not in _PATH_WRITABLE_FORMATS:
+            # Hive-SerDe destinations report Provider 'hive'; a
+            # path-based DataFrameWriter cannot produce their files —
+            # fail at construction with sink-level guidance instead of
+            # an obscure AnalysisException at stage time.
+            raise HiveStreamingSinkError(
+                f"destination {qualified} has Provider "
+                f"{self.file_format!r}, which is not path-writable "
+                f"(supported: {sorted(_PATH_WRITABLE_FORMATS)}). "
+                "Recreate the destination as a Spark file-format table "
+                "(CREATE TABLE ... USING parquet/orc) — Hive-SerDe "
+                "tables need the Hive write path this sink replaces"
+            )
         self._jvm = spark.sparkContext._jvm
         self._hconf = spark.sparkContext._jsc.hadoopConfiguration()
 
@@ -283,7 +314,7 @@ class StagedBatchPublisher:
         return self._path(self.location).getFileSystem(self._hconf)
 
     def _staging(self, batch_id: int) -> str:
-        return f"{self.location}/_shss_staging/batch-{batch_id}"
+        return f"{self.location}/_shss_staging/{_slug(self.scope)}/batch-{batch_id}"
 
     def publish(self, aligned: DataFrame, batch_id: int) -> None:
         self._publish_entries(self._ensure_staged(aligned, batch_id), batch_id)
@@ -433,6 +464,7 @@ def make_batch_writer(
     part_cols: list[str],
     ledger: BatchCommitLedger,
     stream_columns: list[str],
+    scope: str | None = None,
 ):
     """Build the foreachBatch callable: ledger check → column align →
     staged exactly-once publish → ledger record → staging cleanup.
@@ -448,9 +480,9 @@ def make_batch_writer(
         if ledger.committed(batch_id):
             # replayed batch — exactly-once skip; reclaim staging if the
             # pre-crash attempt died between marker and cleanup
-            StagedBatchPublisher(spark, options.qualified_name, part_cols).cleanup(
-                batch_id
-            )
+            StagedBatchPublisher(
+                spark, options.qualified_name, part_cols, scope=scope
+            ).cleanup(batch_id)
             return
         if part_cols and not options.auto_create_partitions:
             # HiveOptions.scala:35 / HiveWriter.scala:44 — with
@@ -476,14 +508,40 @@ def make_batch_writer(
         # align by NAME and cast to the destination types (the staged
         # files must be type-identical to the table's own files; the
         # reference validates name-sets only, README tells its users to
-        # conform order by hand with selectExpr).
-        aligned = batch_df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in dest_fields]
-        )
+        # conform order by hand with selectExpr). Casts must fail
+        # LOUDLY: under default (non-ANSI) semantics a plain cast turns
+        # malformed/overflowing values into silent NULLs in the table —
+        # a validation regression vs the old insertInto path, which ran
+        # under storeAssignmentPolicy=ANSI. Cast only when types differ,
+        # via try_cast + raise_error on a non-NULL source that casts to
+        # NULL.
+        src_types = {f.name.lower(): f.dataType for f in batch_df.schema.fields}
+        cols = []
+        for f in dest_fields:
+            c = F.col(f.name)
+            if src_types.get(f.name.lower()) == f.dataType:
+                cols.append(c.alias(f.name))
+                continue
+            tc = c.try_cast(f.dataType)
+            err = F.concat(
+                F.lit(
+                    f"batch {batch_id}: value not castable to "
+                    f"{f.name} {f.dataType.simpleString()}: "
+                ),
+                c.cast("string"),
+            )
+            cols.append(
+                F.when(c.isNotNull() & tc.isNull(), F.raise_error(err).cast(f.dataType))
+                .otherwise(tc)
+                .alias(f.name)
+            )
+        aligned = batch_df.select(*cols)
         if part_cols:
             # one task per output partition → bounded file counts
             aligned = aligned.repartition(*[F.col(c) for c in part_cols])
-        publisher = StagedBatchPublisher(spark, options.qualified_name, part_cols)
+        publisher = StagedBatchPublisher(
+            spark, options.qualified_name, part_cols, scope=scope
+        )
         publisher.publish(aligned, batch_id)
         # invalidate this session's cached file index; NB foreachBatch runs
         # in a CLONED session, so concurrent readers in other sessions of an
@@ -602,7 +660,7 @@ def write_stream_to_table(
     )
     writer = (
         df.writeStream.outputMode("append")
-        .foreachBatch(make_batch_writer(opts, part_cols, ledger, df.columns))
+        .foreachBatch(make_batch_writer(opts, part_cols, ledger, df.columns, scope=scope))
         .option("checkpointLocation", checkpoint_dir)
     )
     if query_name:
@@ -621,9 +679,17 @@ def _table_meta(spark: SparkSession, qualified: str) -> dict[str, str]:
     """Catalog metadata rows (Location, Provider, ...) from DESCRIBE
     TABLE EXTENDED — one metadata call, no data scan."""
     meta = {}
+    in_info = False
     for r in spark.sql(f"DESCRIBE TABLE EXTENDED {qualified}").collect():
-        if r.col_name and r.data_type:
-            meta.setdefault(r.col_name, r.data_type)
+        name = (r.col_name or "").strip()
+        if name == "# Detailed Table Information":
+            # the column section precedes the metadata section — a
+            # destination column literally named 'Location'/'Provider'
+            # must not poison the table metadata
+            in_info = True
+            continue
+        if in_info and name and r.data_type:
+            meta.setdefault(name, r.data_type)
     if "Location" not in meta:
         raise HiveStreamingSinkError(
             f"no Location in catalog metadata for {qualified}"

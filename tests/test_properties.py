@@ -460,3 +460,23 @@ def test_benford_digit_extraction_matches_reference(spark, tmp_path_factory, cen
         d = int(str(k * 100)[0])
         want[d] = want.get(d, 0) + 1
     assert got == want
+
+
+def test_verified_ledger_matches_driver_record():
+    """VERDICT r9 item 9: `_verified.py` is GENERATED from the union of
+    CORRECTNESS_r*.json; a hand-edit or a missed per-round fold shows up
+    here as staleness (regenerate with tools/gen_verified.py --write)."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_verified", os.path.join(repo, "tools", "gen_verified.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    committed = open(mod.TARGET).read()
+    assert committed == mod.generate(), (
+        "_verified.py is stale vs CORRECTNESS_r*.json — run "
+        "`python tools/gen_verified.py --write`"
+    )

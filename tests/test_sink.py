@@ -677,3 +677,101 @@ def test_null_partition_value_routes_to_default_partition(spark, tmp_path):
     spark.catalog.refreshTable(opts.qualified_name)
     rows = {r["event_id"]: r["event_type"] for r in spark.table(opts.qualified_name).collect()}
     assert rows == {1: "click", 2: None}
+
+
+def test_staging_path_scoped_per_query(spark, tmp_path):
+    """adv-r10 (high): the staging dir carries the ledger scope. A stale
+    manifest left by a crashed run under ANOTHER query name (batch ids
+    restart at 0 on a fresh checkpoint) must not short-circuit a new
+    query's staging and silently drop its batch."""
+    from spark_hive_streaming_sink_spark.streaming.sink import StagedBatchPublisher
+
+    table, _ = _mk_table(spark, partitioned=False)
+    opts = HiveSinkOptions(db="default", table=table)
+    validate_destination(spark, ["event_id", "user_id", "value", "event_type"], opts)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "event_id long, user_id long, value double, event_type string"
+    )
+
+    # query 1 stages batch 0 and crashes between manifest and publish
+    pub1 = StagedBatchPublisher(spark, opts.qualified_name, [], scope=f"{table}.q1")
+    pub1._ensure_staged(mk([(1, 10, 1.0, "a")]), 0)  # durable manifest, unpublished
+
+    # query 2 (fresh checkpoint, same table, batch ids restart at 0)
+    pub2 = StagedBatchPublisher(spark, opts.qualified_name, [], scope=f"{table}.q2")
+    assert pub1._staging(0) != pub2._staging(0)
+    pub2.publish(mk([(2, 20, 2.0, "b"), (3, 30, 3.0, "c")]), 0)
+    pub2.cleanup(0)
+    spark.catalog.refreshTable(opts.qualified_name)
+    ids = {r.event_id for r in spark.table(opts.qualified_name).collect()}
+    assert ids == {2, 3}, "query 2's batch must land, not query 1's stale manifest"
+
+    # query 1's replay still resumes ITS OWN manifest correctly
+    pub1.publish(mk([(1, 10, 1.0, "a")]), 0)
+    pub1.cleanup(0)
+    spark.catalog.refreshTable(opts.qualified_name)
+    ids = {r.event_id for r in spark.table(opts.qualified_name).collect()}
+    assert ids == {1, 2, 3}
+
+
+def test_malformed_cast_fails_loudly_not_silent_null(spark, tmp_path):
+    """adv-r10 (medium): a batch value the destination type cannot hold
+    must FAIL the batch (ANSI-style), not be written as a silent NULL —
+    parity with the storeAssignmentPolicy=ANSI behavior of insertInto."""
+    table, base = _mk_table(spark, partitioned=False)
+    opts = HiveSinkOptions(db="default", table=table)
+    ledger = BatchCommitLedger(os.path.join(base, "ledger"))
+    writer = make_batch_writer(opts, [], ledger, [])
+    bad = spark.createDataFrame(
+        [("not-a-number", "10", "1.5", "click")],
+        "event_id string, user_id string, value string, event_type string",
+    )
+    with pytest.raises(Exception, match="not castable"):
+        writer(bad, 0)
+    spark.catalog.refreshTable(opts.qualified_name)
+    assert spark.table(opts.qualified_name).count() == 0
+    assert not ledger.committed(0)
+
+    # a fully castable batch of differing types still converts cleanly
+    ok = spark.createDataFrame(
+        [("7", "10", "1.5", "click")],
+        "event_id string, user_id string, value string, event_type string",
+    )
+    writer(ok, 1)
+    spark.catalog.refreshTable(opts.qualified_name)
+    rows = spark.table(opts.qualified_name).collect()
+    assert [(r.event_id, r.value) for r in rows] == [(7, 1.5)]
+
+
+def test_table_meta_immune_to_metadata_named_columns(spark):
+    """adv-r10 (low): a destination column literally named Location or
+    Provider must not poison the parsed table metadata — only rows after
+    the '# Detailed Table Information' marker count."""
+    from spark_hive_streaming_sink_spark.streaming.sink import _table_meta
+
+    run_id = uuid.uuid4().hex[:10]
+    base = tempfile.mkdtemp(prefix=f"shss_meta_{run_id}_")
+    table = f"meta_cols_{run_id}"
+    spark.sql(
+        f"CREATE TABLE {table} (`Location` STRING, `Provider` STRING) "
+        f"USING PARQUET LOCATION '{base}/tbl'"
+    )
+    meta = _table_meta(spark, f"default.{table}")
+    assert meta["Location"].rstrip("/").endswith("/tbl")
+    assert meta["Provider"].lower() == "parquet"
+
+
+def test_hive_serde_provider_rejected_at_construction(spark, monkeypatch):
+    """adv-r10 (low): Provider 'hive' (SerDe tables) is not path-writable;
+    the publisher must refuse at construction with sink-level guidance,
+    not fail at stage time with an obscure AnalysisException."""
+    import spark_hive_streaming_sink_spark.streaming.sink as sink_mod
+    from spark_hive_streaming_sink_spark.streaming.sink import StagedBatchPublisher
+
+    table, _ = _mk_table(spark, partitioned=False)
+    real_meta = sink_mod._table_meta(spark, f"default.{table}")
+    monkeypatch.setattr(
+        sink_mod, "_table_meta", lambda s, q: {**real_meta, "Provider": "hive"}
+    )
+    with pytest.raises(HiveStreamingSinkError, match="not path-writable"):
+        StagedBatchPublisher(spark, f"default.{table}", [])

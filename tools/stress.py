@@ -44,11 +44,10 @@ os.environ.setdefault("SHSS_N_PLANES", str(4 + _REPL.bit_length()))
 # keeps stress pair counts linear while leaving fixture-scale
 # semantics untouched (fixture buckets are far below any cap).
 os.environ.setdefault("SHSS_BAND_CAP", "16")
-# calibration audit: at stress scale, audit a deterministic 1-in-16
-# hash-sample of candidate pairs (the 100 TB production posture — the
-# audit estimates an error distribution, a sample estimates it equally
-# well; ~90k pairs at x100 is still a tight estimate); oracle gates run
-# exhaustive K=1
+# calibration audit: K=16 sampled mode is the engine-wide default
+# since round 10 (bench, gates and stress all measure the same
+# configuration); the setdefault stays as documentation and as a guard
+# against an inherited K=1 env
 os.environ.setdefault("SHSS_CALIB_SAMPLE_K", "16")
 
 import pyspark.sql.functions as F  # noqa: E402
