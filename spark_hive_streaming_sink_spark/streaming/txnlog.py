@@ -1,0 +1,321 @@
+"""Transaction-log table provider — the ``table.format=txnlog`` backend
+of the streaming sink's provider seam (``sink.TABLE_FORMAT_PROVIDERS``).
+
+The reference's example DDL requires a Hive ACID destination
+(``HiveStreamingExample.scala:26-31``: ``stored as orc
+tblproperties("transactional"="true")``) — a table whose WRITES become
+visible through a transactional metadata commit, not through files
+appearing in a directory. OSS Spark cannot write Hive ACID tables; this
+module maps the same guarantee onto the Delta/Iceberg commit model,
+self-contained (no external runtime):
+
+- Data files are written DIRECTLY (no staging renames) under the
+  underscore-hidden ``<location>/_shss_data/<unique batch dir>/`` —
+  Spark's file listing ignores ``_``-prefixed dirs, so a naive
+  ``spark.table(...)`` read of the destination never sees them and a
+  crashed half-written batch is invisible garbage, not partial data.
+- Visibility is ONE atomic action: exclusive-create of
+  ``<location>/_shss_txnlog/<version>.json`` listing the added files.
+  The commit carries ``(app_id, batch_id)`` — Delta's
+  ``txn appId/version`` idempotent-writes contract — so a replayed
+  micro-batch whose previous attempt already committed is recognized
+  and skipped WITHOUT any sink-side ledger: the log IS the ledger.
+- Readers resolve a SNAPSHOT (the union of committed files at read
+  time) via :meth:`TxnLogTable.snapshot`; like Delta/Iceberg, the
+  format needs a format-aware reader. Snapshot isolation follows from
+  the log: a reader's file list is fixed by the last committed version
+  it saw, concurrent commits only ever ADD files it will not list.
+- Concurrent writers are detected, not assumed away: two commits
+  racing for the same version collide on the exclusive create; the
+  loser re-reads the log (re-checking idempotency — the winner may
+  have been its own pre-crash attempt) and retries at the next
+  version. This is optimistic concurrency, the isolation mechanism
+  Hive ACID's metastore locks provide in the reference's world and the
+  ``native`` provider only gets from its single-writer contract.
+
+Scale: a commit is ONE driver-side metadata write, O(1) in data size
+(vs the native provider's O(files-per-batch) renames); per-file
+row counts and partition-column min/max recorded in the commit give
+readers Delta-style data skipping without Hive partition directories
+(data files carry ALL columns — at 100 TB, stats-based skipping
+composes with any partitioning upstream and avoids the small-files
+explosion of high-cardinality dynamic partitions).
+
+Exclusive-create atomicity holds on HDFS and POSIX filesystems; object
+stores without atomic create need a conditional-put/locking LogStore,
+the same deployment caveat Delta documents for S3.
+
+Reference parity: ``HiveStreamWriter.scala:39-41`` (the no-op epoch
+commit this replaces), ``HiveWriter.scala:79-138`` (the ACID
+transaction lifecycle the commit file plays the role of).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TxnLogError(ValueError):
+    """Commit-protocol violation (corrupt log, retry exhaustion)."""
+
+
+_LOG_DIR = "_shss_txnlog"
+_DATA_DIR = "_shss_data"
+_COMMIT_RETRIES = 50
+
+
+class TxnLogTable:
+    """Commit log + snapshot resolution for one table location."""
+
+    def __init__(self, spark: SparkSession, location: str):
+        self.spark = spark
+        self.location = location.rstrip("/")
+        self._jvm = spark.sparkContext._jvm
+        self._hconf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    # -- Hadoop FS plumbing (works on any DFS, same as the native
+    #    provider's StagedBatchPublisher) --------------------------------
+    def _path(self, s: str):
+        return self._jvm.org.apache.hadoop.fs.Path(s)
+
+    def _fs(self):
+        return self._path(self.location).getFileSystem(self._hconf)
+
+    def _log_path(self, version: int) -> str:
+        return f"{self.location}/{_LOG_DIR}/{version:020d}.json"
+
+    # -- log reading -----------------------------------------------------
+    def versions(self) -> list[int]:
+        fs = self._fs()
+        log_dir = self._path(f"{self.location}/{_LOG_DIR}")
+        if not fs.exists(log_dir):
+            return []
+        out = []
+        for st in fs.listStatus(log_dir):
+            name = st.getPath().getName()
+            if name.endswith(".json"):
+                out.append(int(name[: -len(".json")]))
+        return sorted(out)
+
+    def read_commit(self, version: int) -> dict:
+        fs = self._fs()
+        stream = fs.open(self._path(self._log_path(version)))
+        raw = self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        stream.close()
+        return json.loads(raw)
+
+    def commits(self) -> list[dict]:
+        return [self.read_commit(v) for v in self.versions()]
+
+    def committed_batch_ids(self, app_id: str) -> set[int]:
+        """The idempotency check — Delta's txn appId/version lookup."""
+        return {
+            c["batch_id"] for c in self.commits() if c.get("app_id") == app_id
+        }
+
+    # -- committing ------------------------------------------------------
+    def try_commit(self, version: int, commit: dict) -> bool:
+        """Exclusive-create the commit file; False on version collision
+        (another writer — or this writer's pre-crash attempt — owns it)."""
+        fs = self._fs()
+        fs.mkdirs(self._path(f"{self.location}/{_LOG_DIR}"))
+        target = self._path(self._log_path(version))
+        try:
+            out = fs.create(target, False)  # overwrite=False: atomic claim
+        except Exception:
+            return False
+        body = dict(commit)
+        body["version"] = version
+        out.write(bytearray(json.dumps(body).encode("utf-8")))
+        out.close()
+        return True
+
+    def append_commit(self, app_id: str, batch_id: int, add: list[dict]) -> int | None:
+        """Optimistic-concurrency commit loop. Returns the committed
+        version, or None when (app_id, batch_id) is already in the log
+        (idempotent replay — nothing to do)."""
+        for _ in range(_COMMIT_RETRIES):
+            vs = self.versions()
+            if batch_id in self.committed_batch_ids(app_id):
+                return None
+            next_v = (vs[-1] + 1) if vs else 0
+            if self.try_commit(
+                next_v, {"app_id": app_id, "batch_id": batch_id, "add": add}
+            ):
+                return next_v
+            # collision: someone committed next_v between the read and
+            # the create — loop re-reads (and re-checks idempotency:
+            # the winner may have been this batch's pre-crash attempt)
+        raise TxnLogError(
+            f"commit contention: {_COMMIT_RETRIES} consecutive version "
+            f"collisions at {self.location} — too many concurrent writers"
+        )
+
+    # -- snapshot reads ----------------------------------------------------
+    def snapshot_files(self, predicate: dict | None = None) -> list[str]:
+        """Absolute paths of every committed data file. ``predicate``
+        ``{col: value}`` prunes files whose recorded min/max for ``col``
+        excludes ``value`` (Delta-style data skipping; files without
+        stats for the column are kept — skipping must never be wrong)."""
+        files: list[str] = []
+        for c in self.commits():
+            for a in c["add"]:
+                if predicate:
+                    stats = a.get("stats") or {}
+                    skip = False
+                    for col, val in predicate.items():
+                        rng = stats.get(col)
+                        if rng is not None and not (rng[0] <= val <= rng[1]):
+                            skip = True
+                            break
+                    if skip:
+                        continue
+                files.append(f"{self.location}/{a['path']}")
+        return files
+
+    def snapshot(
+        self, schema, predicate: dict | None = None
+    ) -> DataFrame:
+        """The committed table contents as a DataFrame. ``schema`` is
+        the destination's catalog schema (txnlog data files carry every
+        column, including the routing columns)."""
+        files = self.snapshot_files(predicate)
+        reader = self.spark.read.schema(schema)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return reader.parquet(*files)
+
+
+def _file_stats(local_path: str, cols: list[str]) -> dict | None:
+    """Per-file min/max for the routing columns from the parquet footer
+    (no data read). Best-effort: stats are an OPTIMIZATION — a file
+    without them is always kept by the reader's pruning."""
+    if not cols:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(local_path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        out: dict = {}
+        for col in cols:
+            if col not in idx:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    return None  # partial stats: record none for safety
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None:
+                if isinstance(lo, bytes):
+                    lo, hi = lo.decode("utf-8", "replace"), hi.decode(
+                        "utf-8", "replace"
+                    )
+                if not isinstance(lo, (str, int, float, bool)):
+                    lo, hi = str(lo), str(hi)  # dates etc: JSON-safe
+                out[col] = [lo, hi]
+        return out or None
+    except Exception:
+        return None
+
+
+class TxnLogPublisher:
+    """Micro-batch publisher for ``table.format=txnlog`` destinations —
+    the provider-seam counterpart of the native ``StagedBatchPublisher``,
+    with the commit file playing the Hive ACID transaction's role."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        qualified: str,
+        part_cols: list[str],
+        scope: str,
+        location: str,
+    ):
+        self.spark = spark
+        self.qualified = qualified
+        self.part_cols = part_cols
+        self.scope = scope
+        self.log = TxnLogTable(spark, location)
+
+    def publish(self, aligned: DataFrame, batch_id: int) -> None:
+        log = self.log
+        if batch_id in log.committed_batch_ids(self.scope):
+            return  # replay of a committed batch: the log IS the marker
+        # unique dir per ATTEMPT: a replay after a mid-write crash never
+        # collides with (or resumes) the dead attempt's files — those
+        # stay unreferenced by any commit, hence invisible, until vacuum
+        rel_dir = f"{_DATA_DIR}/b{batch_id}-{uuid.uuid4().hex[:12]}"
+        out_dir = f"{log.location}/{rel_dir}"
+        aligned.write.mode("errorifexists").format("parquet").save(out_dir)
+        fs = log._fs()
+        out_q = fs.makeQualified(log._path(out_dir)).toString()
+        add: list[dict] = []
+        it = fs.listFiles(log._path(out_dir), True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath()
+            if p.getName().startswith(("_", ".")):
+                continue
+            rel = fs.makeQualified(p).toString()[len(out_q) :].lstrip("/")
+            entry: dict = {
+                "path": f"{rel_dir}/{rel}",
+                "size": st.getLen(),
+            }
+            stats = _file_stats(f"{log.location}/{rel_dir}/{rel}", self.part_cols)
+            if stats:
+                entry["stats"] = stats
+            add.append(entry)
+        log.append_commit(self.scope, batch_id, add)
+
+    def vacuum_orphans(self, retention_ms: int = 24 * 3600 * 1000) -> list[str]:
+        """Delete data dirs unreferenced by any commit (crashed write
+        attempts). The retention window protects IN-FLIGHT writers —
+        a dir written but not yet committed is unreferenced too, and
+        deleting it would break its imminent commit; anything older
+        than the retention is a dead attempt (same contract, and same
+        default, as Delta VACUUM's retention). Run out-of-band."""
+        import time
+
+        log = self.log
+        fs = log._fs()
+        data_root = log._path(f"{log.location}/{_DATA_DIR}")
+        if not fs.exists(data_root):
+            return []
+        referenced = {
+            a["path"].split("/", 2)[1]
+            for c in log.commits()
+            for a in c["add"]
+        }
+        cutoff = int(time.time() * 1000) - retention_ms
+        removed = []
+        for st in fs.listStatus(data_root):
+            name = st.getPath().getName()
+            if name not in referenced and st.getModificationTime() < cutoff:
+                fs.delete(st.getPath(), True)
+                removed.append(name)
+        return removed
+
+
+def read_txnlog_table(
+    spark: SparkSession, db: str, table: str, predicate: dict | None = None
+) -> DataFrame:
+    """Snapshot read of a ``table.format=txnlog`` destination: the
+    catalog table supplies schema + location (it anchors the
+    destination the way the reference's metastore entry does), the
+    commit log supplies the committed file set. Like Delta/Iceberg,
+    the format needs this format-aware reader — a naive
+    ``spark.table(...)`` sees an EMPTY table (data lives under the
+    underscore-hidden ``_shss_data/``), never partial data."""
+    from .sink import _table_location
+
+    qualified = f"{db}.{table}"
+    schema = spark.table(qualified).schema
+    return TxnLogTable(spark, _table_location(spark, qualified)).snapshot(
+        schema, predicate
+    )

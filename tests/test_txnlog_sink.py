@@ -1,0 +1,238 @@
+"""table.format=txnlog provider tests (r10, VERDICT r9 item 2): the
+Delta-model commit log — invisibility before commit, atomic visibility,
+log-anchored idempotent replay, optimistic-concurrency collisions,
+stats-based skipping, vacuum — driven through the same sink machinery
+as the native provider's crash suite (tests/test_sink.py)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+
+from spark_hive_streaming_sink_spark.streaming.sink import (
+    BatchCommitLedger,
+    HiveSinkOptions,
+    HiveStreamingSinkError,
+    make_batch_writer,
+    validate_destination,
+    write_stream_to_table,
+)
+from spark_hive_streaming_sink_spark.streaming.txnlog import (
+    TxnLogPublisher,
+    TxnLogTable,
+    read_txnlog_table,
+)
+from spark_hive_streaming_sink_spark.streaming.ops import stream_table
+
+from .conftest import SF_DIR
+
+
+def _mk_table(spark):
+    run_id = uuid.uuid4().hex[:10]
+    base = tempfile.mkdtemp(prefix=f"shss_txnlog_{run_id}_")
+    table = f"txnlog_alerts_{run_id}"
+    spark.sql(
+        f"CREATE TABLE {table} (event_id BIGINT, user_id BIGINT, value DOUBLE, "
+        f"event_type STRING) USING PARQUET LOCATION '{base}/tbl'"
+    )
+    return table, f"{base}/tbl", base
+
+
+def _events_batch(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id", "user_id", "value", "event_type")
+    )
+
+
+def test_txnlog_end_to_end_stream_snapshot_and_invisibility(spark, tmp_path):
+    """A streaming write lands in the snapshot; the naive catalog read
+    stays EMPTY (data is underscore-hidden — a format-aware reader is
+    required, exactly like Delta/Iceberg), never partial."""
+    table, loc, base = _mk_table(spark)
+    ev = stream_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    q = write_stream_to_table(
+        ev,
+        checkpoint_dir=f"{base}/ckpt",
+        db="default",
+        table=table,
+        **{"table.format": "txnlog"},
+    )
+    q.awaitTermination()
+    expected = _events_batch(spark).count()
+    snap = read_txnlog_table(spark, "default", table)
+    assert snap.count() == expected
+    assert snap.dropDuplicates(["event_id"]).count() == expected
+    # naive readers see nothing — not partial data
+    spark.catalog.refreshTable(table)
+    assert spark.table(table).count() == 0
+    # schema parity with the destination
+    assert [f.name for f in snap.schema.fields] == [
+        "event_id", "user_id", "value", "event_type",
+    ]
+
+
+def test_txnlog_replay_skipped_by_log_not_ledger(spark):
+    """The commit log is the idempotency anchor: replaying batch 0 with
+    a FRESH ledger (simulating total checkpoint+ledger loss) must not
+    duplicate rows — (app_id, batch_id) is already in the log."""
+    table, loc, base = _mk_table(spark)
+    opts = HiveSinkOptions.from_options(
+        {"db": "default", "table": table, "table.format": "txnlog"}
+    )
+    part_cols = validate_destination(
+        spark, ["event_id", "user_id", "value", "event_type"], opts
+    )
+    batch = _events_batch(spark)
+    expected = batch.count()
+    scope = f"default.{table}.q1"
+    w1 = make_batch_writer(
+        opts, part_cols, BatchCommitLedger(os.path.join(base, "l1")), [], scope=scope
+    )
+    w1(batch, 0)
+    assert read_txnlog_table(spark, "default", table).count() == expected
+    # fresh ledger, same scope + batch id: log-anchored skip
+    w2 = make_batch_writer(
+        opts, part_cols, BatchCommitLedger(os.path.join(base, "l2")), [], scope=scope
+    )
+    w2(batch, 0)
+    assert read_txnlog_table(spark, "default", table).count() == expected
+    # a DIFFERENT batch id appends
+    w2(batch, 1)
+    assert read_txnlog_table(spark, "default", table).count() == 2 * expected
+    # exactly one commit per (scope, batch id)
+    log = TxnLogTable(spark, loc)
+    assert sorted(c["batch_id"] for c in log.commits()) == [0, 1]
+
+
+def test_txnlog_crash_before_commit_invisible_then_replay_exactly_once(spark):
+    """Hard crash point: data files fully written, no commit. The
+    snapshot must not move; the replay writes a fresh attempt and
+    commits once; vacuum reclaims the dead attempt's files."""
+    table, loc, base = _mk_table(spark)
+    opts = HiveSinkOptions(db="default", table=table)
+    part_cols = validate_destination(
+        spark, ["event_id", "user_id", "value", "event_type"], opts
+    )
+    batch = _events_batch(spark)
+    expected = batch.count()
+    scope = f"default.{table}.q1"
+    pub = TxnLogPublisher(spark, f"default.{table}", part_cols, scope, loc)
+
+    # simulate the crash: publish with commit disabled
+    crashed = {"n": 0}
+    real_commit = pub.log.append_commit
+
+    def dying_commit(app_id, batch_id, add):
+        crashed["n"] += 1
+        raise RuntimeError("injected crash before txnlog commit")
+
+    pub.log.append_commit = dying_commit
+    with pytest.raises(RuntimeError, match="before txnlog commit"):
+        pub.publish(batch, 0)
+    assert crashed["n"] == 1
+    assert read_txnlog_table(spark, "default", table).count() == 0  # invisible
+
+    # replay: fresh attempt dir, single commit, exactly-once content
+    pub.log.append_commit = real_commit
+    pub.publish(batch, 0)
+    snap = read_txnlog_table(spark, "default", table)
+    assert snap.count() == expected
+    assert snap.dropDuplicates(["event_id"]).count() == expected
+
+    # the dead attempt's dir is an orphan; vacuum (retention 0) removes
+    # exactly it and the snapshot is untouched
+    removed = pub.vacuum_orphans(retention_ms=0)
+    assert len(removed) == 1
+    assert read_txnlog_table(spark, "default", table).count() == expected
+    # double publish after commit: log-anchored skip (no new commit)
+    pub.publish(batch, 0)
+    assert len(pub.log.versions()) == 1
+
+
+def test_txnlog_version_collision_retries_to_next_version(spark):
+    """Optimistic concurrency: when another writer claims the version
+    first, the commit loop re-reads and lands on the next one."""
+    table, loc, base = _mk_table(spark)
+    log = TxnLogTable(spark, loc)
+    # a foreign writer owns versions 0 and 1
+    assert log.try_commit(0, {"app_id": "other", "batch_id": 0, "add": []})
+    assert log.try_commit(1, {"app_id": "other", "batch_id": 1, "add": []})
+    v = log.append_commit("me", 0, [])
+    assert v == 2
+    # idempotent: same (app, batch) returns None, no new version
+    assert log.append_commit("me", 0, []) is None
+    assert log.versions() == [0, 1, 2]
+    # the foreign writer's batches are invisible to my idempotency set
+    assert log.committed_batch_ids("me") == {0}
+    assert log.committed_batch_ids("other") == {0, 1}
+
+
+def test_txnlog_stats_skipping_prunes_files_never_wrong(spark):
+    """Per-file partition-column min/max recorded at publish prunes
+    files on equality predicates; files without stats are always kept."""
+    table, loc, base = _mk_table(spark)
+    opts = HiveSinkOptions(db="default", table=table)
+    part_cols = validate_destination(
+        spark, ["event_id", "user_id", "value", "event_type"], opts
+    )
+    batch = _events_batch(spark).filter("event_type IS NOT NULL")
+    pub = TxnLogPublisher(
+        spark, f"default.{table}", ["event_type"], "q1", loc
+    )
+    # one task per event_type -> per-file min == max == the type
+    pub.publish(batch.repartition("event_type"), 0)
+    log = TxnLogTable(spark, loc)
+    add = [a for c in log.commits() for a in c["add"]]
+    with_stats = [a for a in add if "stats" in a and "event_type" in a["stats"]]
+    assert with_stats, "publish must record partition-column stats"
+    types = [r[0] for r in batch.select("event_type").distinct().collect()]
+    t = sorted(types)[0]
+    pruned = log.snapshot_files(predicate={"event_type": t})
+    assert 0 < len(pruned) < len(add) or len(add) == 1
+    # pruned snapshot returns exactly the predicate's rows
+    schema = spark.table(f"default.{table}").schema
+    got = log.snapshot(schema, predicate={"event_type": t}).filter(
+        f"event_type = '{t}'"
+    )
+    want = batch.filter(f"event_type = '{t}'")
+    assert got.count() == want.count()
+    # a predicate on a column with no recorded stats keeps every file
+    assert len(log.snapshot_files(predicate={"value": 1.0})) >= len(pruned)
+
+
+def test_delta_provider_gated_with_guidance(spark, tmp_path):
+    """table.format=delta without the delta-spark runtime must refuse
+    at query construction with setup guidance (never degrade silently);
+    unknown formats list the available providers."""
+    table, loc, base = _mk_table(spark)
+    ev = stream_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark present; gating path not exercisable")
+    except ImportError:
+        pass
+    with pytest.raises(HiveStreamingSinkError, match="delta-spark"):
+        write_stream_to_table(
+            ev,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            db="default",
+            table=table,
+            **{"table.format": "delta"},
+        )
+    with pytest.raises(HiveStreamingSinkError, match="not available"):
+        write_stream_to_table(
+            ev,
+            checkpoint_dir=str(tmp_path / "ckpt2"),
+            db="default",
+            table=table,
+            **{"table.format": "iceberg"},
+        )
