@@ -283,10 +283,16 @@ def _sql_plane_dot(emb: str, plane: list[float]) -> str:
     # value-identical on every fixture incl. adv-d48/d96 (the per-term
     # products are exact half-integer × f32 doubles, so summation
     # order cannot flip a sign at the > 0 test).
+    # NULL elements: Spark's fold turns any NULL component into a NULL
+    # dot (NULL product poisons the sum); list_dot_product ERRORS on
+    # NULL elements instead, so they get their own NULL arm (fuzzer
+    # counterexample: embedding [NULL, NULL]).
     lits = "[" + ", ".join(str(c) for c in plane) + "]"
     return (
         f"CASE WHEN len({emb}) = 0 THEN 0.0 "
         f"WHEN len({emb}) > 256 THEN CAST(NULL AS DOUBLE) "
+        f"WHEN len(list_filter({emb}, x -> x IS NULL)) > 0 "
+        f"THEN CAST(NULL AS DOUBLE) "
         f"ELSE list_dot_product(CAST({emb} AS DOUBLE[]), "
         f"({lits}::DOUBLE[])[:len({emb})]) END"
     )
