@@ -2635,3 +2635,155 @@ def sim_rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.rank_lsh").alias("rank_lsh"),
         F.round(rrf, 0).cast("bigint").alias("rrf_ppm"),
     )
+
+
+# --- Matryoshka truncation audit --------------------------------------------
+
+MATRYOSHKA_K = 5  # rank depth audited at the truncated dimension
+
+
+@register(
+    "embed_matryoshka_overlap_audit",
+    oracle=f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, embedding,
+             embedding[1:greatest(len(embedding)//2, 1)] AS half,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS nrm_f
+      -- NULL embeddings can't be scored: excluded as query AND
+      -- candidate, both engines
+      FROM embeddings WHERE embedding IS NOT NULL),
+    v2 AS MATERIALIZED (
+      SELECT vec_id, embedding, half, nrm_f,
+             sqrt({_sql_dot('half', 'half')}) AS nrm_h
+      FROM v),
+    p AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({_sql_dot('q.embedding', 'c.embedding')}
+                   / (q.nrm_f * c.nrm_f), 6) AS cf,
+             round({_sql_dot('q.half', 'c.half')}
+                   / (q.nrm_h * c.nrm_h), 6) AS ch
+      FROM v2 q JOIN v2 c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < {N_QUERIES}),
+    r AS (
+      SELECT query_id, cand_id, cf, ch,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cf DESC, cand_id) AS rf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ch DESC, cand_id) AS rh
+      FROM p)
+    SELECT query_id,
+           CAST(COUNT(*) FILTER (WHERE rf <= {MATRYOSHKA_K}
+                                   AND rh <= {MATRYOSHKA_K}) AS BIGINT)
+             AS overlap_at_k,
+           CAST(COUNT(*) FILTER (WHERE rf <= {MATRYOSHKA_K}) AS BIGINT)
+             AS n_top,
+           CAST(SUM(CASE WHEN rf <= {MATRYOSHKA_K} THEN
+                 abs(CAST(round(cf * 1000000.0, 0) AS BIGINT)
+                   - CAST(round(ch * 1000000.0, 0) AS BIGINT)) END) AS BIGINT)
+             AS sum_abs_delta_ppm,
+           CAST(COUNT(*) FILTER (WHERE rf <= {MATRYOSHKA_K}
+                                   AND cf IS NOT NULL
+                                   AND ch IS NOT NULL) AS BIGINT)
+             AS n_scored,
+           MAX(CASE WHEN rf = 1 THEN cand_id END) AS top1_full,
+           MAX(CASE WHEN rh = 1 THEN cand_id END) AS top1_half
+    FROM r GROUP BY query_id
+    """,
+    tags=("llm", "embedding", "similarity", "audit"),
+)
+def embed_matryoshka_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: before cutting embedding storage and
+    ANN cost 2× by keeping only the first d/2 dimensions (the MRL
+    training promise — Kusupati et al. 2022), measure what the
+    truncation does to retrieval on YOUR corpus. For each query vector,
+    rank every candidate by full-dimension cosine AND by first-half
+    cosine, then report per query: the top-k overlap between the two
+    rankings, the summed |cosine delta| (integer ppm) over the
+    full-dim top-k, and both top-1 ids — the exact numbers that decide
+    whether the truncated index is safe to ship.
+
+    Exactness: cosines are round-6 sequential folds (identical in both
+    engines); deltas are differences of round-0 integer ppm; overlap,
+    counts and top-1 picks ride the (cosine DESC NULLS LAST, cand_id)
+    total order both engines share. Zero-norm or ragged or
+    NULL-element pairs get NULL cosines (they rank last and are
+    excluded from n_scored — a half-vector CAN be all-zero while the
+    full vector is not, which is exactly the degenerate shape the
+    audit should surface, not crash on).
+
+    Scale: the bounded query set (vec_id < {N_QUERIES}) broadcasts;
+    ONE corpus scan computes both cosines per pair (the half-dot costs
+    half the full dot, not a second pass over the data); the two rank
+    windows share one query_id shuffle. Same shape as the accepted
+    sim_cosine_topk baseline — at production query counts you shard
+    the query set and fan out the same plan, or move to the
+    mapInPandas BLAS path of sim_cosine_topk_numpy."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    half = F.expr(
+        "slice(embedding, 1, greatest(cast(size(embedding) / 2 as int), 1))"
+    )
+    v = emb.select(
+        "vec_id",
+        "embedding",
+        half.alias("half"),
+        _norm(F.col("embedding")).alias("nrm_f"),
+        _norm(half).alias("nrm_h"),
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("half").alias("q_half"),
+        F.col("nrm_f").alias("q_nrm_f"),
+        F.col("nrm_h").alias("q_nrm_h"),
+    )
+    pairs = F.broadcast(q).join(v, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(
+            F.try_divide(
+                _dot(F.col("q_emb"), F.col("embedding")),
+                F.col("q_nrm_f") * F.col("nrm_f"),
+            ),
+            6,
+        ).alias("cf"),
+        F.round(
+            F.try_divide(
+                _dot(F.col("q_half"), F.col("half")),
+                F.col("q_nrm_h") * F.col("nrm_h"),
+            ),
+            6,
+        ).alias("ch"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("cf").desc(), "cand_id")
+    wh = Window.partitionBy("query_id").orderBy(F.col("ch").desc(), "cand_id")
+    r = pairs.select(
+        "query_id",
+        "cand_id",
+        "cf",
+        "ch",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wh).alias("rh"),
+    )
+    in_top_f = F.col("rf") <= MATRYOSHKA_K
+    delta = F.abs(
+        F.round(F.col("cf") * 1000000.0, 0).cast("bigint")
+        - F.round(F.col("ch") * 1000000.0, 0).cast("bigint")
+    )
+    return r.groupBy("query_id").agg(
+        F.count(F.when(in_top_f & (F.col("rh") <= MATRYOSHKA_K), 1))
+        .cast("bigint")
+        .alias("overlap_at_k"),
+        F.count(F.when(in_top_f, 1)).cast("bigint").alias("n_top"),
+        F.sum(F.when(in_top_f, delta)).cast("bigint").alias("sum_abs_delta_ppm"),
+        F.count(
+            F.when(in_top_f & F.col("cf").isNotNull() & F.col("ch").isNotNull(), 1)
+        )
+        .cast("bigint")
+        .alias("n_scored"),
+        F.max(F.when(F.col("rf") == 1, F.col("cand_id"))).alias("top1_full"),
+        F.max(F.when(F.col("rh") == 1, F.col("cand_id"))).alias("top1_half"),
+    )

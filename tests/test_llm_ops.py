@@ -2388,3 +2388,29 @@ def test_session_paths_invariants(spark):
         if last is not None:
             assert r["n_sessions"] <= last
         last = r["n_sessions"]
+
+
+def test_matryoshka_audit_invariants(spark):
+    """Overlap is bounded by the audited depth and by n_top; n_scored
+    never exceeds n_top; the summed delta is non-negative; and the
+    full-dim top-1 matches an independently computed argmax."""
+    from spark_hive_streaming_sink_spark.functions.similarity import (
+        MATRYOSHKA_K,
+        N_QUERIES,
+    )
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    rows = QUERIES["embed_matryoshka_overlap_audit"].builder(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= N_QUERIES
+    top1 = {
+        r["query_id"]: r["cand_id"]
+        for r in QUERIES["sim_cosine_topk"].builder(spark, SF_DIR).collect()
+        if r["rnk"] == 1
+    }
+    for r in rows:
+        assert 0 <= r["overlap_at_k"] <= min(MATRYOSHKA_K, r["n_top"])
+        assert 0 <= r["n_scored"] <= r["n_top"] <= MATRYOSHKA_K
+        if r["sum_abs_delta_ppm"] is not None:
+            assert r["sum_abs_delta_ppm"] >= 0
+        assert r["top1_full"] == top1[r["query_id"]]

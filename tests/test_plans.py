@@ -1429,3 +1429,15 @@ def test_session_paths_single_user_shuffle_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert count_nodes(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_matryoshka_audit_broadcasts_queries_single_scan(spark):
+    """The bounded query set broadcasts (nested-loop only against the
+    <= N_QUERIES broadcast side, never a corpus×corpus cartesian); both
+    cosines come from ONE corpus scan (no second parquet scan for the
+    half-dim pass); ranks stay JVM-side (no Python eval)."""
+    df = _df(spark, "embed_matryoshka_overlap_audit")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
