@@ -34,13 +34,24 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pin_fixture_confs(spark, name)
     path = f"{sf_dir}/{name}.parquet"
     raw_schema = spark.read.parquet(path).schema
-    # the file stream source requires a directory; select just this
-    # table's file with a glob filter
-    sdf = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", f"{name}.parquet")
-        .parquet(sf_dir)
-    )
+    import os
+
+    if os.path.isdir(path):
+        # Spark-written table: <name>.parquet is a DIRECTORY of part
+        # files — stream it directly. The glob branch below would
+        # filter on LEAF file names (part-*.parquet), match nothing,
+        # and silently stream an EMPTY source (r10 stress finding: the
+        # ×10/×100 streaming entries were flat 0.43 s no-ops).
+        sdf = spark.readStream.schema(raw_schema).parquet(path)
+    else:
+        # driver-generated single-file fixture: the file stream source
+        # requires a directory; select just this table's file with a
+        # glob filter over the fixture dir
+        sdf = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
     if name == "events" and dict(sdf.dtypes).get("ts") == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return sdf
