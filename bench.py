@@ -132,6 +132,8 @@ HEADLINE = [
     "sim_rank_fusion_rrf",
     "dedup_simhash_hamming_pairs",
     "events_session_paths_topk",
+    # round-10 addition
+    "embed_matryoshka_overlap_audit",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -304,6 +304,7 @@ EMB_FUZZED = [
     "sim_hard_negative_mining",
     "embed_winsorize_audit",
     "sim_rank_fusion_rrf",
+    "embed_matryoshka_overlap_audit",
 ]
 
 # element values: exact-in-float32 two-decimal-ish values plus 0 and

@@ -1440,4 +1440,10 @@ def test_matryoshka_audit_broadcasts_queries_single_scan(spark):
     plan = formatted_plan(df)
     assert count_nodes(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert plan.count("Scan parquet") == 1
+    # exactly two scans: the pruned broadcast query side (vec_id < 5
+    # pushed to parquet) + ONE candidate pass serving both cosines and
+    # both rank windows (stacked Window operators over one Exchange)
+    assert count_nodes(df, "Scan parquet") == 2
+    assert "LessThan(vec_id,5)" in plan
+    assert count_nodes(df, "Window") == 2
+    assert count_nodes(df, "Exchange") <= 2  # query_id shuffle (+ broadcast)

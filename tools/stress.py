@@ -190,6 +190,9 @@ HEADLINE = [
     "dedup_simhash_hamming_pairs",
     # session path mining: one user_id shuffle + TakeOrdered
     "events_session_paths_topk",
+    # round-10: bounded-broadcast dual-cosine rank audit — one corpus
+    # scan, 5-key query_id shuffle; should ride the scan linearly
+    "embed_matryoshka_overlap_audit",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
