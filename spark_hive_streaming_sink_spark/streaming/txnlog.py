@@ -155,25 +155,36 @@ class TxnLogTable:
         )
 
     # -- snapshot reads ----------------------------------------------------
+    def snapshot_adds(self) -> list[dict]:
+        """The LIVE add actions: replay commits in version order,
+        applying ``remove`` lists (compaction commits retire the files
+        they rewrote — Delta's add/remove action model)."""
+        live: dict[str, dict] = {}
+        for c in self.commits():
+            for rel in c.get("remove", []):
+                live.pop(rel, None)
+            for a in c.get("add", []):
+                live[a["path"]] = a
+        return list(live.values())
+
     def snapshot_files(self, predicate: dict | None = None) -> list[str]:
-        """Absolute paths of every committed data file. ``predicate``
+        """Absolute paths of every LIVE committed data file. ``predicate``
         ``{col: value}`` prunes files whose recorded min/max for ``col``
         excludes ``value`` (Delta-style data skipping; files without
         stats for the column are kept — skipping must never be wrong)."""
         files: list[str] = []
-        for c in self.commits():
-            for a in c["add"]:
-                if predicate:
-                    stats = a.get("stats") or {}
-                    skip = False
-                    for col, val in predicate.items():
-                        rng = stats.get(col)
-                        if rng is not None and not (rng[0] <= val <= rng[1]):
-                            skip = True
-                            break
-                    if skip:
-                        continue
-                files.append(f"{self.location}/{a['path']}")
+        for a in self.snapshot_adds():
+            if predicate:
+                stats = a.get("stats") or {}
+                skip = False
+                for col, val in predicate.items():
+                    rng = stats.get(col)
+                    if rng is not None and not (rng[0] <= val <= rng[1]):
+                        skip = True
+                        break
+                if skip:
+                    continue
+            files.append(f"{self.location}/{a['path']}")
         return files
 
     def snapshot(
@@ -287,11 +298,11 @@ class TxnLogPublisher:
         data_root = log._path(f"{log.location}/{_DATA_DIR}")
         if not fs.exists(data_root):
             return []
-        referenced = {
-            a["path"].split("/", 2)[1]
-            for c in log.commits()
-            for a in c["add"]
-        }
+        # LIVE files only: dirs whose every file was retired by a
+        # compaction commit become reclaimable too (after the retention
+        # window) — Delta VACUUM semantics; old snapshot versions are
+        # no longer readable once their retired files are vacuumed.
+        referenced = {a["path"].split("/", 2)[1] for a in log.snapshot_adds()}
         cutoff = int(time.time() * 1000) - retention_ms
         removed = []
         for st in fs.listStatus(data_root):
@@ -318,4 +329,92 @@ def read_txnlog_table(
     schema = spark.table(qualified).schema
     return TxnLogTable(spark, _table_location(spark, qualified)).snapshot(
         schema, predicate
+    )
+
+
+def compact_txnlog_table(
+    spark: SparkSession,
+    db: str,
+    table: str,
+    max_files: int = 8,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+    part_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction for ``table.format=txnlog`` destinations —
+    the commit-log counterpart of :func:`sink.compact_table` (and of
+    Delta OPTIMIZE; the reference delegates this to Hive's
+    transactional compactor, ``README.md:74``).
+
+    Rewrites the current snapshot into ``ceil(total_bytes / target)``
+    files and commits ONE atomic ``{add, remove}`` action: readers
+    before the commit see the old files, readers after see the new —
+    never a mix, and never missing data. Appends racing the compaction
+    are safe by construction (they only ever ADD files; the commit
+    loop re-reads the log on version collision and re-validates that
+    every file it is retiring is still live — a concurrent COMPACTOR
+    would retire them, which aborts this one loudly).
+
+    Returns ``{"files_before": n, "files_after": m}`` (empty dict when
+    the table is already within ``max_files``). Run out-of-band, like
+    the native compactor — never inside foreachBatch. Retired files
+    stay on disk (old snapshots remain readable) until
+    :meth:`TxnLogPublisher.vacuum_orphans` reclaims their dirs past the
+    retention window."""
+    from .sink import _table_location
+
+    qualified = f"{db}.{table}"
+    schema = spark.table(qualified).schema
+    log = TxnLogTable(spark, _table_location(spark, qualified))
+    adds = log.snapshot_adds()
+    if len(adds) <= max_files:
+        return {}
+    total = sum(int(a.get("size", 0)) for a in adds)
+    n_out = max(1, -(-total // target_bytes_per_file))  # ceil
+    old_rel = [a["path"] for a in adds]
+    files = [f"{log.location}/{p}" for p in old_rel]
+    rel_dir = f"{_DATA_DIR}/compact-{uuid.uuid4().hex[:12]}"
+    out_dir = f"{log.location}/{rel_dir}"
+    (
+        spark.read.schema(schema)
+        .parquet(*files)
+        .repartition(n_out)
+        .write.mode("errorifexists")
+        .format("parquet")
+        .save(out_dir)
+    )
+    fs = log._fs()
+    out_q = fs.makeQualified(log._path(out_dir)).toString()
+    new_add: list[dict] = []
+    it = fs.listFiles(log._path(out_dir), True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        if p.getName().startswith(("_", ".")):
+            continue
+        rel = fs.makeQualified(p).toString()[len(out_q) :].lstrip("/")
+        entry: dict = {"path": f"{rel_dir}/{rel}", "size": st.getLen()}
+        stats = _file_stats(f"{log.location}/{rel_dir}/{rel}", part_cols or [])
+        if stats:
+            entry["stats"] = stats
+        new_add.append(entry)
+    retire = set(old_rel)
+    for _ in range(_COMMIT_RETRIES):
+        vs = log.versions()
+        live = {a["path"] for a in log.snapshot_adds()}
+        if not retire <= live:
+            raise TxnLogError(
+                "concurrent compaction retired files this compaction was "
+                f"rewriting ({sorted(retire - live)[:3]}...); re-run against "
+                "the new snapshot"
+            )
+        next_v = (vs[-1] + 1) if vs else 0
+        if log.try_commit(
+            next_v,
+            {"compaction": True, "add": new_add, "remove": sorted(retire)},
+        ):
+            return {"files_before": len(adds), "files_after": len(new_add)}
+        # version collision (an append landed): re-read and retry
+    raise TxnLogError(
+        f"compaction commit contention: {_COMMIT_RETRIES} consecutive "
+        f"version collisions at {log.location}"
     )

@@ -236,3 +236,50 @@ def test_delta_provider_gated_with_guidance(spark, tmp_path):
             table=table,
             **{"table.format": "iceberg"},
         )
+
+
+def test_txnlog_compaction_atomic_rewrite_and_vacuum(spark):
+    """Compaction (Delta OPTIMIZE analogue): N small committed files
+    rewrite into few, ONE atomic add+remove commit flips the snapshot
+    (same rows before and after, never a mix), and vacuum past the
+    retention window reclaims the fully-retired dirs while the live
+    snapshot stays intact."""
+    from spark_hive_streaming_sink_spark.streaming.txnlog import (
+        compact_txnlog_table,
+    )
+
+    table, loc, base = _mk_table(spark)
+    opts = HiveSinkOptions(db="default", table=table)
+    validate_destination(spark, ["event_id", "user_id", "value", "event_type"], opts)
+    batch = _events_batch(spark).repartition(4)  # 4 files per publish
+    pub = TxnLogPublisher(spark, f"default.{table}", [], "q1", loc)
+    for b in range(3):
+        pub.publish(batch, b)
+    log = TxnLogTable(spark, loc)
+    before_files = log.snapshot_files()
+    assert len(before_files) >= 12
+    before = read_txnlog_table(spark, "default", table)
+    n_before = before.count()
+    rows_before = sorted(map(tuple, before.collect()))
+
+    res = compact_txnlog_table(spark, "default", table, max_files=8)
+    assert res["files_before"] == len(before_files)
+    assert res["files_after"] < res["files_before"]
+    after = read_txnlog_table(spark, "default", table)
+    assert sorted(map(tuple, after.collect())) == rows_before
+    # exactly one compaction commit, carrying every retired path
+    comps = [c for c in log.commits() if c.get("compaction")]
+    assert len(comps) == 1
+    assert sorted(comps[0]["remove"]) == sorted(
+        p[len(log.location) + 1 :] for p in before_files
+    )
+    # already compact -> no-op
+    assert compact_txnlog_table(spark, "default", table, max_files=8) == {}
+
+    # vacuum reclaims the retired batch dirs; live data untouched;
+    # appends keep working at the next version
+    removed = pub.vacuum_orphans(retention_ms=0)
+    assert len(removed) == 3  # the three retired b<id>-* dirs
+    assert read_txnlog_table(spark, "default", table).count() == n_before
+    pub.publish(batch, 3)
+    assert read_txnlog_table(spark, "default", table).count() == n_before * 4 // 3
