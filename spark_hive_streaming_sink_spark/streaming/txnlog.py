@@ -418,3 +418,37 @@ def compact_txnlog_table(
         f"compaction commit contention: {_COMMIT_RETRIES} consecutive "
         f"version collisions at {log.location}"
     )
+
+
+def read_txnlog_table_changes(
+    spark: SparkSession, db: str, table: str, since_version: int = -1
+) -> tuple[DataFrame, int]:
+    """Incremental change feed — the consumption model Delta's streaming
+    source gives downstream pipelines: rows APPENDED strictly after
+    ``since_version``, plus the new high-watermark version to persist
+    for the next poll. Compaction commits are rewrites, not data
+    changes, so their adds are excluded — a consumer never re-sees rows
+    it already processed because a compactor rewrote their files
+    (``read CHANGES, not FILES``). Exactly-once consumption = process
+    the returned frame, then durably store the watermark; a crash
+    before the store replays the same closed version range.
+
+    Scale: resolving a poll is O(commits in the range) driver-side
+    metadata reads + a parquet scan of only the NEW files."""
+    from .sink import _table_location
+
+    qualified = f"{db}.{table}"
+    schema = spark.table(qualified).schema
+    log = TxnLogTable(spark, _table_location(spark, qualified))
+    versions = [v for v in log.versions() if v > since_version]
+    files: list[str] = []
+    high = since_version
+    for v in versions:
+        c = log.read_commit(v)
+        high = v
+        if c.get("compaction"):
+            continue  # rewrite, not new data
+        files.extend(f"{log.location}/{a['path']}" for a in c.get("add", []))
+    if not files:
+        return spark.createDataFrame([], schema), high
+    return spark.read.schema(schema).parquet(*files), high

@@ -283,3 +283,43 @@ def test_txnlog_compaction_atomic_rewrite_and_vacuum(spark):
     assert read_txnlog_table(spark, "default", table).count() == n_before
     pub.publish(batch, 3)
     assert read_txnlog_table(spark, "default", table).count() == n_before * 4 // 3
+
+
+def test_txnlog_change_feed_incremental_and_compaction_transparent(spark):
+    """The change feed returns exactly the rows appended after the
+    stored watermark; a compaction in the middle is invisible to
+    consumers (rewrites are not changes); an empty poll still advances
+    the watermark past the compaction commit."""
+    from spark_hive_streaming_sink_spark.streaming.txnlog import (
+        compact_txnlog_table,
+        read_txnlog_table_changes,
+    )
+
+    table, loc, base = _mk_table(spark)
+    opts = HiveSinkOptions(db="default", table=table)
+    validate_destination(spark, ["event_id", "user_id", "value", "event_type"], opts)
+    batch = _events_batch(spark).repartition(5)
+    n = batch.count()
+    pub = TxnLogPublisher(spark, f"default.{table}", [], "q1", loc)
+
+    pub.publish(batch, 0)
+    df0, w0 = read_txnlog_table_changes(spark, "default", table)
+    assert df0.count() == n and w0 == 0
+
+    pub.publish(batch, 1)
+    pub.publish(batch, 2)
+    df1, w1 = read_txnlog_table_changes(spark, "default", table, since_version=w0)
+    assert df1.count() == 2 * n and w1 == 2
+
+    # nothing new -> empty frame, watermark unchanged
+    df2, w2 = read_txnlog_table_changes(spark, "default", table, since_version=w1)
+    assert df2.count() == 0 and w2 == w1
+
+    # compaction between polls: watermark advances, no rows replayed
+    assert compact_txnlog_table(spark, "default", table, max_files=3) != {}
+    df3, w3 = read_txnlog_table_changes(spark, "default", table, since_version=w1)
+    assert df3.count() == 0 and w3 == w1 + 1
+    # and a fresh append after the compaction is delivered exactly once
+    pub.publish(batch, 3)
+    df4, w4 = read_txnlog_table_changes(spark, "default", table, since_version=w3)
+    assert df4.count() == n and w4 == w3 + 1
