@@ -132,8 +132,9 @@ HEADLINE = [
     "sim_rank_fusion_rrf",
     "dedup_simhash_hamming_pairs",
     "events_session_paths_topk",
-    # round-10 addition
+    # round-10 additions
     "embed_matryoshka_overlap_audit",
+    "events_key_skew_audit",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

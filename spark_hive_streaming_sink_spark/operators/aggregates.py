@@ -1821,3 +1821,139 @@ def agg_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate_b - rate_a, 6).alias("lift_abs"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+# --- key-skew audit (r10) ---------------------------------------------------
+
+SKEW_TOP_M = 16  # heavy-hitter share depth
+
+
+@register(
+    "events_key_skew_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+    nulls AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_null_events
+      FROM events WHERE user_id IS NULL),
+    r AS (
+      SELECT c, row_number() OVER (ORDER BY c, user_id) AS rk FROM c),
+    tops AS (
+      SELECT CAST(COALESCE(SUM(c) FILTER (WHERE tr = 1), 0) AS BIGINT) AS top1,
+             CAST(COALESCE(SUM(c) FILTER (WHERE tr <= {SKEW_TOP_M}), 0)
+                  AS BIGINT) AS topm
+      FROM (SELECT c, row_number() OVER (ORDER BY c DESC, user_id) AS tr
+            FROM c)),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_events,
+             CAST(COALESCE(SUM(rk * c), 0) AS BIGINT) AS s1
+      FROM r)
+    SELECT g.n_keys, g.n_events, nulls.n_null_events,
+           CASE WHEN g.n_events > 0
+                THEN CAST(tops.top1 * 1000000 // g.n_events AS BIGINT) END
+             AS top1_share_ppm,
+           CASE WHEN g.n_events > 0
+                THEN CAST(tops.topm * 1000000 // g.n_events AS BIGINT) END
+             AS top{SKEW_TOP_M}_share_ppm,
+           CASE WHEN g.n_events > 0 AND g.n_keys > 0
+                THEN CAST(round(1000000.0
+                       * (2.0 * g.s1 - (g.n_keys + 1.0) * g.n_events)
+                       / (1.0 * g.n_keys * g.n_events), 0) AS BIGINT) END
+             AS gini_ppm
+    FROM g CROSS JOIN tops CROSS JOIN nulls
+    """,
+    tags=("aggregate", "llm", "skew", "audit"),
+)
+def events_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle key-skew census: the numbers that decide whether a
+    groupBy/join on this key needs salting before it runs at 100 TB —
+    exact Gini coefficient of the per-key event counts, the single
+    heaviest key's traffic share, and the top-{SKEW_TOP_M} share
+    (AQE's skew-join split handles a few hot PARTITIONS; a top-1 share
+    in the tens of percent means one KEY floods one task and only
+    salting helps). NULL keys are censused separately (they hash to
+    one partition too — often the worst offender).
+
+    Exactness: counts and shares are pure integer math (ppm by integer
+    division); Gini uses the rank formula
+    G = (2·Σ rk·c − (N+1)·Σc) / (N·Σc) over the ascending (count,
+    user_id) total order — every intermediate is an exact BIGINT cast
+    to double below 2^53 at every tested scale, and both engines
+    evaluate the identical IEEE expression, then round to ppm.
+
+    Scale: per-key counts are one hash aggregate; the heavy-hitter
+    shares are a TakeOrdered({SKEW_TOP_M}), never a global sort; the
+    Gini rank reuses the agg_histogram_equidepth pattern — range
+    repartition on (count, user_id), per-partition row_number, plus a
+    K-row broadcast of partition offsets — so the exact global rank
+    never collapses into a single-partition window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    nulls = ev.filter(F.col("user_id").isNull()).agg(
+        F.count("*").cast("bigint").alias("n_null_events")
+    )
+    c = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    # heavy-hitter shares: TakeOrdered, never a full sort
+    top_rows = c.orderBy(F.col("c").desc(), "user_id").limit(SKEW_TOP_M)
+    w_top = Window.orderBy(F.col("c").desc(), "user_id")
+    tops = (
+        top_rows.withColumn("tr", F.row_number().over(w_top))
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("tr") == 1, F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias("top1"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("topm"),
+        )
+    )
+    # exact ascending global rank, distributed (see docstring)
+    key = [F.col("c"), F.col("user_id")]
+    parts = c.repartitionByRange(*key).withColumn("pid", F.spark_partition_id())
+    wp = Window.partitionBy("pid").orderBy(*key)
+    local = parts.withColumn("lrn", F.row_number().over(wp))
+    pc = parts.groupBy("pid").agg(F.count("*").alias("pn"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = pc.select(
+        "pid", F.coalesce(F.sum("pn").over(wo), F.lit(0)).alias("offset")
+    )
+    ranked = local.join(F.broadcast(offsets), "pid").select(
+        "c", (F.col("lrn") + F.col("offset")).alias("rk")
+    )
+    g = ranked.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce(F.sum(F.col("rk") * F.col("c")), F.lit(0))
+        .cast("bigint")
+        .alias("s1"),
+    )
+    share = lambda col: F.when(  # noqa: E731
+        F.col("n_events") > 0,
+        F.expr(f"CAST({col} * 1000000 div n_events AS BIGINT)"),
+    )
+    gini = F.when(
+        (F.col("n_events") > 0) & (F.col("n_keys") > 0),
+        F.round(
+            1000000.0
+            * (2.0 * F.col("s1") - (F.col("n_keys") + 1.0) * F.col("n_events"))
+            / (1.0 * F.col("n_keys") * F.col("n_events")),
+            0,
+        ).cast("bigint"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tops))
+        .crossJoin(F.broadcast(nulls))
+        .select(
+            "n_keys",
+            "n_events",
+            "n_null_events",
+            share("top1").alias("top1_share_ppm"),
+            share("topm").alias(f"top{SKEW_TOP_M}_share_ppm"),
+            gini.alias("gini_ppm"),
+        )
+    )

@@ -61,6 +61,7 @@ FUZZED = [
     "agg_proportion_ztest",
     "events_retention_triangle",
     "events_session_paths_topk",
+    "events_key_skew_audit",
 ]
 
 _T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)

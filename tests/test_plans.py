@@ -1447,3 +1447,16 @@ def test_matryoshka_audit_broadcasts_queries_single_scan(spark):
     assert "LessThan(vec_id,5)" in plan
     assert count_nodes(df, "Window") == 2
     assert count_nodes(df, "Exchange") <= 2  # query_id shuffle (+ broadcast)
+
+
+def test_key_skew_audit_distributed_rank(spark):
+    """The Gini rank must ride the range-repartition + offset pattern
+    (never a single-partition global row_number over all keys); the
+    heavy-hitter share compiles to TakeOrdered; one events scan family,
+    no Python."""
+    df = _df(spark, "events_key_skew_audit")
+    plan = formatted_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert count_nodes(df, "CartesianProduct") == 0

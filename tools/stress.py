@@ -193,6 +193,9 @@ HEADLINE = [
     # round-10: bounded-broadcast dual-cosine rank audit — one corpus
     # scan, 5-key query_id shuffle; should ride the scan linearly
     "embed_matryoshka_overlap_audit",
+    # round-10: distributed-rank Gini + TakeOrdered heavy hitters —
+    # should ride the per-key count aggregate linearly
+    "events_key_skew_audit",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
