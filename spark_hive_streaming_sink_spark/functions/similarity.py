@@ -2733,7 +2733,10 @@ def embed_matryoshka_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFram
         _norm(F.col("embedding")).alias("nrm_f"),
         _norm(half).alias("nrm_h"),
     )
-    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+    # the limit makes the broadcast side PROVABLY bounded (GlobalLimit
+    # subtree — the static-broadcast audit's contract; same idiom as
+    # sim_cosine_topk)
+    q = v.filter(F.col("vec_id") < N_QUERIES).limit(N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("half").alias("q_half"),
