@@ -1451,24 +1451,27 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("deg"))
         )
 
+    # EXACT early exit (r10, VERDICT r9 item 5): peeling is monotone —
+    # a block of rounds that deletes nothing is a fixpoint, and every
+    # remaining unrolled round returns the identical set, so stopping
+    # is bit-identical to the oracle's full unroll while skipping the
+    # dead rounds' jobs. Rounds run in blocks of 2 between
+    # checkpoint+count barriers: the per-round eager materialization
+    # was the dominant sf0.1 cost (up to 17 sequential driver jobs for
+    # an 8-round peel), a 2-round lineage (4 joins + 2 aggregates) is
+    # still shallow, and the block count halves the job count. The
+    # count compares across the whole block — equal means neither
+    # round deleted (monotonicity), i.e. fixpoint.
     n_prev = surv.count()
-    for r in range(KCORE_ROUNDS):
-        surv = (
-            degrees(surv)
-            .filter(F.col("deg") >= KCORE_K)
-            .select("node")
-            # truncate the per-round lineage: each round otherwise
-            # re-executes every earlier round's joins twice (a/b sides)
-            .localCheckpoint(eager=True)
-        )
-        # EXACT early exit (r10, VERDICT r9 item 5): peeling is
-        # monotone — a round that deletes nothing is a fixpoint, and
-        # every remaining unrolled round returns the identical set, so
-        # stopping here is bit-identical to the oracle's full unroll
-        # while skipping the dead rounds' jobs (the sf0.01 cold cost
-        # was 8 sequential eager checkpoints regardless of
-        # convergence). The count is a cheap job over the
-        # just-materialized checkpoint blocks.
+    r = 0
+    while r < KCORE_ROUNDS:
+        step = min(2, KCORE_ROUNDS - r)
+        for _ in range(step):
+            surv = degrees(surv).filter(F.col("deg") >= KCORE_K).select("node")
+        # truncate the block's lineage: each block otherwise re-executes
+        # every earlier block's joins twice (a/b sides)
+        surv = surv.localCheckpoint(eager=True)
+        r += step
         n_new = surv.count()
         if n_new == n_prev:
             break
