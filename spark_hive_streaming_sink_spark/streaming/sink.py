@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import os
 import threading
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -489,6 +490,7 @@ def make_batch_writer(
     ledger: BatchCommitLedger,
     stream_columns: list[str],
     scope: str | None = None,
+    lease: "WriterLease | None" = None,
 ):
     """Build the foreachBatch callable: ledger check → column align →
     staged exactly-once publish → ledger record → staging cleanup.
@@ -501,6 +503,10 @@ def make_batch_writer(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if lease is not None:
+            # fencing FIRST: a writer that lost its lease to a takeover
+            # must fail the batch before touching the destination
+            lease.renew()
         if ledger.committed(batch_id) and provider == "native":
             # replayed batch — exactly-once skip; reclaim staging if the
             # pre-crash attempt died between marker and cleanup.
@@ -621,6 +627,142 @@ _ACTIVE_WRITERS: dict[str, StreamingQuery | None] = {}
 _ACTIVE_WRITERS_MU = threading.Lock()
 _RESERVED = None  # registry value between claim and successful start()
 
+# process identity for lease ownership: lets a NEW query in this process
+# take over its own process's lock (the in-process registry above is
+# authoritative here) without waiting for the TTL
+_PROCESS_ID = uuid.uuid4().hex[:12]
+
+
+class WriterLease:
+    """Cross-process single-writer FENCING for a destination table —
+    the enforcement layer behind the documented single-writer contract
+    (r10; the in-process registry above cannot see a second
+    APPLICATION). Hive streaming gets this isolation from metastore
+    transaction locks (``HiveWriter.scala:79-138``); plain Spark tables
+    have no lock service, so the lease lives as
+    ``<location>/_shss_writer.lock``:
+
+    - **acquire** — exclusive-create of the lock file carrying
+      ``{owner, process}``. A live foreign lock (mtime within the TTL)
+      refuses loudly; a STALE one (its holder crashed — no renewals)
+      is deleted and re-claimed, with the exclusive create arbitrating
+      racing takers. A lock held by THIS process is re-claimed
+      immediately — the in-process registry has already proven the
+      previous query inactive.
+    - **renew** — every micro-batch re-reads the lock FIRST and aborts
+      if another owner holds it (fencing: a writer that lost its lease
+      to a takeover must fail its batch, not double-append), then
+      touches the mtime to keep the lease live.
+    - **release** — delete-if-owner, hooked to query termination; a
+      crashed writer's lock simply expires.
+
+    TTL default 120 s (option ``writer.lease.ttl.ms``): well above any
+    sane trigger interval, so a live writer renews many times per TTL.
+    """
+
+    FILE = "_shss_writer.lock"
+
+    def __init__(self, spark: SparkSession, location: str, ttl_ms: int = 120_000):
+        self.spark = spark
+        self.owner = f"{_PROCESS_ID}-{uuid.uuid4().hex[:12]}"
+        self.ttl_ms = ttl_ms
+        self._jvm = spark.sparkContext._jvm
+        self._hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        self._lock = self._jvm.org.apache.hadoop.fs.Path(
+            f"{location.rstrip('/')}/{self.FILE}"
+        )
+
+    def _fs(self):
+        return self._lock.getFileSystem(self._hconf)
+
+    def _read(self) -> tuple[dict, int] | None:
+        """(lock body, mtime ms) or None when absent."""
+        fs = self._fs()
+        try:
+            st = fs.getFileStatus(self._lock)
+            stream = fs.open(self._lock)
+            raw = self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            stream.close()
+            import json as _json
+
+            return _json.loads(raw), st.getModificationTime()
+        except Exception:
+            return None
+
+    def _try_create(self) -> bool:
+        import json as _json
+
+        fs = self._fs()
+        try:
+            out = fs.create(self._lock, False)  # exclusive
+        except Exception:
+            return False
+        out.write(
+            bytearray(
+                _json.dumps({"owner": self.owner, "process": _PROCESS_ID}).encode()
+            )
+        )
+        out.close()
+        return True
+
+    def acquire(self) -> None:
+        import time as _time
+
+        for _ in range(3):
+            cur = self._read()
+            if cur is None:
+                if self._try_create():
+                    return
+                continue  # lost the create race: re-read, likely live foreign
+            body, mtime = cur
+            if body.get("owner") == self.owner:
+                return
+            same_process = body.get("process") == _PROCESS_ID
+            fresh = (_time.time() * 1000 - mtime) < self.ttl_ms
+            if fresh and not same_process:
+                raise HiveStreamingSinkError(
+                    "destination already has a live streaming writer in "
+                    f"another application (lease {body.get('owner')!r}, "
+                    f"renewed {int(_time.time() * 1000 - mtime)} ms ago): "
+                    "the sink is single-writer-per-destination. Stop that "
+                    "writer, or wait out its lease TTL if it crashed"
+                )
+            # stale, or our own process's previous (inactive) query:
+            # take over — the exclusive create arbitrates racing takers
+            try:
+                self._fs().delete(self._lock, False)
+            except Exception:
+                pass
+            if self._try_create():
+                return
+        raise HiveStreamingSinkError(
+            "could not acquire the writer lease (lost repeated takeover "
+            "races) — another writer is claiming this destination"
+        )
+
+    def renew(self) -> None:
+        import time as _time
+
+        cur = self._read()
+        if cur is None or cur[0].get("owner") != self.owner:
+            raise HiveStreamingSinkError(
+                "writer lease lost: another writer holds this destination "
+                f"(lock {cur[0].get('owner')!r} != lease {self.owner!r}); "
+                "aborting the batch — continuing would double-append"
+                if cur
+                else "writer lease lost: lock file vanished; aborting the "
+                "batch — continuing would race the new claimant"
+            )
+        self._fs().setTimes(self._lock, int(_time.time() * 1000), -1)
+
+    def release(self) -> None:
+        cur = self._read()
+        if cur and cur[0].get("owner") == self.owner:
+            try:
+                self._fs().delete(self._lock, False)
+            except Exception:  # pragma: no cover - FS hiccup; TTL covers it
+                pass
+
 
 def _claim_destination(qualified_name: str) -> None:
     with _ACTIVE_WRITERS_MU:
@@ -710,21 +852,64 @@ def write_stream_to_table(
         opts.extra.get("ledger.dir") or os.path.join(checkpoint_dir, "_commit_ledger"),
         scope=scope,
     )
+    lease = WriterLease(
+        spark,
+        _table_location(spark, opts.qualified_name),
+        ttl_ms=int(opts.extra.get("writer.lease.ttl.ms", 120_000)),
+    )
     writer = (
         df.writeStream.outputMode("append")
-        .foreachBatch(make_batch_writer(opts, part_cols, ledger, df.columns, scope=scope))
+        .foreachBatch(
+            make_batch_writer(
+                opts, part_cols, ledger, df.columns, scope=scope, lease=lease
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
     )
     if query_name:
         writer = writer.queryName(query_name)
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     _claim_destination(opts.qualified_name)
+    lease.acquire()
     query = None
     try:
         query = writer.start()
     finally:
         _bind_destination(opts.qualified_name, query)
+        if query is None:
+            lease.release()  # start failed
+    if query is not None:
+        _release_lease_on_termination(spark, str(query.id), lease)
     return query
+
+
+def _release_lease_on_termination(spark, query_id: str, lease: WriterLease) -> None:
+    """Best-effort early lease release on clean query termination (a
+    crashed writer's lease simply expires). Same-process re-acquire is
+    immediate regardless — the lease's process tag defers to the
+    in-process registry — so the listener only shortens CROSS-process
+    handover after a clean stop."""
+    from pyspark.sql.streaming.listener import StreamingQueryListener
+
+    class _Release(StreamingQueryListener):
+        def onQueryStarted(self, event):  # pragma: no cover - unused hook
+            pass
+
+        def onQueryProgress(self, event):  # pragma: no cover - unused hook
+            pass
+
+        def onQueryIdle(self, event):  # pragma: no cover - unused hook
+            pass
+
+        def onQueryTerminated(self, event):
+            if str(event.id) == query_id:
+                lease.release()
+                try:
+                    spark.streams.removeListener(self)
+                except Exception:  # pragma: no cover - bus teardown race
+                    pass
+
+    spark.streams.addListener(_Release())
 
 
 def _table_meta(spark: SparkSession, qualified: str) -> dict[str, str]:

@@ -775,3 +775,83 @@ def test_hive_serde_provider_rejected_at_construction(spark, monkeypatch):
     )
     with pytest.raises(HiveStreamingSinkError, match="not path-writable"):
         StagedBatchPublisher(spark, f"default.{table}", [])
+
+
+def test_writer_lease_cross_process_fencing(spark):
+    """r10: the single-writer contract is ENFORCED across applications,
+    not just documented — a live foreign lease refuses acquire; a stale
+    one is taken over; a fenced writer's renew fails before it can
+    touch the destination; release frees the destination."""
+    import time
+
+    from spark_hive_streaming_sink_spark.streaming.sink import (
+        WriterLease,
+        _table_location,
+    )
+
+    table, _ = _mk_table(spark, partitioned=False)
+    loc = _table_location(spark, f"default.{table}")
+
+    mine = WriterLease(spark, loc, ttl_ms=60_000)
+    mine.acquire()
+    mine.renew()  # own lease renews fine
+
+    # simulate ANOTHER APPLICATION: a lease whose lock carries a foreign
+    # process tag (the in-process takeover shortcut must not apply)
+    theirs = WriterLease(spark, loc, ttl_ms=60_000)
+    fs = theirs._fs()
+    raw = spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toString(
+        fs.open(theirs._lock), "UTF-8"
+    )
+    fs.delete(theirs._lock, False)
+    out = fs.create(theirs._lock, False)
+    out.write(bytearray(raw.replace(
+        raw[raw.find('"process"'):], '"process": "elsewhere00"}'
+    ).encode()))
+    out.close()
+    with pytest.raises(HiveStreamingSinkError, match="another application"):
+        theirs.acquire()
+    # the original owner is FENCED too (the lock body changed owner
+    # fields? no — owner survived the rewrite, but process differs);
+    # rewrite with a different owner to simulate a full takeover:
+    fs.delete(theirs._lock, False)
+    out = fs.create(theirs._lock, False)
+    out.write(bytearray(b'{"owner": "intruder-1", "process": "elsewhere00"}'))
+    out.close()
+    with pytest.raises(HiveStreamingSinkError, match="lease lost"):
+        mine.renew()
+
+    # stale foreign lock (mtime pushed past the TTL) is taken over
+    fs.setTimes(theirs._lock, int(time.time() * 1000) - 3_600_000, -1)
+    fresh = WriterLease(spark, loc, ttl_ms=60_000)
+    fresh.acquire()
+    fresh.renew()
+    fresh.release()
+    # released: next acquire is immediate
+    again = WriterLease(spark, loc, ttl_ms=60_000)
+    again.acquire()
+    again.release()
+
+
+def test_writer_lease_same_process_sequential_reuse(spark, tmp_path):
+    """A finished availableNow query must not block the next writer in
+    the same process: the lease's process tag defers to the in-process
+    registry, so sequential write_stream_to_table calls (the
+    test-suite / notebook pattern) re-acquire immediately even before
+    the termination listener fires."""
+    table, base = _mk_table(spark)
+    for ckpt in ("ckptA", "ckptB"):
+        ev = stream_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        q = write_stream_to_table(
+            ev,
+            checkpoint_dir=str(tmp_path / ckpt),
+            db="default",
+            table=table,
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination()
+    spark.catalog.refreshTable(table)
+    expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert spark.table(table).count() == 2 * expected  # both runs landed
