@@ -618,11 +618,11 @@ def make_batch_writer(
 # appends, and interleaved dynamic-partition inserts can double-load a
 # partition mid-compaction. The contract is therefore HARD:
 # one active streaming writer per destination table. This registry
-# enforces it within the driver process (the only place two writers can
-# legitimately coexist on one SparkSession); across separate
-# applications it is the operator's contract, documented in README —
-# the same stance Hive streaming itself takes via metastore txn locks,
-# which OSS Spark tables don't have.
+# enforces it within the driver process (fast refusal with the precise
+# error); across separate applications the :class:`WriterLease` below
+# enforces the same contract at the table location — the role metastore
+# txn locks play for Hive streaming's own writers, which OSS Spark
+# tables don't have.
 _ACTIVE_WRITERS: dict[str, StreamingQuery | None] = {}
 _ACTIVE_WRITERS_MU = threading.Lock()
 _RESERVED = None  # registry value between claim and successful start()
@@ -810,11 +810,12 @@ def write_stream_to_table(
     checkpoint must not double-load the destination). Markers are
     namespaced per destination table + query name inside the ledger
     dir, so a shared ledger.dir is safe across queries writing to
-    DIFFERENT tables. Writing the SAME table is single-writer by hard
-    contract: a second concurrent writer is refused at start (see
-    ``_claim_destination``) within the driver process, and running two
-    separate applications against one destination is unsupported (their
-    ledgers cannot see each other's appends). Delivery is exactly-once
+    DIFFERENT tables. Writing the SAME table is single-writer and
+    ENFORCED: a second concurrent writer is refused at start — in this
+    driver process by ``_claim_destination``, and across applications
+    by the TTL-renewed, fenced :class:`WriterLease` at the table
+    location (two writers' ledgers cannot see each other's appends, so
+    the lease refuses the second writer instead). Delivery is exactly-once
     at every crash point: the staged publish's durable manifest makes a
     replayed batch resume its renames instead of re-appending (see
     :class:`StagedBatchPublisher`; the ledger marker is the fast skip
