@@ -155,25 +155,35 @@ class TxnLogTable:
         )
 
     # -- snapshot reads ----------------------------------------------------
-    def snapshot_adds(self) -> list[dict]:
+    def snapshot_adds(self, as_of_version: int | None = None) -> list[dict]:
         """The LIVE add actions: replay commits in version order,
         applying ``remove`` lists (compaction commits retire the files
-        they rewrote — Delta's add/remove action model)."""
+        they rewrote — Delta's add/remove action model).
+        ``as_of_version`` replays only commits up to that version —
+        TIME TRAVEL, free because the log is immutable; a historical
+        snapshot stays readable until vacuum reclaims files the CURRENT
+        snapshot no longer references."""
         live: dict[str, dict] = {}
         for c in self.commits():
+            if as_of_version is not None and c["version"] > as_of_version:
+                break
             for rel in c.get("remove", []):
                 live.pop(rel, None)
             for a in c.get("add", []):
                 live[a["path"]] = a
         return list(live.values())
 
-    def snapshot_files(self, predicate: dict | None = None) -> list[str]:
+    def snapshot_files(
+        self,
+        predicate: dict | None = None,
+        as_of_version: int | None = None,
+    ) -> list[str]:
         """Absolute paths of every LIVE committed data file. ``predicate``
         ``{col: value}`` prunes files whose recorded min/max for ``col``
         excludes ``value`` (Delta-style data skipping; files without
         stats for the column are kept — skipping must never be wrong)."""
         files: list[str] = []
-        for a in self.snapshot_adds():
+        for a in self.snapshot_adds(as_of_version):
             if predicate:
                 stats = a.get("stats") or {}
                 skip = False
@@ -188,12 +198,16 @@ class TxnLogTable:
         return files
 
     def snapshot(
-        self, schema, predicate: dict | None = None
+        self,
+        schema,
+        predicate: dict | None = None,
+        as_of_version: int | None = None,
     ) -> DataFrame:
         """The committed table contents as a DataFrame. ``schema`` is
         the destination's catalog schema (txnlog data files carry every
-        column, including the routing columns)."""
-        files = self.snapshot_files(predicate)
+        column, including the routing columns). ``as_of_version`` reads
+        the table as of that commit (time travel)."""
+        files = self.snapshot_files(predicate, as_of_version)
         reader = self.spark.read.schema(schema)
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -314,7 +328,11 @@ class TxnLogPublisher:
 
 
 def read_txnlog_table(
-    spark: SparkSession, db: str, table: str, predicate: dict | None = None
+    spark: SparkSession,
+    db: str,
+    table: str,
+    predicate: dict | None = None,
+    as_of_version: int | None = None,
 ) -> DataFrame:
     """Snapshot read of a ``table.format=txnlog`` destination: the
     catalog table supplies schema + location (it anchors the
@@ -322,13 +340,15 @@ def read_txnlog_table(
     commit log supplies the committed file set. Like Delta/Iceberg,
     the format needs this format-aware reader — a naive
     ``spark.table(...)`` sees an EMPTY table (data lives under the
-    underscore-hidden ``_shss_data/``), never partial data."""
+    underscore-hidden ``_shss_data/``), never partial data.
+    ``as_of_version`` time-travels to any earlier commit (readable
+    until vacuum reclaims files the current snapshot dropped)."""
     from .sink import _table_location
 
     qualified = f"{db}.{table}"
     schema = spark.table(qualified).schema
     return TxnLogTable(spark, _table_location(spark, qualified)).snapshot(
-        schema, predicate
+        schema, predicate, as_of_version
     )
 
 

@@ -323,3 +323,40 @@ def test_txnlog_change_feed_incremental_and_compaction_transparent(spark):
     pub.publish(batch, 3)
     df4, w4 = read_txnlog_table_changes(spark, "default", table, since_version=w3)
     assert df4.count() == n and w4 == w3 + 1
+
+
+def test_txnlog_time_travel_snapshots(spark):
+    """Every commit version stays readable: as_of_version replays the
+    immutable log prefix. A compaction changes FILES, not rows — the
+    pre-compaction version and the post-compaction version read the
+    same data; pre-append versions read the shorter table."""
+    from spark_hive_streaming_sink_spark.streaming.txnlog import (
+        compact_txnlog_table,
+        read_txnlog_table,
+    )
+
+    table, loc, base = _mk_table(spark)
+    opts = HiveSinkOptions(db="default", table=table)
+    validate_destination(spark, ["event_id", "user_id", "value", "event_type"], opts)
+    batch = _events_batch(spark).repartition(4)
+    n = batch.count()
+    pub = TxnLogPublisher(spark, f"default.{table}", [], "q1", loc)
+    pub.publish(batch, 0)   # version 0
+    pub.publish(batch, 1)   # version 1
+    assert compact_txnlog_table(spark, "default", table, max_files=4) != {}  # v2
+    pub.publish(batch, 2)   # version 3
+
+    assert read_txnlog_table(spark, "default", table, as_of_version=0).count() == n
+    assert read_txnlog_table(spark, "default", table, as_of_version=1).count() == 2 * n
+    assert read_txnlog_table(spark, "default", table, as_of_version=2).count() == 2 * n
+    assert read_txnlog_table(spark, "default", table).count() == 3 * n
+    # rows (not just counts) identical across the compaction boundary
+    v1 = sorted(map(tuple, read_txnlog_table(
+        spark, "default", table, as_of_version=1).collect()))
+    v2 = sorted(map(tuple, read_txnlog_table(
+        spark, "default", table, as_of_version=2).collect()))
+    assert v1 == v2
+    # vacuum drops the compaction-retired dirs: the CURRENT snapshot is
+    # unaffected; pre-compaction versions lose their files (documented)
+    pub.vacuum_orphans(retention_ms=0)
+    assert read_txnlog_table(spark, "default", table).count() == 3 * n
