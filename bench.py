@@ -135,6 +135,7 @@ HEADLINE = [
     # round-10 additions
     "embed_matryoshka_overlap_audit",
     "events_key_skew_audit",
+    "dedup_threshold_sweep",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

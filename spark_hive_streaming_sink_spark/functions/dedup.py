@@ -1233,3 +1233,144 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ham.cast("bigint") <= SIMHASH_HAM_MAX).alias("is_near"),
         )
     )
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
+    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM sh),
+    mh AS (SELECT * FROM (SELECT doc_id, {_SQL_MINHASH} FROM hxt)
+           WHERE mh0 IS NOT NULL),
+    bands AS (
+      SELECT doc_id, 0 AS band_no,
+             md5(concat_ws('_', mh0, mh1, mh2, mh3)) AS band_key FROM mh
+      UNION ALL
+      SELECT doc_id, 1 AS band_no,
+             md5(concat_ws('_', mh4, mh5, mh6, mh7)) AS band_key FROM mh),
+    {_SQL_BAND_REPS.strip()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM reps a JOIN bands b
+        ON a.band_key = b.band_key AND a.band_no = b.band_no
+       AND a.doc_id < b.doc_id),
+    j AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(((x.mh0 = y.mh0)::INT + (x.mh1 = y.mh1)::INT
+                 + (x.mh2 = y.mh2)::INT + (x.mh3 = y.mh3)::INT
+                 + (x.mh4 = y.mh4)::INT + (x.mh5 = y.mh5)::INT
+                 + (x.mh6 = y.mh6)::INT + (x.mh7 = y.mh7)::INT) AS BIGINT)
+               AS n_match
+      FROM pairs p
+      JOIN mh x ON x.doc_id = p.doc_a
+      JOIN mh y ON y.doc_id = p.doc_b),
+    ph AS (SELECT n_match, CAST(COUNT(*) AS BIGINT) AS c_pairs
+           FROM j GROUP BY n_match),
+    dm AS (SELECT doc, MAX(n_match) AS m
+           FROM (SELECT doc_a AS doc, n_match FROM j
+                 UNION ALL SELECT doc_b AS doc, n_match FROM j)
+           GROUP BY doc),
+    dh AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS c_docs FROM dm GROUP BY m),
+    ks AS (SELECT k FROM range(1, {N_MINHASH + 1}) t(k))
+    SELECT CAST(k AS BIGINT) AS min_match_perms,
+           CAST(k * {1_000_000 // N_MINHASH} AS BIGINT) AS threshold_ppm,
+           CAST(COALESCE((SELECT SUM(c_pairs) FROM ph WHERE n_match >= k), 0)
+                AS BIGINT) AS n_pairs,
+           CAST(COALESCE((SELECT SUM(c_docs) FROM dh WHERE m >= k), 0)
+                AS BIGINT) AS n_docs
+    FROM ks
+    """,
+    tags=("llm", "dedup", "minhash", "audit"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup VOLUME tuning curve: for every MinHash agreement threshold
+    k/8 (k = 1..8 matching permutations, i.e. estimated Jaccard
+    >= k/8), the number of candidate pairs that clear it and the
+    number of DOCUMENTS touched by at least one such pair — the two
+    numbers an operator reads before picking the deletion threshold
+    (dedup_minhash_calibration audits the estimator's ERROR; this
+    audits the BLAST RADIUS). Band-sharing already implies 4 matching
+    permutations, so the curve is flat below k=5 by construction — the
+    informative region is exactly the thresholds a 2x4 LSH config can
+    act on.
+
+    Exactness: matching-permutation counts are integer equality tests
+    on the shared signature table; histogram + threshold roll-ups are
+    pure integer aggregation over an 8-row spine; thresholds are exact
+    integer ppm (k * 125000).
+
+    Scale shape: the SAME band-bucket candidate machinery as
+    dedup_minhash_pairs/calibration (never all-pairs, star-capped);
+    per-pair work is one packed-signature zip; the two histograms are
+    <= 9 rows each, joined to the constant spine broadcast-side.
+    NOT exhaustive under the star cap (see the BAND_CAP module note):
+    a capped run's curve is the rep-anchored candidate subset."""
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    sig = (
+        d.select("doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx"))
+        .withColumn("mh", _minhash_cols())
+        .select("doc_id", "mh")
+        # four consumers (two band sides + both pair sides)
+        .localCheckpoint(eager=True)
+        .filter(F.col("mh").isNotNull())
+    )
+    b0 = F.md5(F.concat_ws("_", *[F.col("mh").getItem(i) for i in range(4)]))
+    b1 = F.md5(F.concat_ws("_", *[F.col("mh").getItem(i) for i in range(4, 8)]))
+    bands = sig.select(
+        "doc_id", F.lit(0).alias("band_no"), b0.alias("band_key")
+    ).unionByName(
+        sig.select("doc_id", F.lit(1).alias("band_no"), b1.alias("band_key"))
+    )
+    a = _band_reps(bands).alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
+    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"))
+    n_match = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda p, q: (p == q).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")
+    j = (
+        pairs.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_match"))
+    )
+    ph = j.groupBy("n_match").agg(F.count("*").cast("bigint").alias("c_pairs"))
+    dm = (
+        j.select(F.col("doc_a").alias("doc"), "n_match")
+        .unionByName(j.select(F.col("doc_b").alias("doc"), "n_match"))
+        .groupBy("doc")
+        .agg(F.max("n_match").alias("m"))
+    )
+    dh = dm.groupBy("m").agg(F.count("*").cast("bigint").alias("c_docs"))
+    ks = spark.range(1, N_MINHASH + 1).select(F.col("id").alias("k"))
+    np_ = (
+        ks.join(F.broadcast(ph), F.col("n_match") >= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("c_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"))
+    )
+    nd = (
+        ks.join(F.broadcast(dh), F.col("m") >= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("c_docs"), F.lit(0)).cast("bigint").alias("n_docs"))
+    )
+    return (
+        np_.join(nd, "k")
+        .select(
+            F.col("k").cast("bigint").alias("min_match_perms"),
+            (F.col("k") * (1_000_000 // N_MINHASH)).cast("bigint").alias("threshold_ppm"),
+            "n_pairs",
+            "n_docs",
+        )
+    )

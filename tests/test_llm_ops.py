@@ -2414,3 +2414,35 @@ def test_matryoshka_audit_invariants(spark):
         if r["sum_abs_delta_ppm"] is not None:
             assert r["sum_abs_delta_ppm"] >= 0
         assert r["top1_full"] == top1[r["query_id"]]
+
+
+def test_threshold_sweep_monotone_and_finds_planted_dups(spark, tmp_path):
+    """The sweep is monotone non-increasing in the threshold, flat at
+    k<=4 by band construction, and planted exact duplicates surface as
+    full-agreement (k=8) pairs touching exactly the planted docs."""
+    import pyspark.sql.functions as F
+
+    from spark_hive_streaming_sink_spark.registry import QUERIES
+    from .conftest import SF_DIR
+
+    base = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.length(F.trim("text")) > 20)
+        .limit(30)
+    )
+    dup = base.limit(3).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = str(tmp_path / "planted")
+    base.unionByName(dup).coalesce(1).write.parquet(f"{out}/documents.parquet")
+    rows = {
+        r["min_match_perms"]: r
+        for r in QUERIES["dedup_threshold_sweep"].builder(spark, out).collect()
+    }
+    assert sorted(rows) == list(range(1, 9))
+    for k in range(1, 8):
+        assert rows[k]["n_pairs"] >= rows[k + 1]["n_pairs"]
+        assert rows[k]["n_docs"] >= rows[k + 1]["n_docs"]
+        assert rows[k]["threshold_ppm"] == k * 125000
+    for k in range(1, 5):  # band sharing implies >= 4 matches
+        assert rows[k]["n_pairs"] == rows[4]["n_pairs"]
+    assert rows[8]["n_pairs"] >= 3  # each planted dup pairs with its source
+    assert rows[8]["n_docs"] >= 6

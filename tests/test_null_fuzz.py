@@ -195,6 +195,7 @@ DOC_FUZZED = [
     "text_char_entropy",
     "text_pii_signal_counts",
     "dedup_simhash_hamming_pairs",
+    "dedup_threshold_sweep",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]

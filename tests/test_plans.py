@@ -1460,3 +1460,13 @@ def test_key_skew_audit_distributed_rank(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_threshold_sweep_bucketed_no_python(spark):
+    """Sweep pairs stay band-bucket-local (no cartesian over the
+    corpus — the only nested-loop is the 8-row constant spine against
+    the <=9-row histograms); everything JVM-side."""
+    df = _df(spark, "dedup_threshold_sweep")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -196,6 +196,9 @@ HEADLINE = [
     # round-10: distributed-rank Gini + TakeOrdered heavy hitters —
     # should ride the per-key count aggregate linearly
     "events_key_skew_audit",
+    # round-10: band-bucket pair volume curve — signature-floor-bound
+    # like its calibration sibling
+    "dedup_threshold_sweep",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
