@@ -491,6 +491,7 @@ def make_batch_writer(
     stream_columns: list[str],
     scope: str | None = None,
     lease: "WriterLease | None" = None,
+    txn_app_id: str | None = None,
 ):
     """Build the foreachBatch callable: ledger check → column align →
     staged exactly-once publish → ledger record → staging cleanup.
@@ -574,11 +575,17 @@ def make_batch_writer(
         if provider == "txnlog":
             from .txnlog import TxnLogPublisher
 
+            # the app_id must be stable across RESTARTS of one query
+            # (so replays dedupe) but distinct across FRESH queries
+            # whose batch ids restart at 0 (so a new stream into the
+            # same table is an append, not a phantom replay) — the
+            # checkpoint identity, not the table name, carries that
+            # (see write_stream_to_table).
             TxnLogPublisher(
                 spark,
                 options.qualified_name,
                 part_cols,
-                scope=scope or options.qualified_name,
+                scope=txn_app_id or scope or options.qualified_name,
                 location=_table_location(spark, options.qualified_name),
             ).publish(aligned, batch_id)
             ledger.record(batch_id)  # fast-path skip; the log is the anchor
@@ -591,7 +598,7 @@ def make_batch_writer(
             (
                 aligned.write.format("delta")
                 .mode("append")
-                .option("txnAppId", scope or options.qualified_name)
+                .option("txnAppId", txn_app_id or scope or options.qualified_name)
                 .option("txnVersion", batch_id)
                 .save(_table_location(spark, options.qualified_name))
             )
@@ -679,6 +686,10 @@ class WriterLease:
         """(lock body, mtime ms) or None when absent."""
         fs = self._fs()
         try:
+            if not fs.exists(self._lock):
+                # plain probe — the exception path below would spray a
+                # JVM FileNotFoundException stack into user logs
+                return None
             st = fs.getFileStatus(self._lock)
             stream = fs.open(self._lock)
             raw = self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
@@ -858,11 +869,30 @@ def write_stream_to_table(
         _table_location(spark, opts.qualified_name),
         ttl_ms=int(opts.extra.get("writer.lease.ttl.ms", 120_000)),
     )
+    # log-backed providers (txnlog/delta) dedupe replays by
+    # (app_id, batch_id) in the DESTINATION's log, which outlives every
+    # checkpoint — so the app_id must fingerprint the query INSTANCE:
+    # stable across restarts of one checkpoint (those replays must
+    # dedupe), distinct across fresh checkpoints (their batch ids
+    # restart at 0 and must append). The checkpoint path is exactly
+    # that identity; `txn.app.id` overrides it for checkpoint
+    # relocations.
+    import hashlib
+
+    txn_app_id = opts.extra.get("txn.app.id") or (
+        f"{scope}#{hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]}"
+    )
     writer = (
         df.writeStream.outputMode("append")
         .foreachBatch(
             make_batch_writer(
-                opts, part_cols, ledger, df.columns, scope=scope, lease=lease
+                opts,
+                part_cols,
+                ledger,
+                df.columns,
+                scope=scope,
+                lease=lease,
+                txn_app_id=txn_app_id,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

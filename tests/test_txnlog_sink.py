@@ -360,3 +360,44 @@ def test_txnlog_time_travel_snapshots(spark):
     # unaffected; pre-compaction versions lose their files (documented)
     pub.vacuum_orphans(retention_ms=0)
     assert read_txnlog_table(spark, "default", table).count() == 3 * n
+
+
+def test_txnlog_fresh_checkpoint_is_append_not_phantom_replay(spark):
+    """r10 regression (found by examples/txnlog_example.py): a NEW
+    query (fresh checkpoint, batch ids restarting at 0) into the same
+    txnlog table must APPEND — the txn app_id fingerprints the query
+    instance via the checkpoint identity, not just the table name, so
+    only true restarts of the same checkpoint dedupe."""
+    table, loc, base = _mk_table(spark)
+    n = _events_batch(spark).count()
+    for i, ckpt in enumerate(("ckptA", "ckptB"), start=1):
+        ev = stream_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        q = write_stream_to_table(
+            ev,
+            checkpoint_dir=f"{base}/{ckpt}",
+            db="default",
+            table=table,
+            **{"table.format": "txnlog"},
+        )
+        q.awaitTermination()
+        assert read_txnlog_table(spark, "default", table).count() == i * n
+    # two distinct app_ids in the log, one commit each
+    log = TxnLogTable(spark, loc)
+    apps = {c["app_id"] for c in log.commits()}
+    assert len(apps) == 2
+    assert all(c["batch_id"] == 0 for c in log.commits())
+    # explicit txn.app.id override pins identity across relocations
+    ev = stream_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    q = write_stream_to_table(
+        ev,
+        checkpoint_dir=f"{base}/ckptC",
+        db="default",
+        table=table,
+        **{"table.format": "txnlog", "txn.app.id": "pinned-app"},
+    )
+    q.awaitTermination()
+    assert "pinned-app" in {c["app_id"] for c in TxnLogTable(spark, loc).commits()}
