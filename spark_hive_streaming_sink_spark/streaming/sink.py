@@ -210,6 +210,30 @@ class BatchCommitLedger:
             f.write("committed\n")
 
 
+class SinkMetrics:
+    """Per-micro-batch sink observability (r10): one small JSON file
+    per batch under ``<checkpoint>/_sink_metrics`` — batch id, provider,
+    file count, byte volume (from the manifest/commit listing the
+    driver produces anyway — no extra data pass), and wall-clock.
+    Idempotent under replay (same file, overwritten). Read with
+    ``spark.read.json("<checkpoint>/_sink_metrics")`` — the operational
+    feed a production pipeline alerts on (batch growth, small-file
+    creep, publish latency). The reference exposes none of this beyond
+    logs."""
+
+    def __init__(self, metrics_dir: str):
+        self.dir = metrics_dir
+        os.makedirs(self.dir, exist_ok=True)
+
+    def record(self, batch_id: int, payload: dict) -> None:
+        import json as _json
+
+        tmp = os.path.join(self.dir, f".batch-{batch_id}.tmp")
+        with open(tmp, "w") as f:
+            f.write(_json.dumps({"batch_id": batch_id, **payload}) + "\n")
+        os.replace(tmp, os.path.join(self.dir, f"batch-{batch_id}.json"))
+
+
 def _slug(s: str) -> str:
     """Filesystem-safe ledger scope (dots kept — ``db.table`` reads well)."""
     return "".join(ch if ch.isalnum() or ch in "._-" else "_" for ch in s) or "_global"
@@ -317,8 +341,14 @@ class StagedBatchPublisher:
     def _staging(self, batch_id: int) -> str:
         return f"{self.location}/_shss_staging/{_slug(self.scope)}/batch-{batch_id}"
 
-    def publish(self, aligned: DataFrame, batch_id: int) -> None:
-        self._publish_entries(self._ensure_staged(aligned, batch_id), batch_id)
+    def publish(self, aligned: DataFrame, batch_id: int) -> dict:
+        entries = self._ensure_staged(aligned, batch_id)
+        self._publish_entries(entries, batch_id)
+        sizes = [e[2] for e in entries if len(e) > 2]
+        return {
+            "n_files": len(entries),
+            "bytes": sum(sizes) if len(sizes) == len(entries) else None,
+        }
 
     def _ensure_staged(self, aligned: DataFrame, batch_id: int) -> list:
         """Stage the batch and durably commit the rename manifest;
@@ -334,17 +364,18 @@ class StagedBatchPublisher:
             if self.part_cols:
                 w = w.partitionBy(*self.part_cols)
             w.save(staging)
-            entries: list[list[str]] = []
+            entries: list[list] = []
             it = fs.listFiles(self._path(staging), True)
             while it.hasNext():
-                p = it.next().getPath()
+                st = it.next()
+                p = st.getPath()
                 name = p.getName()
                 if name.startswith(("_", ".")):
                     continue  # _SUCCESS etc.
                 rel = fs.makeQualified(p).toString()[len(staging_q) :].lstrip("/")
                 parent = rel[: -len(name)].rstrip("/")
                 target = (f"{parent}/" if parent else "") + f"b{batch_id}-{name}"
-                entries.append([rel, target])
+                entries.append([rel, target, st.getLen()])
             import json as _json
 
             tmp = self._path(staging + "/_MANIFEST.tmp")
@@ -370,7 +401,8 @@ class StagedBatchPublisher:
         fs = self._fs()
         staging = self._staging(batch_id)
         new_part_dirs: set[str] = set()
-        for rel, target in entries:
+        for entry in entries:
+            rel, target = entry[0], entry[1]  # [2]=size (absent pre-r10)
             if "/" in target:
                 new_part_dirs.add(target.rsplit("/", 1)[0])
             dst = self._path(f"{self.location}/{target}")
@@ -492,6 +524,7 @@ def make_batch_writer(
     scope: str | None = None,
     lease: "WriterLease | None" = None,
     txn_app_id: str | None = None,
+    metrics: "SinkMetrics | None" = None,
 ):
     """Build the foreachBatch callable: ledger check → column align →
     staged exactly-once publish → ledger record → staging cleanup.
@@ -503,6 +536,9 @@ def make_batch_writer(
     provider = _resolve_provider(options)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.time()
         spark = batch_df.sparkSession
         if lease is not None:
             # fencing FIRST: a writer that lost its lease to a takeover
@@ -581,7 +617,7 @@ def make_batch_writer(
             # same table is an append, not a phantom replay) — the
             # checkpoint identity, not the table name, carries that
             # (see write_stream_to_table).
-            TxnLogPublisher(
+            stats = TxnLogPublisher(
                 spark,
                 options.qualified_name,
                 part_cols,
@@ -589,6 +625,12 @@ def make_batch_writer(
                 location=_table_location(spark, options.qualified_name),
             ).publish(aligned, batch_id)
             ledger.record(batch_id)  # fast-path skip; the log is the anchor
+            if metrics is not None:
+                metrics.record(batch_id, {
+                    "provider": "txnlog",
+                    "wall_ms": int((_time.time() - t0) * 1000),
+                    **(stats or {}),
+                })
             return
         if provider == "delta":
             # Delta's idempotent-writes contract: the txn
@@ -603,11 +645,19 @@ def make_batch_writer(
                 .save(_table_location(spark, options.qualified_name))
             )
             ledger.record(batch_id)
+            if metrics is not None:
+                metrics.record(
+                    batch_id,
+                    {
+                        "provider": "delta",
+                        "wall_ms": int((_time.time() - t0) * 1000),
+                    },
+                )
             return
         publisher = StagedBatchPublisher(
             spark, options.qualified_name, part_cols, scope=scope
         )
-        publisher.publish(aligned, batch_id)
+        stats = publisher.publish(aligned, batch_id)
         # invalidate this session's cached file index; NB foreachBatch runs
         # in a CLONED session, so concurrent readers in other sessions of an
         # UNPARTITIONED table must refreshTable themselves before reading
@@ -615,6 +665,15 @@ def make_batch_writer(
         spark.catalog.refreshTable(options.qualified_name)
         ledger.record(batch_id)
         publisher.cleanup(batch_id)
+        if metrics is not None:
+            metrics.record(
+                batch_id,
+                {
+                    "provider": "native",
+                    "wall_ms": int((_time.time() - t0) * 1000),
+                    **(stats or {}),
+                },
+            )
 
     return write_batch
 
@@ -882,6 +941,12 @@ def write_stream_to_table(
     txn_app_id = opts.extra.get("txn.app.id") or (
         f"{scope}#{hashlib.md5(os.path.abspath(checkpoint_dir).encode()).hexdigest()[:12]}"
     )
+    metrics = None
+    if str(opts.extra.get("metrics.enabled", "true")).lower() == "true":
+        metrics = SinkMetrics(
+            opts.extra.get("metrics.dir")
+            or os.path.join(checkpoint_dir, "_sink_metrics")
+        )
     writer = (
         df.writeStream.outputMode("append")
         .foreachBatch(
@@ -893,6 +958,7 @@ def write_stream_to_table(
                 scope=scope,
                 lease=lease,
                 txn_app_id=txn_app_id,
+                metrics=metrics,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

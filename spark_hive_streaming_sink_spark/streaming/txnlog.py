@@ -268,10 +268,12 @@ class TxnLogPublisher:
         self.scope = scope
         self.log = TxnLogTable(spark, location)
 
-    def publish(self, aligned: DataFrame, batch_id: int) -> None:
+    def publish(self, aligned: DataFrame, batch_id: int) -> dict | None:
+        """Returns ``{n_files, bytes, version}`` for a fresh commit,
+        None for a replay skip."""
         log = self.log
         if batch_id in log.committed_batch_ids(self.scope):
-            return  # replay of a committed batch: the log IS the marker
+            return None  # replay of a committed batch: the log IS the marker
         # unique dir per ATTEMPT: a replay after a mid-write crash never
         # collides with (or resumes) the dead attempt's files — those
         # stay unreferenced by any commit, hence invisible, until vacuum
@@ -296,7 +298,12 @@ class TxnLogPublisher:
             if stats:
                 entry["stats"] = stats
             add.append(entry)
-        log.append_commit(self.scope, batch_id, add)
+        version = log.append_commit(self.scope, batch_id, add)
+        return {
+            "n_files": len(add),
+            "bytes": sum(int(a.get("size", 0)) for a in add),
+            "version": version,
+        }
 
     def vacuum_orphans(self, retention_ms: int = 24 * 3600 * 1000) -> list[str]:
         """Delete data dirs unreferenced by any commit (crashed write

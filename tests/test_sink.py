@@ -855,3 +855,42 @@ def test_writer_lease_same_process_sequential_reuse(spark, tmp_path):
     spark.catalog.refreshTable(table)
     expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
     assert spark.table(table).count() == 2 * expected  # both runs landed
+
+
+def test_sink_metrics_recorded_per_batch(spark, tmp_path):
+    """r10 observability: every committed batch leaves one JSON metrics
+    file (provider, file count, byte volume from the manifest listing,
+    wall-clock) under <checkpoint>/_sink_metrics — readable with
+    spark.read.json; no extra data pass."""
+    import json
+
+    table, _ = _mk_table(spark)
+    ckpt = str(tmp_path / "ckpt")
+    ev = stream_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    q = write_stream_to_table(
+        ev, checkpoint_dir=ckpt, db="default", table=table,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    mdir = os.path.join(ckpt, "_sink_metrics")
+    files = sorted(os.listdir(mdir))
+    assert files == ["batch-0.json"]
+    m = json.loads(open(os.path.join(mdir, files[0])).read())
+    assert m["provider"] == "native" and m["batch_id"] == 0
+    assert m["n_files"] >= 1 and m["bytes"] > 0 and m["wall_ms"] >= 0
+    # spark-readable operational feed
+    assert spark.read.json(mdir).count() == 1
+    # metrics.enabled=false suppresses recording
+    table2, _ = _mk_table(spark)
+    ev2 = stream_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    ckpt2 = str(tmp_path / "ckpt2")
+    q2 = write_stream_to_table(
+        ev2, checkpoint_dir=ckpt2, db="default", table=table2,
+        **{"metrics.enabled": "false"},
+    )
+    q2.awaitTermination()
+    assert not os.path.exists(os.path.join(ckpt2, "_sink_metrics"))
