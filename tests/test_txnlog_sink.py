@@ -401,3 +401,42 @@ def test_txnlog_fresh_checkpoint_is_append_not_phantom_replay(spark):
     )
     q.awaitTermination()
     assert "pinned-app" in {c["app_id"] for c in TxnLogTable(spark, loc).commits()}
+
+
+def test_txnlog_additive_schema_evolution(spark):
+    """ALTER TABLE ADD COLUMN between runs: the snapshot reader serves
+    the CURRENT catalog schema — pre-evolution files read back with
+    NULL for the new column (explicit-schema parquet read), new files
+    carry it. The per-batch alignment casts against the catalog at
+    batch time, so the writer picks up the wider schema without a
+    restart ceremony."""
+    import pyspark.sql.functions as F
+
+    table, loc, base = _mk_table(spark)
+    n = _events_batch(spark).count()
+    ev = stream_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    q = write_stream_to_table(
+        ev, checkpoint_dir=f"{base}/ckpt1", db="default", table=table,
+        **{"table.format": "txnlog"},
+    )
+    q.awaitTermination()
+
+    spark.sql(f"ALTER TABLE {table} ADD COLUMN note STRING")
+    ev2 = stream_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value", "event_type",
+        F.lit("v2").alias("note"),
+    )
+    q2 = write_stream_to_table(
+        ev2, checkpoint_dir=f"{base}/ckpt2", db="default", table=table,
+        **{"table.format": "txnlog"},
+    )
+    q2.awaitTermination()
+
+    snap = read_txnlog_table(spark, "default", table)
+    assert snap.columns == ["event_id", "user_id", "value", "event_type", "note"]
+    assert snap.count() == 2 * n
+    by_note = {r["note"]: r["c"] for r in
+               snap.groupBy("note").agg(F.count("*").alias("c")).collect()}
+    assert by_note == {None: n, "v2": n}
