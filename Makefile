@@ -37,3 +37,13 @@ bench:
 
 coverage:
 	python gen_coverage.py
+
+# deep NULL-fuzz pass (25 hypothesis examples per query instead of 5);
+# optionally narrow with K="-k <expr>"
+deepfuzz:
+	SHSS_FUZZ_EXAMPLES=25 python -m pytest tests/test_null_fuzz.py -q $(K)
+
+# regenerate the driver-verdict ledger from CORRECTNESS_r*.json
+# (tests fail when it is stale)
+verified:
+	python tools/gen_verified.py --write

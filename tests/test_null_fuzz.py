@@ -34,6 +34,10 @@ from spark_hive_streaming_sink_spark.registry import QUERIES, queries
 
 queries()
 
+# deep-fuzz knob: the default 5 examples per query keeps the suite fast;
+# pre-round hardening runs use SHSS_FUZZ_EXAMPLES=25+ on chosen subsets
+_N_EXAMPLES = int(os.environ.get("SHSS_FUZZ_EXAMPLES", "5"))
+
 FUZZED = [
     "window_ignore_nulls_ffill",
     "events_ohlc_resample",
@@ -143,7 +147,7 @@ def _run_both(spark, name, sf_dir, table):
 
 @pytest.mark.parametrize("name", FUZZED)
 @settings(
-    max_examples=5,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -243,7 +247,7 @@ def _write_documents(rows, out_dir):
 
 @pytest.mark.parametrize("name", DOC_FUZZED)
 @settings(
-    max_examples=5,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -355,7 +359,7 @@ def _write_embeddings(rows, out_dir):
 
 @pytest.mark.parametrize("name", EMB_FUZZED)
 @settings(
-    max_examples=5,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -413,7 +417,7 @@ def _write_lineitem(rows, out_dir):
 
 @pytest.mark.parametrize("name", BASKET_FUZZED)
 @settings(
-    max_examples=5,
+    max_examples=_N_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
