@@ -967,14 +967,17 @@ def write_stream_to_table(
         writer = writer.queryName(query_name)
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     _claim_destination(opts.qualified_name)
-    lease.acquire()
     query = None
     try:
+        # inside the try: an acquire failure must also clear the
+        # in-process claim, or the destination stays wedged with a
+        # _RESERVED entry for the life of the process
+        lease.acquire()
         query = writer.start()
     finally:
         _bind_destination(opts.qualified_name, query)
         if query is None:
-            lease.release()  # start failed
+            lease.release()  # no-op when acquire never succeeded  # start failed
     if query is not None:
         _release_lease_on_termination(spark, str(query.id), lease)
     return query

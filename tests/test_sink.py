@@ -894,3 +894,38 @@ def test_sink_metrics_recorded_per_batch(spark, tmp_path):
     )
     q2.awaitTermination()
     assert not os.path.exists(os.path.join(ckpt2, "_sink_metrics"))
+
+
+def test_failed_lease_acquire_clears_in_process_claim(spark, tmp_path, monkeypatch):
+    """r10 self-review regression: a lease-acquire failure (another
+    application holds the destination) must clear the in-process
+    _RESERVED claim — otherwise the destination stays wedged in this
+    process even after the foreign writer goes away."""
+    from spark_hive_streaming_sink_spark.streaming import sink as sink_mod
+
+    table, _ = _mk_table(spark)
+    ev = lambda: stream_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    calls = {"n": 0}
+    real_acquire = sink_mod.WriterLease.acquire
+
+    def failing_acquire(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise HiveStreamingSinkError("another application (simulated)")
+        return real_acquire(self)
+
+    monkeypatch.setattr(sink_mod.WriterLease, "acquire", failing_acquire)
+    with pytest.raises(HiveStreamingSinkError, match="another application"):
+        write_stream_to_table(
+            ev(), checkpoint_dir=str(tmp_path / "c1"), db="default", table=table
+        )
+    # the claim must be gone: the next attempt proceeds (acquire now
+    # succeeds) instead of failing with 'already has an active writer'
+    q = write_stream_to_table(
+        ev(), checkpoint_dir=str(tmp_path / "c2"), db="default", table=table
+    )
+    q.awaitTermination()
+    spark.catalog.refreshTable(table)
+    assert spark.table(table).count() > 0
