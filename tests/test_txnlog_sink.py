@@ -440,3 +440,44 @@ def test_txnlog_additive_schema_evolution(spark):
     by_note = {r["note"]: r["c"] for r in
                snap.groupBy("note").agg(F.count("*").alias("c")).collect()}
     assert by_note == {None: n, "v2": n}
+
+
+def test_txnlog_multi_microbatch_single_query(spark, tmp_path):
+    """Several micro-batches within ONE query (maxFilesPerTrigger=1
+    over a 3-file source) commit as distinct (app_id, batch 0/1/2)
+    versions — the normal continuous-ingest shape, vs the single-batch
+    availableNow used elsewhere."""
+    import pyspark.sql.functions as F
+
+    table, loc, base = _mk_table(spark)
+    src = str(tmp_path / "src")
+    ev = _events_batch(spark)
+    n = ev.count()
+    # three separate files -> three micro-batches at maxFilesPerTrigger=1
+    for i in range(3):
+        ev.withColumn("event_id", F.col("event_id") + i * 10_000_000).coalesce(
+            1
+        ).write.parquet(f"{src}/f{i}.parquet")
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = write_stream_to_table(
+        sdf,
+        checkpoint_dir=f"{base}/ckpt",
+        db="default",
+        table=table,
+        trigger={"availableNow": True},
+        **{"table.format": "txnlog"},
+    )
+    q.awaitTermination()
+    log = TxnLogTable(spark, loc)
+    commits = log.commits()
+    assert sorted(c["batch_id"] for c in commits) == [0, 1, 2]
+    assert len({c["app_id"] for c in commits}) == 1
+    snap = read_txnlog_table(spark, "default", table)
+    assert snap.count() == 3 * n
+    assert snap.dropDuplicates(["event_id"]).count() == 3 * n
