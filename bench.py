@@ -136,6 +136,8 @@ HEADLINE = [
     "embed_matryoshka_overlap_audit",
     "events_key_skew_audit",
     "dedup_threshold_sweep",
+    "events_survival_km",
+    "events_attribution_credit",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

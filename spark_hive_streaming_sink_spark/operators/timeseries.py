@@ -1359,3 +1359,381 @@ def events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retained_ppm"
         ),
     )
+
+
+@register(
+    "events_survival_km",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    t0 AS (SELECT user_id, MIN(ts) AS signup_ts FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    study AS (SELECT MAX(ts) AS end_ts FROM e),
+    p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+          FROM e JOIN t0 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= t0.signup_ts
+          GROUP BY e.user_id),
+    subj AS (
+      SELECT p.purchase_ts IS NOT NULL AS observed,
+             CASE WHEN p.purchase_ts IS NOT NULL
+                  THEN (epoch_us(p.purchase_ts) - epoch_us(t0.signup_ts))
+                       // 86400000000
+                  ELSE (epoch_us(s.end_ts) - epoch_us(t0.signup_ts))
+                       // 86400000000
+             END AS dur_day
+      FROM t0 LEFT JOIN p USING (user_id) CROSS JOIN study s),
+    n_tot AS (SELECT COUNT(*) AS n FROM subj),
+    by_day AS (
+      SELECT dur_day,
+             SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS d,
+             COUNT(*) AS leaving
+      FROM subj GROUP BY dur_day),
+    risk AS (
+      SELECT dur_day, d,
+             t.n - COALESCE(SUM(leaving) OVER (
+               ORDER BY dur_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM by_day CROSS JOIN n_tot t),
+    ev AS (SELECT dur_day, d, n_at_risk FROM risk WHERE d > 0)
+    SELECT CAST(dur_day AS BIGINT) AS day,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(floor(1000000 * list_reduce(
+             list(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+               OVER (ORDER BY dur_day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             (x, y) -> x * y)) AS BIGINT) AS survival_ppm
+    FROM ev
+    """,
+    tags=("aggregate", "window", "timeseries", "survival"),
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: each
+    signup user is a subject from their first 'signup' event; the
+    event is their first 'purchase' at-or-after signup, and users who
+    never purchase are right-censored at the global study end (max ts).
+    One row per event day: the at-risk count, the event count, and the
+    KM survival estimate S(t) = prod_{u<=t} (1 - d_u/n_u) in ppm —
+    the conversion/churn curve every lifecycle dashboard draws, with
+    the censoring handled correctly instead of dropped.
+
+    Exactness: durations are integer-microsecond day divisions; d and
+    n are exact bigints; S(t) is a sequential double product in
+    ascending-day order in BOTH engines (Spark folds a window-ordered
+    collect_list, DuckDB list_reduce over a window-ordered list() —
+    identical IEEE multiply sequence; the 1.0 init is exact), floored
+    to ppm.
+
+    Scale: subjects aggregate per user_id (one shuffle, map-side
+    combine); the curve itself lives on the per-day table — O(distinct
+    days), thousands of rows at any corpus size — so the global-order
+    window and the product fold cost days, not events."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    t0 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    study = e.agg(F.max("ts").alias("end_ts"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    # integer floor division on non-negative durations (purchase >=
+    # signup, end >= signup), so Spark's div == DuckDB's // exactly
+    subj = (
+        t0.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(study))
+        .select(
+            F.col("purchase_ts").isNotNull().alias("observed"),
+            F.when(
+                F.col("purchase_ts").isNotNull(),
+                F.expr(
+                    "(unix_micros(purchase_ts) - unix_micros(signup_ts))"
+                    " div 86400000000"
+                ),
+            )
+            .otherwise(
+                F.expr(
+                    "(unix_micros(end_ts) - unix_micros(signup_ts))"
+                    " div 86400000000"
+                )
+            )
+            .alias("dur_day"),
+        )
+    )
+    n_tot = subj.agg(F.count("*").alias("n"))
+    by_day = subj.groupBy("dur_day").agg(
+        F.sum(F.col("observed").cast("bigint")).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    w_prev = Window.orderBy("dur_day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = by_day.crossJoin(F.broadcast(n_tot)).select(
+        "dur_day",
+        "d",
+        (
+            F.col("n") - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    ev = risk.filter(F.col("d") > 0)
+    w_cur = Window.orderBy("dur_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    factor = F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk").cast(
+        "double"
+    )
+    surv = F.aggregate(
+        F.collect_list(factor).over(w_cur), F.lit(1.0), lambda a, x: a * x
+    )
+    return ev.select(
+        F.col("dur_day").cast("bigint").alias("day"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.floor(F.lit(1_000_000.0) * surv).cast("bigint").alias("survival_ppm"),
+    )
+
+
+@register(
+    "events_attribution_credit",
+    oracle="""
+    -- spec: the naive windowed pair join (every purchase x every
+    -- click/view touch of the same user in the preceding 7 days).
+    -- The Spark side computes the identical aggregates WITHOUT
+    -- materializing pairs (marker-row running counters) — the pair
+    -- relation is quadratic in per-user event density, the rewrite is
+    -- linear.
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
+        AND user_id IS NOT NULL AND event_id IS NOT NULL),
+    t AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS t_type
+      FROM events
+      WHERE event_type IN ('click', 'view') AND ts IS NOT NULL
+        AND user_id IS NOT NULL AND event_id IS NOT NULL),
+    pair AS (
+      SELECT p.p_id, t.t_id, t.t_type,
+             COUNT(*) OVER (PARTITION BY p.p_id) AS n_touch,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY t.t_ts DESC, t.t_id DESC) AS rn_last,
+             row_number() OVER (PARTITION BY p.p_id
+                                ORDER BY t.t_ts ASC, t.t_id ASC) AS rn_first
+      FROM p JOIN t ON t.user_id = p.user_id
+        AND epoch_us(t.t_ts) < epoch_us(p.p_ts)
+        AND epoch_us(t.t_ts) >= epoch_us(p.p_ts) - 604800000000),
+    touched AS (
+      SELECT t_type AS touch_type,
+             CAST(COUNT(*) AS BIGINT) AS n_touches,
+             CAST(COUNT(DISTINCT p_id) AS BIGINT) AS conversions,
+             CAST(SUM(1000000 // n_touch) AS BIGINT) AS credit_ppm_total,
+             CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_last_touch,
+             CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first_touch
+      FROM pair GROUP BY t_type),
+    direct AS (
+      SELECT '(direct)' AS touch_type, CAST(0 AS BIGINT) AS n_touches,
+             CAST(COUNT(*) AS BIGINT) AS conversions,
+             CAST(0 AS BIGINT) AS credit_ppm_total,
+             CAST(0 AS BIGINT) AS n_last_touch,
+             CAST(0 AS BIGINT) AS n_first_touch
+      FROM p LEFT JOIN (SELECT DISTINCT p_id FROM pair) x USING (p_id)
+      WHERE x.p_id IS NULL)
+    SELECT * FROM touched
+    UNION ALL
+    SELECT * FROM direct WHERE conversions > 0
+    """,
+    tags=("window", "timeseries", "attribution", "join"),
+)
+def events_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits 1000000
+    ppm of conversion credit equally (integer floor share) across the
+    user's click/view touches in the preceding 7 days; per touch
+    channel the report carries total touches, conversions touched,
+    total linear credit, and last-/first-touch win counts, plus a
+    '(direct)' row for purchases with no preceding touch.
+
+    The semantics are the windowed purchase x touch pair join (the
+    oracle states it literally), but the pair relation is quadratic in
+    per-user event density — on a replicated-user stress corpus it
+    blows up as REPL^2. This implementation never materializes pairs:
+    the touch stream and two marker rows per purchase (window start,
+    window end) merge-sort per user, running per-channel counters and
+    an IGNORE-NULLS last/next touch carry down the timeline, and each
+    purchase reads its window aggregate as counter differences at its
+    two markers — one user_id shuffle, O(events) rows end to end.
+
+    Exactness: all outputs are exact integer counts/floor shares;
+    marker rows sort before same-timestamp touches in both the
+    counter and the carry, reproducing the [p_ts-7d, p_ts) boundary
+    exactly; last/first tie-breaks are (ts, event_id) on both sides.
+
+    Scale: one shuffle on user_id for the merged timeline windows, one
+    on p_id to pair each purchase's two markers, then a two-row-
+    per-purchase explode into the channel aggregate — no step is
+    super-linear in events; per-user state is two counters, not a
+    buffer."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        "ts",
+        F.lit(2).alias("k"),
+        F.col("event_id").alias("tb_id"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_click"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is_view"),
+        F.struct(
+            F.col("ts").alias("t_ts"),
+            F.col("event_id").alias("t_id"),
+            F.col("event_type").alias("t_type"),
+        ).alias("tstruct"),
+        F.lit(None).cast("bigint").alias("p_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    null_struct = F.lit(None).cast(
+        "struct<t_ts:timestamp,t_id:bigint,t_type:string>"
+    )
+    lo = p.select(
+        "user_id",
+        F.timestamp_micros(F.unix_micros("p_ts") - 604_800_000_000).alias("ts"),
+        F.lit(0).alias("k"),
+        F.col("p_id").alias("tb_id"),
+        F.lit(0).alias("is_click"),
+        F.lit(0).alias("is_view"),
+        null_struct.alias("tstruct"),
+        "p_id",
+        "p_ts",
+    )
+    hi = p.select(
+        "user_id",
+        F.col("p_ts").alias("ts"),
+        F.lit(1).alias("k"),
+        F.col("p_id").alias("tb_id"),
+        F.lit(0).alias("is_click"),
+        F.lit(0).alias("is_view"),
+        null_struct.alias("tstruct"),
+        "p_id",
+        "p_ts",
+    )
+    merged = touches.unionByName(lo).unionByName(hi)
+    w = Window.partitionBy("user_id").orderBy("ts", "k", "tb_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    scanned = merged.select(
+        "p_id",
+        "p_ts",
+        "k",
+        F.sum("is_click").over(w_cum).alias("cum_click"),
+        F.sum("is_view").over(w_cum).alias("cum_view"),
+        F.last("tstruct", ignorenulls=True).over(w_cum).alias("last_t"),
+        F.first("tstruct", ignorenulls=True).over(w_fwd).alias("next_t"),
+    ).filter(F.col("p_id").isNotNull())
+    per_p = scanned.groupBy("p_id").agg(
+        F.max("p_ts").alias("p_ts"),
+        F.max(F.when(F.col("k") == 0, F.col("cum_click"))).alias("click_lo"),
+        F.max(F.when(F.col("k") == 1, F.col("cum_click"))).alias("click_hi"),
+        F.max(F.when(F.col("k") == 0, F.col("cum_view"))).alias("view_lo"),
+        F.max(F.when(F.col("k") == 1, F.col("cum_view"))).alias("view_hi"),
+        F.max(F.when(F.col("k") == 1, F.col("last_t"))).alias("last_t"),
+        F.max(F.when(F.col("k") == 0, F.col("next_t"))).alias("first_t"),
+    )
+    lo_us = F.unix_micros("p_ts") - 604_800_000_000
+    per_p = per_p.select(
+        "p_id",
+        (F.col("click_hi") - F.col("click_lo")).alias("click_n"),
+        (F.col("view_hi") - F.col("view_lo")).alias("view_n"),
+        (
+            F.col("click_hi")
+            - F.col("click_lo")
+            + F.col("view_hi")
+            - F.col("view_lo")
+        ).alias("n_touch"),
+        F.when(
+            F.col("last_t").isNotNull()
+            & (F.unix_micros(F.col("last_t.t_ts")) >= lo_us),
+            F.col("last_t.t_type"),
+        ).alias("last_type"),
+        F.when(
+            F.col("first_t").isNotNull()
+            & (
+                F.unix_micros(F.col("first_t.t_ts")) < F.unix_micros("p_ts")
+            ),
+            F.col("first_t.t_type"),
+        ).alias("first_type"),
+    )
+    channel = (
+        per_p.filter(F.col("n_touch") > 0)
+        .select(
+            "p_id",
+            "n_touch",
+            "last_type",
+            "first_type",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("click").alias("touch_type"),
+                        F.col("click_n").alias("cnt"),
+                    ),
+                    F.struct(
+                        F.lit("view").alias("touch_type"),
+                        F.col("view_n").alias("cnt"),
+                    ),
+                )
+            ).alias("ch"),
+        )
+        .select(
+            "p_id",
+            "n_touch",
+            "last_type",
+            "first_type",
+            F.col("ch.touch_type").alias("touch_type"),
+            F.col("ch.cnt").alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    touched = channel.groupBy("touch_type").agg(
+        F.sum("cnt").cast("bigint").alias("n_touches"),
+        F.count("*").cast("bigint").alias("conversions"),
+        F.sum(F.col("cnt") * F.expr("1000000 div n_touch"))
+        .cast("bigint")
+        .alias("credit_ppm_total"),
+        F.sum(
+            F.when(F.col("last_type") == F.col("touch_type"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_last_touch"),
+        F.sum(
+            F.when(F.col("first_type") == F.col("touch_type"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_first_touch"),
+    )
+    direct = (
+        per_p.filter(F.col("n_touch") == 0)
+        .agg(F.count("*").cast("bigint").alias("conversions"))
+        .filter(F.col("conversions") > 0)
+        .select(
+            F.lit("(direct)").alias("touch_type"),
+            F.lit(0).cast("bigint").alias("n_touches"),
+            "conversions",
+            F.lit(0).cast("bigint").alias("credit_ppm_total"),
+            F.lit(0).cast("bigint").alias("n_last_touch"),
+            F.lit(0).cast("bigint").alias("n_first_touch"),
+        )
+    )
+    return touched.unionByName(direct)

@@ -66,11 +66,13 @@ FUZZED = [
     "events_retention_triangle",
     "events_session_paths_topk",
     "events_key_skew_audit",
+    "events_survival_km",
+    "events_attribution_credit",
 ]
 
 _T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
 _TS_CHOICES = [None] + [_T0 + datetime.timedelta(minutes=7 * k) for k in range(12)]
-_TYPES = [None, "click", "purchase", "error"]
+_TYPES = [None, "click", "purchase", "error", "signup", "view"]
 # two-decimal values (like the fixtures); includes 0/negatives/NULL
 _VALS = [None, 0.0, -3.25, 0.5, 7.66, 36.04, 150.72, 1e-5]
 

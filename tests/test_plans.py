@@ -1470,3 +1470,32 @@ def test_threshold_sweep_bucketed_no_python(spark):
     plan = formatted_plan(df)
     assert count_nodes(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_survival_km_no_cartesian_no_python(spark):
+    """KM curve: subject build is user_id-keyed (hash joins / aggs);
+    the study-end and N scalars ride 1-row broadcasts (NLJ against a
+    broadcast of an Aggregate is the scalar-join idiom, never a
+    CartesianProduct); the product fold is a window over the O(days)
+    table — all JVM-side."""
+    df = _df(spark, "events_survival_km")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_attribution_no_pair_join(spark):
+    """The attribution rewrite must NEVER materialize the purchase x
+    touch pair relation: no join of any kind appears in the plan —
+    the merged timeline is a union, the window scan and the per-
+    purchase marker pairing are exchanges on user_id / p_id. (The
+    naive pair join is quadratic in per-user density; this plan is
+    linear.)"""
+    df = _df(spark, "events_attribution_credit")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "BroadcastHashJoin") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert "Union" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -480,3 +480,54 @@ def test_verified_ledger_matches_driver_record():
         "_verified.py is stale vs CORRECTNESS_r*.json — run "
         "`python tools/gen_verified.py --write`"
     )
+
+
+def test_survival_km_invariants(spark):
+    """KM semantics on the fixture: survival is non-increasing in day,
+    bounded by (0, 1e6]; the at-risk count strictly shrinks down the
+    curve; events never exceed the at-risk set."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    rows = sorted(
+        QUERIES["events_survival_km"].builder(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows, "fixture must produce a curve"
+    prev_s, prev_n = 1_000_000 + 1, None
+    for r in rows:
+        assert 0 < r["survival_ppm"] < prev_s or r["survival_ppm"] <= prev_s
+        assert r["survival_ppm"] <= 1_000_000
+        assert 1 <= r["n_events"] <= r["n_at_risk"]
+        if prev_n is not None:
+            assert r["n_at_risk"] < prev_n
+        prev_s, prev_n = r["survival_ppm"], r["n_at_risk"]
+
+
+def test_attribution_credit_invariants(spark):
+    """Attribution semantics on the fixture: per-channel linear credit
+    never exceeds conversions * 1e6 (floor shares), last/first-touch
+    wins sum to the touched-conversion count on each side, and the
+    '(direct)' row carries no credit."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    rows = {
+        r["touch_type"]: r
+        for r in QUERIES["events_attribution_credit"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    touched = [r for t, r in rows.items() if t != "(direct)"]
+    assert touched, "fixture has click/view touches"
+    for r in touched:
+        assert 0 < r["credit_ppm_total"] <= r["conversions"] * 1_000_000
+        assert r["n_touches"] >= r["conversions"]
+    # every touched conversion has exactly one last and one first touch
+    n_last = sum(r["n_last_touch"] for r in touched)
+    n_first = sum(r["n_first_touch"] for r in touched)
+    assert n_last == n_first
+    if "(direct)" in rows:
+        d = rows["(direct)"]
+        assert d["credit_ppm_total"] == 0 and d["n_touches"] == 0

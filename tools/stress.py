@@ -199,6 +199,13 @@ HEADLINE = [
     # round-10: band-bucket pair volume curve — signature-floor-bound
     # like its calibration sibling
     "dedup_threshold_sweep",
+    # round-10: KM curve (user_id agg + O(days) fold) must ride the
+    # subject aggregate linearly
+    "events_survival_km",
+    # round-10: the attribution marker-row rewrite exists BECAUSE the
+    # naive pair join is REPL^2 on replicated users — this entry is the
+    # proof it stays linear
+    "events_attribution_credit",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
