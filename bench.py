@@ -138,6 +138,8 @@ HEADLINE = [
     "dedup_threshold_sweep",
     "events_survival_km",
     "events_attribution_credit",
+    "embed_isotropy_audit",
+    "sim_query_expansion_prf",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

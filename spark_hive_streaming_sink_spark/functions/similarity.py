@@ -2790,3 +2790,370 @@ def embed_matryoshka_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFram
         F.max(F.when(F.col("rf") == 1, F.col("cand_id"))).alias("top1_full"),
         F.max(F.when(F.col("rh") == 1, F.col("cand_id"))).alias("top1_half"),
     )
+
+
+@register(
+    "embed_isotropy_audit",
+    oracle=f"""
+    -- per-label isotropy: mean pairwise cosine via the sum-vector
+    -- identity (never an O(N^2) pair join) + the dominant-dimension
+    -- variance share. All sums ride 6dp-rounded decimals (exact,
+    -- order-independent); the cross-dim reductions are dim-ordered
+    -- list folds so the double addition sequence matches Spark.
+    WITH v AS (
+      SELECT label, embedding,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS l2
+      FROM embeddings WHERE label IS NOT NULL),
+    u AS (
+      SELECT label, list_transform(embedding,
+               x -> round(x::DOUBLE / l2, 6)) AS uvec
+      FROM v WHERE l2 IS NOT NULL AND l2 > 0),
+    nv AS (SELECT label, COUNT(*) AS n_vecs FROM u GROUP BY label
+           HAVING COUNT(*) >= 2),
+    d AS (
+      SELECT label, i AS dim, uvec[i] AS uv
+      FROM (SELECT label, uvec,
+                   unnest(generate_series(1, len(uvec))) AS i
+            FROM u)),
+    dims AS (
+      SELECT label, dim,
+             CAST(SUM(CAST(uv AS DECIMAL(12,6))) AS DOUBLE) AS s,
+             CAST(SUM(round(CAST(uv AS DECIMAL(12,6))
+                            * CAST(uv AS DECIMAL(12,6)), 6)) AS DOUBLE)
+               AS s2,
+             COUNT(*) AS cnt
+      FROM d GROUP BY label, dim),
+    dv AS (
+      SELECT label, dim, s, s2, cnt,
+             CAST(cnt AS DOUBLE) * s2 - s * s AS var_num,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY CAST(cnt AS DOUBLE) * s2 - s * s DESC, dim)
+               AS rn
+      FROM dims),
+    folds AS (
+      SELECT label,
+             list_reduce(list(s * s ORDER BY dim), (a, b) -> a + b) AS ssq,
+             list_reduce(list(s2 ORDER BY dim), (a, b) -> a + b) AS q,
+             list_reduce(list(var_num ORDER BY dim), (a, b) -> a + b)
+               AS vsum
+      FROM dv GROUP BY label),
+    best AS (SELECT label, dim AS top_var_dim, var_num FROM dv WHERE rn = 1)
+    SELECT nv.label, CAST(nv.n_vecs AS BIGINT) AS n_vecs,
+           round((f.ssq - f.q)
+                 / (CAST(nv.n_vecs AS DOUBLE) * (nv.n_vecs - 1)), 6)
+             AS mean_pairwise_cosine,
+           CAST(b.top_var_dim AS BIGINT) AS top_var_dim,
+           CASE WHEN f.vsum <= 0 THEN 0
+                ELSE CAST(floor(1000000 * greatest(b.var_num, 0) / f.vsum)
+                          AS BIGINT) END AS var_share_ppm
+    FROM nv JOIN folds f USING (label) JOIN best b USING (label)
+    """,
+    tags=("llm", "similarity", "embedding", "audit"),
+)
+def embed_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-isotropy audit per label: the mean pairwise cosine of
+    the unit-normalized vectors — computed exactly via the sum-vector
+    identity  sum_ij cos(u_i,u_j) = ||sum_i u_i||^2  so the O(N^2)
+    pair relation is never materialized — plus the dominant dimension
+    by variance and its share of total variance (rogue-dimension
+    detection: anisotropic embedding spaces concentrate variance in a
+    few dims, which breaks cosine retrieval).
+
+    Exactness: unit components round to 6dp and sum as exact decimals
+    (order-independent); their squares are exact decimal products
+    rounded back to 6dp before summing (keeping every unscaled sum
+    under 2^53 so the decimal->double cast is ulp-safe); the cross-dim
+    reductions fold dim-ordered lists so the double addition sequence
+    is identical in both engines; the variance argmax ties break on
+    the smaller dim.
+
+    Scale: one posexplode shuffle on (label, dim) with map-side
+    combine — O(N*d) rows, exactly like centroid construction; the
+    per-label fold tables are O(labels * dims). Zero-norm / NULL-
+    element vectors are excluded by the l2 guard in both engines."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull()
+    )
+    v = emb.select(
+        "label", "embedding", _norm(F.col("embedding")).alias("l2")
+    ).filter(F.col("l2").isNotNull() & (F.col("l2") > 0))
+    # try_divide: collapsed projections may evaluate the transform on
+    # rows the l2 > 0 filter later drops — ANSI division must not blow
+    # up on them (the rows themselves never reach the output)
+    u = v.select(
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(F.try_divide(x.cast("double"), F.col("l2")), 6),
+        ).alias("uvec"),
+    )
+    nv = (
+        u.groupBy("label")
+        .agg(F.count("*").alias("n_vecs"))
+        .filter(F.col("n_vecs") >= 2)
+    )
+    d = u.select("label", F.posexplode("uvec").alias("pos", "uv")).select(
+        "label", (F.col("pos") + 1).alias("dim"), "uv"
+    )
+    uv_dec = F.col("uv").cast("decimal(12,6)")
+    dims = d.groupBy("label", "dim").agg(
+        F.sum(uv_dec).cast("double").alias("s"),
+        F.sum(F.round(uv_dec * uv_dec, 6)).cast("double").alias("s2"),
+        F.count("*").alias("cnt"),
+    )
+    var_num = F.col("cnt").cast("double") * F.col("s2") - F.col("s") * F.col("s")
+    w = Window.partitionBy("label").orderBy(var_num.desc(), "dim")
+    dv = dims.select(
+        "label", "dim", "s", "s2", var_num.alias("var_num"),
+        F.row_number().over(w).alias("rn"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("dim", "s", "s2", "var_num")))
+    folds = dv.groupBy("label").agg(
+        F.aggregate(
+            arr, F.lit(0.0), lambda a, x: a + x.getField("s") * x.getField("s")
+        ).alias("ssq"),
+        F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.getField("s2")).alias(
+            "q"
+        ),
+        F.aggregate(
+            arr, F.lit(0.0), lambda a, x: a + x.getField("var_num")
+        ).alias("vsum"),
+    )
+    best = dv.filter(F.col("rn") == 1).select(
+        "label", F.col("dim").alias("top_var_dim"), "var_num"
+    )
+    return (
+        nv.join(folds, "label")
+        .join(best, "label")
+        .select(
+            "label",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.round(
+                (F.col("ssq") - F.col("q"))
+                / (
+                    F.col("n_vecs").cast("double")
+                    * (F.col("n_vecs") - F.lit(1))
+                ),
+                6,
+            ).alias("mean_pairwise_cosine"),
+            F.col("top_var_dim").cast("bigint").alias("top_var_dim"),
+            F.when(F.col("vsum") <= 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.floor(
+                    F.lit(1_000_000.0)
+                    * F.greatest(F.col("var_num"), F.lit(0.0))
+                    / F.col("vsum")
+                ).cast("bigint")
+            )
+            .alias("var_share_ppm"),
+        )
+    )
+
+
+@register(
+    "sim_query_expansion_prf",
+    oracle=f"""
+    -- pseudo-relevance feedback: retrieve top-10 by cosine, average
+    -- the unit vectors of the results into an expanded query, retrieve
+    -- again, and report the result-set drift (overlap / Jaccard).
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+      FROM embeddings WHERE vec_id IS NOT NULL),
+    val AS (SELECT * FROM v WHERE nrm IS NOT NULL AND nrm > 0),
+    un AS (
+      SELECT vec_id, uc, sqrt({_sql_dot('uc', 'uc')}) AS ucn
+      FROM (SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> round(x::DOUBLE / nrm, 6)) AS uc
+            FROM val)),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn
+          FROM val WHERE vec_id < {N_QUERIES}),
+    r1 AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_sql_dot('q.qe', 'c.embedding')}
+                                / (q.qn * c.nrm), 6) DESC,
+                          c.vec_id) AS rnk
+        FROM q JOIN val c ON c.vec_id != q.query_id
+        WHERE round({_sql_dot('q.qe', 'c.embedding')} / (q.qn * c.nrm), 6)
+              IS NOT NULL)
+      WHERE rnk <= 10),
+    md AS (
+      SELECT query_id, i AS dim, uc[i] AS x
+      FROM (SELECT r1.query_id, un.uc,
+                   unnest(generate_series(1, len(un.uc))) AS i
+            FROM r1 JOIN un ON un.vec_id = r1.cand_id)),
+    ed AS (
+      SELECT query_id, dim,
+             CAST(SUM(CAST(x AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*) AS ev
+      FROM md GROUP BY query_id, dim),
+    en AS (
+      SELECT query_id, evec, enorm
+      FROM (SELECT query_id, evec,
+                   sqrt({_sql_dot('evec', 'evec')}) AS enorm
+            FROM (SELECT query_id, list(ev ORDER BY dim) AS evec
+                  FROM ed GROUP BY query_id))
+      WHERE enorm > 0),
+    r2 AS (
+      SELECT query_id, cand_id FROM (
+        SELECT en.query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY en.query_id
+                 ORDER BY round({_sql_dot('en.evec', 'c.uc')}
+                                / (en.enorm * c.ucn), 6) DESC,
+                          c.vec_id) AS rnk
+        FROM en JOIN un c ON c.vec_id != en.query_id
+        WHERE round({_sql_dot('en.evec', 'c.uc')} / (en.enorm * c.ucn), 6)
+              IS NOT NULL)
+      WHERE rnk <= 10),
+    ov AS (SELECT r1.query_id, COUNT(*) AS n_overlap
+           FROM r1 JOIN r2 USING (query_id, cand_id) GROUP BY r1.query_id),
+    c1 AS (SELECT query_id, COUNT(*) AS n1 FROM r1 GROUP BY query_id),
+    c2 AS (SELECT query_id, COUNT(*) AS n2 FROM r2 GROUP BY query_id)
+    SELECT c1.query_id, CAST(c1.n1 AS BIGINT) AS n_round1,
+           CAST(c2.n2 AS BIGINT) AS n_round2,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(floor(1000000.0 * COALESCE(ov.n_overlap, 0)
+                      / (c1.n1 + c2.n2 - COALESCE(ov.n_overlap, 0)))
+                AS BIGINT) AS jaccard_ppm
+    FROM c1 JOIN c2 USING (query_id) LEFT JOIN ov USING (query_id)
+    """,
+    tags=("llm", "similarity", "retrieval"),
+)
+def sim_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval audit (Rocchio with
+    alpha=0): each query retrieves its cosine top-10, the unit vectors
+    of those results average into an expanded query (exact
+    rounded-decimal per-dim means), the expanded query retrieves
+    again, and the report shows how far the result set moved —
+    round-1/round-2 sizes, overlap, and Jaccard ppm. High drift means
+    feedback would change what the user sees; zero drift means the
+    neighborhood is stable.
+
+    Exactness: both retrieval rounds use the shared sequential-fold
+    dot product and 6dp-rounded cosines with (cosine DESC, cand_id)
+    tie-breaks; expansion components are exact decimal sums divided by
+    exact counts; NULL cosines (ragged/NULL vectors) are filtered in
+    both engines.
+
+    Scale: both rounds broadcast a bounded query side (GlobalLimit
+    N_QUERIES after the vec_id pushdown / the per-query aggregation)
+    against one corpus scan each — candidate rows never shuffle on a
+    corpus-sized key; the expansion aggregate is O(10 * dims) rows per
+    query."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+    )
+    v = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
+    ).filter(F.col("nrm").isNotNull() & (F.col("nrm") > 0))
+    un = v.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(F.try_divide(x.cast("double"), F.col("nrm")), 6),
+        ).alias("uc"),
+        "nrm",
+    ).select("vec_id", "uc", _norm(F.col("uc")).alias("ucn"))
+    q = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .limit(N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    cos1 = F.round(
+        F.try_divide(
+            _dot(F.col("qe"), F.col("embedding")), F.col("qn") * F.col("nrm")
+        ),
+        6,
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("cos1").desc(), "cand_id")
+    r1 = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"), cos1.alias("cos1")
+        )
+        .filter(F.col("cos1").isNotNull())
+        .select("query_id", "cand_id", F.row_number().over(w1).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "cand_id")
+    )
+    md = (
+        r1.join(un, r1.cand_id == un.vec_id)
+        .select("query_id", F.posexplode("uc").alias("pos", "x"))
+        .select("query_id", (F.col("pos") + 1).alias("dim"), "x")
+    )
+    ed = md.groupBy("query_id", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(12,6)")).cast("double")
+            / F.count("*")
+        ).alias("ev")
+    )
+    e = ed.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "ev"))),
+            lambda s: s.getField("ev"),
+        ).alias("evec")
+    )
+    # expanded queries that cancel to the zero vector have no cosine
+    # direction — excluded in BOTH engines (enorm > 0)
+    en = (
+        e.select("query_id", "evec", _norm(F.col("evec")).alias("enorm"))
+        .filter(F.col("enorm") > 0)
+        .limit(N_QUERIES)
+    )
+    cos2 = F.round(
+        F.try_divide(
+            _dot(F.col("evec"), F.col("uc")), F.col("enorm") * F.col("ucn")
+        ),
+        6,
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos2").desc(), "cand_id")
+    r2 = (
+        F.broadcast(en)
+        .join(un, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"), cos2.alias("cos2")
+        )
+        .filter(F.col("cos2").isNotNull())
+        .select("query_id", "cand_id", F.row_number().over(w2).alias("rnk"))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "cand_id")
+    )
+    ov = r1.join(r2, ["query_id", "cand_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    c1 = r1.groupBy("query_id").agg(F.count("*").alias("n1"))
+    c2 = r2.groupBy("query_id").agg(F.count("*").alias("n2"))
+    return (
+        c1.join(c2, "query_id")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n1").cast("bigint").alias("n_round1"),
+            F.col("n2").cast("bigint").alias("n_round2"),
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
+            F.floor(
+                F.lit(1_000_000.0)
+                * F.coalesce(F.col("n_overlap"), F.lit(0))
+                / (
+                    F.col("n1") + F.col("n2")
+                    - F.coalesce(F.col("n_overlap"), F.lit(0))
+                )
+            )
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -211,3 +211,112 @@ def sink_txnlog_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_txnlog_table(spark, "default", table).select(
         "event_id", "user_id", "value", "event_type"
     )
+
+
+@register(
+    "sink_txnlog_time_travel",
+    oracle="""
+    WITH a AS (SELECT * FROM events
+               WHERE event_type IN ('click', 'view')),
+    b AS (SELECT * FROM events
+          WHERE event_type IS NULL OR event_type NOT IN ('click', 'view'))
+    SELECT 'v1' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id
+    FROM a
+    UNION ALL
+    SELECT 'latest', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           MIN(event_id), MAX(event_id)
+    FROM events
+    UNION ALL
+    SELECT 'changes', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           MIN(event_id), MAX(event_id)
+    FROM b
+    """,
+    tags=("streaming", "sink", "txnlog", "timetravel"),
+)
+def sink_txnlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel + change feed over a txnlog destination, certified
+    end-to-end: two sequential streaming writes land in the same
+    commit-log table (clicks/views first, everything else second),
+    then the query reads (a) the snapshot AS OF the first write's
+    version, (b) the latest snapshot, and (c) the change feed since
+    the first version — and summarizes each. The oracle computes the
+    same three summaries straight from the source, so the driver's
+    hash check certifies that time travel sees exactly the old rows,
+    the snapshot sees all rows, and the feed sees exactly the new
+    rows (Delta's DESCRIBE HISTORY / readChangeFeed contract,
+    re-expressed on the commit log; the provider seam is
+    streaming/txnlog.py).
+
+    Scale: snapshot resolution is O(commits) driver-side metadata +
+    a parquet scan of only the selected files; the summaries are
+    single-pass aggregates."""
+    from .txnlog import (
+        TxnLogTable,
+        read_txnlog_table,
+        read_txnlog_table_changes,
+    )
+    from .sink import _table_location
+
+    run_id = uuid.uuid4().hex[:10]
+    base = tempfile.mkdtemp(prefix=f"shss_txntt_{run_id}_")
+    table = f"events_txntt_{run_id}"
+    spark.sql(
+        f"""
+        CREATE TABLE {table}
+        (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
+        USING PARQUET LOCATION '{base}/tbl'
+        """
+    )
+    ev = stream_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    first = ev.filter(F.col("event_type").isin("click", "view"))
+    second = ev.filter(
+        F.col("event_type").isNull()
+        | ~F.col("event_type").isin("click", "view")
+    )
+    q1 = write_stream_to_table(
+        first,
+        checkpoint_dir=f"{base}/ckpt_a",
+        db="default",
+        table=table,
+        trigger={"availableNow": True},
+        **{"table.format": "txnlog"},
+    )
+    q1.awaitTermination()
+    v_first = max(
+        TxnLogTable(spark, _table_location(spark, f"default.{table}")).versions()
+    )
+    q2 = write_stream_to_table(
+        second,
+        checkpoint_dir=f"{base}/ckpt_b",
+        db="default",
+        table=table,
+        trigger={"availableNow": True},
+        **{"table.format": "txnlog"},
+    )
+    q2.awaitTermination()
+
+    def summarize(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        ).select("phase", "n_rows", "n_users", "min_event_id", "max_event_id")
+
+    v1 = read_txnlog_table(spark, "default", table, as_of_version=v_first)
+    latest = read_txnlog_table(spark, "default", table)
+    changes, _hw = read_txnlog_table_changes(
+        spark, "default", table, since_version=v_first
+    )
+    return (
+        summarize(v1, "v1")
+        .unionByName(summarize(latest, "latest"))
+        .unionByName(summarize(changes, "changes"))
+    )

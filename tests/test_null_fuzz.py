@@ -313,6 +313,8 @@ EMB_FUZZED = [
     "embed_winsorize_audit",
     "sim_rank_fusion_rrf",
     "embed_matryoshka_overlap_audit",
+    "embed_isotropy_audit",
+    "sim_query_expansion_prf",
 ]
 
 # element values: exact-in-float32 two-decimal-ish values plus 0 and

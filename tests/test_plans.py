@@ -1499,3 +1499,28 @@ def test_attribution_no_pair_join(spark):
     assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
     assert "Union" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_isotropy_audit_no_pairs_no_python(spark):
+    """Isotropy must come from the sum-vector identity: the plan has a
+    posexplode (Generate) into a (label, dim) hash aggregate and NO
+    join between corpus-sized relations — the O(N^2) cosine pair
+    relation never appears; all folds are JVM-side."""
+    df = _df(spark, "embed_isotropy_audit")
+    plan = formatted_plan(df)
+    assert "Generate" in plan
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_prf_bounded_broadcast_rounds(spark):
+    """Both PRF retrieval rounds must broadcast the bounded query side
+    (GlobalLimit N_QUERIES) against a corpus scan — never a
+    corpus x corpus cartesian; everything JVM-side."""
+    df = _df(spark, "sim_query_expansion_prf")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the non-equi candidate joins ride broadcast NLJ on the bounded side
+    assert count_nodes(df, "BroadcastNestedLoopJoin") >= 2

@@ -206,6 +206,11 @@ HEADLINE = [
     # naive pair join is REPL^2 on replicated users — this entry is the
     # proof it stays linear
     "events_attribution_credit",
+    # round-10: sum-vector isotropy (posexplode + (label,dim) agg) and
+    # the dual bounded-broadcast PRF rounds — both must ride the corpus
+    # scan linearly
+    "embed_isotropy_audit",
+    "sim_query_expansion_prf",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
