@@ -140,6 +140,10 @@ HEADLINE = [
     "events_attribution_credit",
     "embed_isotropy_audit",
     "sim_query_expansion_prf",
+    "corpus_tokenizer_fertility",
+    "corpus_context_window_fit",
+    "layout_epoch_shuffle",
+    "graph_link_prediction_ra",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

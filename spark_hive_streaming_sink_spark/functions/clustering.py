@@ -1483,3 +1483,133 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfin.crossJoin(F.broadcast(conv)).select(
         F.col("node").alias("node_id"), F.col("deg").alias("core_degree"), "converged"
     )
+
+
+# --------------------------------------------------------------------------
+# link prediction over the kNN graph (resource-allocation index)
+# --------------------------------------------------------------------------
+
+
+def _link_pred_oracle() -> str:
+    from .similarity import _sql_bucket, _sql_dot
+
+    dot_vv = _sql_dot("embedding", "embedding")
+    dot_ab = _sql_dot("a.embedding", "b.embedding")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({dot_vv}) AS nrm,
+                      {_sql_bucket('embedding')} AS bucket
+               FROM embeddings WHERE embedding IS NOT NULL),
+    p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                 row_number() OVER (PARTITION BY a.vec_id
+                                    ORDER BY round({dot_ab} / (a.nrm * b.nrm), 6)
+                                             DESC, b.vec_id) AS rnk
+          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+    edges AS (SELECT src, dst FROM p WHERE rnk <= 3),
+    und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM und GROUP BY src),
+    cand AS (
+      SELECT a.src AS u, b.dst AS w, a.dst AS z
+      FROM und a JOIN und b ON a.dst = b.src AND a.src < b.dst),
+    miss AS (
+      SELECT c.u, c.w, c.z FROM cand c
+      LEFT JOIN und e ON e.src = c.u AND e.dst = c.w
+      WHERE e.src IS NULL),
+    sc AS (
+      SELECT u, w,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(CAST(round(1000000.0 / d.deg, 0) AS BIGINT)) AS BIGINT)
+               AS ra_micro
+      FROM miss JOIN deg d ON d.node = miss.z GROUP BY u, w)
+    SELECT u AS src, w AS dst, n_common, ra_micro, rnk FROM (
+      SELECT u, w, n_common, ra_micro,
+             row_number() OVER (ORDER BY ra_micro DESC, u, w) AS rnk
+      FROM sc)
+    WHERE rnk <= 25
+    """
+
+
+@register(
+    "graph_link_prediction_ra",
+    oracle=_link_pred_oracle(),
+    tags=("llm", "graph", "embedding"),
+)
+def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the kNN similarity graph by the
+    resource-allocation index: for every non-adjacent pair at
+    distance 2, RA = sum over common neighbors z of 1/deg(z) — the
+    strongest of the classic local link predictors (Zhou, Lu &
+    Zhang 2009) — reported as the top-25 predicted links. On a
+    document/embedding graph these are the retrieval edges a kNN
+    index at slightly higher k would surface first: a cheap recall
+    probe without rebuilding the index.
+
+    Exactness: degrees are exact counts over the deduped undirected
+    edge set; each 1/deg contribution rounds once to integer
+    micro-units and sums exactly (identical cross-engine); the final
+    top-25 carries a total-order (score DESC, src, dst) tie-break.
+
+    Scale: edges are kNN-bounded (N*k) and cell-local by
+    construction; the distance-2 expansion joins the undirected edge
+    list with itself on the shared endpoint — O(N * k^2) candidate
+    rows, never N^2; the anti-join against existing edges and the
+    degree join are equi-joins on node ids; the top-25 compiles to
+    TakeOrdered."""
+    from pyspark.sql import Window
+
+    from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+    )
+    edges = _knn_cell_topk(v, K_NN_GRAPH).select(
+        F.col("node_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    # undirected, deduped; checkpointed once — it feeds the degree
+    # table, both sides of the distance-2 expansion, and the anti-join
+    und = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    a = und.select(F.col("src").alias("u"), F.col("dst").alias("z"))
+    b = und.select(F.col("src").alias("z2"), F.col("dst").alias("w"))
+    cand = a.join(b, (F.col("z") == F.col("z2")) & (F.col("u") < F.col("w"))).select(
+        "u", "w", "z"
+    )
+    miss = cand.join(
+        und,
+        (F.col("u") == F.col("src")) & (F.col("w") == F.col("dst")),
+        "left_anti",
+    )
+    sc = (
+        miss.join(deg, F.col("z") == F.col("node"))
+        .groupBy("u", "w")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum(
+                F.round(F.lit(1_000_000.0) / F.col("deg"), 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("ra_micro"),
+        )
+    )
+    top = sc.orderBy(F.col("ra_micro").desc(), "u", "w").limit(25)
+    w_rnk = Window.orderBy(F.col("ra_micro").desc(), "u", "w")
+    return top.select(
+        F.col("u").alias("src"),
+        F.col("w").alias("dst"),
+        "n_common",
+        "ra_micro",
+        F.row_number().over(w_rnk).alias("rnk"),
+    )

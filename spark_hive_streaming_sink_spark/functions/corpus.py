@@ -1579,3 +1579,178 @@ def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "corpus_tokenizer_fertility",
+    oracle=r"""
+    -- tokenizer fertility by language: subword tokens per whitespace
+    -- word (the metric that decides whether a tokenizer is usable for
+    -- a language) + chars per subword, using the same whitespace and
+    -- BPE-ish segmentations as text_token_count.
+    WITH t AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\s+')) AS ws,
+             len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS bpe,
+             length(replace(text, ' ', '')) AS chars
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS subword_tokens,
+           CAST(SUM(chars) AS BIGINT) AS n_chars,
+           CAST(SUM(bpe) * 1000000 // SUM(ws) AS BIGINT) AS fertility_ppm,
+           CASE WHEN SUM(bpe) = 0 THEN 0
+                ELSE CAST(SUM(chars) * 1000000 // SUM(bpe) AS BIGINT)
+           END AS chars_per_subword_ppm
+    FROM t GROUP BY lang
+    """,
+    tags=("llm", "corpus", "text"),
+)
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per language: subword tokens per
+    whitespace word (fertility) and characters per subword —
+    the go/no-go numbers for a tokenizer across languages (high
+    fertility = the language pays more context window per word).
+    Segmentations reuse text_token_count's whitespace and BPE-ish
+    definitions, so the audit is consistent with the engine's token
+    budgeting ops.
+
+    Exactness: all counts are exact integers; ratios are integer-ppm
+    floor divisions (whitespace split of a trimmed doc is never empty,
+    so fertility never divides by zero; the all-punctuation-free
+    zero-subword edge is guarded identically in both engines).
+
+    Scale: one map pass (two regex counts per doc) + one lang-keyed
+    aggregate with map-side combine."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    t = d.select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws"),
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]")).alias(
+            "bpe"
+        ),
+        F.length(F.regexp_replace("text", " ", "")).alias("chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("ws").cast("bigint").alias("ws_tokens"),
+        F.sum("bpe").cast("bigint").alias("subword_tokens"),
+        F.sum("chars").cast("bigint").alias("n_chars"),
+        F.expr("CAST(SUM(bpe) * 1000000 div SUM(ws) AS BIGINT)").alias(
+            "fertility_ppm"
+        ),
+        F.expr(
+            "CASE WHEN SUM(bpe) = 0 THEN 0"
+            " ELSE CAST(SUM(chars) * 1000000 div SUM(bpe) AS BIGINT) END"
+        ).alias("chars_per_subword_ppm"),
+    )
+
+
+CONTEXT_WINDOWS = (512, 2048, 8192)
+
+
+@register(
+    "corpus_context_window_fit",
+    oracle=f"""
+    -- context-window planning: per candidate window size, how much of
+    -- the corpus fits whole, how many tokens truncation would drop,
+    -- and how many packed chunks the corpus needs.
+    WITH t AS (
+      SELECT len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS toks
+      FROM documents WHERE text IS NOT NULL),
+    w AS (SELECT unnest([{', '.join(str(w) for w in CONTEXT_WINDOWS)}])
+            AS window_tokens),
+    j AS (
+      SELECT w.window_tokens, t.toks,
+             CASE WHEN t.toks <= w.window_tokens THEN 1 ELSE 0 END AS fits,
+             CASE WHEN t.toks > w.window_tokens
+                  THEN t.toks - w.window_tokens ELSE 0 END AS dropped,
+             CASE WHEN t.toks = 0 THEN 0
+                  ELSE (t.toks + w.window_tokens - 1) // w.window_tokens
+             END AS chunks
+      FROM t CROSS JOIN w)
+    SELECT CAST(window_tokens AS BIGINT) AS window_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(fits) AS BIGINT) AS n_fit,
+           CAST(SUM(fits) * 1000000 // COUNT(*) AS BIGINT) AS fit_ppm,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(dropped) AS BIGINT) AS tokens_dropped,
+           CASE WHEN SUM(toks) = 0 THEN 0
+                ELSE CAST(SUM(dropped) * 1000000 // SUM(toks) AS BIGINT)
+           END AS dropped_ppm,
+           CAST(SUM(chunks) AS BIGINT) AS n_chunks
+    FROM j GROUP BY window_tokens
+    """,
+    tags=("llm", "corpus", "training"),
+)
+def corpus_context_window_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fit audit: for each candidate window size
+    (512/2048/8192 BPE-ish tokens), the share of documents that fit
+    whole, the tokens truncation would drop (and its corpus share),
+    and the chunk count a pack-into-windows pipeline would emit — the
+    table that decides a training run's sequence length and packing
+    strategy before any tokenization job is launched.
+
+    Exactness: token counts and all aggregates are exact integers;
+    shares are integer-ppm floor divisions with the zero-corpus guard
+    mirrored in both engines.
+
+    Scale: one map pass per doc, a constant 3-row window spine
+    (broadcast nested loop against a literal array — never a data
+    join), one aggregate to 3 rows."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = d.select(
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]")).alias(
+            "toks"
+        )
+    )
+    j = t.select(
+        "toks",
+        F.explode(
+            F.array(*[F.lit(w) for w in CONTEXT_WINDOWS])
+        ).alias("window_tokens"),
+    ).select(
+        "window_tokens",
+        "toks",
+        F.when(F.col("toks") <= F.col("window_tokens"), 1).otherwise(0).alias(
+            "fits"
+        ),
+        F.when(
+            F.col("toks") > F.col("window_tokens"),
+            F.col("toks") - F.col("window_tokens"),
+        )
+        .otherwise(0)
+        .alias("dropped"),
+        F.when(F.col("toks") == 0, 0)
+        .otherwise(
+            F.expr("(toks + window_tokens - 1) div window_tokens")
+        )
+        .alias("chunks"),
+    )
+    return j.groupBy("window_tokens").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("fits").cast("bigint").alias("n_fit"),
+        F.expr("CAST(SUM(fits) * 1000000 div COUNT(*) AS BIGINT)").alias(
+            "fit_ppm"
+        ),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        F.sum("dropped").cast("bigint").alias("tokens_dropped"),
+        F.expr(
+            "CASE WHEN SUM(toks) = 0 THEN 0"
+            " ELSE CAST(SUM(dropped) * 1000000 div SUM(toks) AS BIGINT) END"
+        ).alias("dropped_ppm"),
+        F.sum("chunks").cast("bigint").alias("n_chunks"),
+    ).select(
+        F.col("window_tokens").cast("bigint").alias("window_tokens"),
+        "n_docs",
+        "n_fit",
+        "fit_ppm",
+        "total_tokens",
+        "tokens_dropped",
+        "dropped_ppm",
+        "n_chunks",
+    )

@@ -151,3 +151,106 @@ def layout_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("chars_sum"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+N_EPOCHS = 3
+
+
+@register(
+    "layout_epoch_shuffle",
+    oracle=f"""
+    -- one deterministic permutation per training epoch: shard =
+    -- md5(doc_id ':' epoch) — any worker can recompute its shard list
+    -- for any epoch with no shuffle-order file to ship around.
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+    tot AS (SELECT COUNT(*) AS n_total FROM d),
+    s AS (
+      SELECT doc_id, e.epoch,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                      || CAST(e.epoch AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {N_SHARDS} AS shard,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8))
+                  AS BIGINT) % {N_SHARDS} AS shard_e0
+      FROM d CROSS JOIN (SELECT unnest(generate_series(0, {N_EPOCHS - 1}))
+                         AS epoch) e)
+    SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * 1000000 // t.n_total AS BIGINT) AS share_ppm,
+           CAST(SUM(CASE WHEN shard = shard_e0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same_as_epoch0
+    FROM s CROSS JOIN tot t
+    GROUP BY epoch, shard, t.n_total
+    """,
+    tags=("layout", "llm", "training"),
+)
+def layout_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle plan: each training epoch
+    assigns every document to a shard by md5(doc_id ':' epoch) — a
+    different, reproducible permutation per epoch, recomputable by any
+    worker without a materialized shuffle order. The audit reports the
+    per-(epoch, shard) balance (share ppm of the corpus) and, per
+    cell, how many docs kept their epoch-0 shard — epoch 0 agrees with
+    itself 100%; later epochs should agree ~1/N_SHARDS (the
+    permutations are independent), so a broken salt (constant epoch
+    concatenated wrong) shows up as 100% agreement.
+
+    Scale: one map-side expression per (doc, epoch) — the epoch spine
+    is a constant 3-row broadcast, the aggregate shuffles N_EPOCHS *
+    N_SHARDS cells; the corpus-count scalar broadcasts. At 100 TB the
+    same expression feeds a partitionBy((epoch, shard)) export with
+    shard counts sized to the file-size sweet spot."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id")
+    )
+    tot = d.agg(F.count("*").alias("n_total"))
+    epochs = F.array(*[F.lit(i) for i in range(N_EPOCHS)])
+
+    def _shard(epoch_col: Column) -> Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            epoch_col.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % N_SHARDS
+        )
+
+    s = d.select(
+        "doc_id", F.explode(epochs).alias("epoch")
+    ).select(
+        "doc_id",
+        "epoch",
+        _shard(F.col("epoch")).alias("shard"),
+        _shard(F.lit(0)).alias("shard_e0"),
+    )
+    return (
+        s.groupBy("epoch", "shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("shard") == F.col("shard_e0"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_same_as_epoch0"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("epoch").cast("bigint").alias("epoch"),
+            "shard",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 div n_total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            "n_same_as_epoch0",
+        )
+    )

@@ -202,6 +202,9 @@ DOC_FUZZED = [
     "text_pii_signal_counts",
     "dedup_simhash_hamming_pairs",
     "dedup_threshold_sweep",
+    "corpus_tokenizer_fertility",
+    "corpus_context_window_fit",
+    "layout_epoch_shuffle",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]
@@ -315,6 +318,7 @@ EMB_FUZZED = [
     "embed_matryoshka_overlap_audit",
     "embed_isotropy_audit",
     "sim_query_expansion_prf",
+    "graph_link_prediction_ra",
 ]
 
 # element values: exact-in-float32 two-decimal-ish values plus 0 and

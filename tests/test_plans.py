@@ -1524,3 +1524,40 @@ def test_prf_bounded_broadcast_rounds(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # the non-equi candidate joins ride broadcast NLJ on the bounded side
     assert count_nodes(df, "BroadcastNestedLoopJoin") >= 2
+
+
+def test_epoch_shuffle_map_only_constant_spine(spark):
+    """Epoch shuffle: the 3-epoch spine is a constant explode over one
+    scan (never a data join); one aggregate to N_EPOCHS*N_SHARDS
+    cells; corpus total broadcasts; all JVM-side."""
+    df = _df(spark, "layout_epoch_shuffle")
+    plan = formatted_plan(df)
+    assert "Generate" in plan
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_context_window_fit_single_scan(spark):
+    """Window-fit audit: one documents scan exploded against a literal
+    3-window array — no join, one aggregate; the scan must prune to
+    the text column only."""
+    df = _df(spark, "corpus_context_window_fit")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Scan parquet") == 1
+    rs = read_schemas(df)
+    assert rs and "doc_id" not in rs[0]
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_link_prediction_knn_bounded(spark):
+    """RA link prediction: candidate pairs come from the kNN-bounded
+    undirected edge list joined with itself on the shared endpoint —
+    equi-joins only, no cartesian; the top-25 compiles to
+    TakeOrdered; no Python."""
+    df = _df(spark, "graph_link_prediction_ra")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -211,6 +211,15 @@ HEADLINE = [
     # scan linearly
     "embed_isotropy_audit",
     "sim_query_expansion_prf",
+    # round-10: map-only corpus audits (regex counts + tiny spines) —
+    # pure scan shapes that must stay flat-linear
+    "corpus_tokenizer_fertility",
+    "corpus_context_window_fit",
+    "layout_epoch_shuffle",
+    # round-10: distance-2 expansion over the kNN edge list — O(N*k^2)
+    # candidates by construction; a superlinear jump means the kNN
+    # bound broke
+    "graph_link_prediction_ra",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
