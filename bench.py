@@ -144,6 +144,7 @@ HEADLINE = [
     "corpus_context_window_fit",
     "layout_epoch_shuffle",
     "graph_link_prediction_ra",
+    "multimodal_audio_fingerprint",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

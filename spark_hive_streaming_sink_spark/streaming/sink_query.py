@@ -320,3 +320,75 @@ def sink_txnlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(summarize(latest, "latest"))
         .unionByName(summarize(changes, "changes"))
     )
+
+
+@register(
+    "sink_txnlog_upsert_merge",
+    oracle="""
+    -- MERGE semantics, key-based (not type-based): rows whose
+    -- event_id appears among the (non-NULL) update keys are replaced;
+    -- NULL-key rows never match and the NULL-key updates insert.
+    WITH upd AS (
+      SELECT event_id, user_id, value + 1000.0 AS value, event_type
+      FROM events WHERE event_type = 'purchase'),
+    keys AS (SELECT DISTINCT event_id FROM upd WHERE event_id IS NOT NULL),
+    kept AS (
+      SELECT e.event_id, e.user_id, e.value, e.event_type
+      FROM events e LEFT JOIN keys k ON e.event_id = k.event_id
+      WHERE k.event_id IS NULL)
+    SELECT * FROM kept
+    UNION ALL
+    SELECT * FROM upd
+    """,
+    tags=("streaming", "sink", "txnlog", "merge"),
+)
+def sink_txnlog_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE into a txnlog destination, certified end-to-end: the full
+    events stream lands via the streaming sink, then a batch MERGE
+    upserts amended purchase rows (value + 1000) by event_id —
+    rewriting ONLY the data files that contain a matched key, in one
+    atomic add+remove commit (Delta MERGE mechanics; see
+    txnlog.merge_txnlog_table). The read-back snapshot must equal the
+    source with purchases amended — the driver's hash check certifies
+    matched-update, unmatched-insert, and NULL-key-insert semantics
+    plus the file-level rewrite in one pass."""
+    from .txnlog import merge_txnlog_table, read_txnlog_table
+
+    run_id = uuid.uuid4().hex[:10]
+    base = tempfile.mkdtemp(prefix=f"shss_txnmerge_{run_id}_")
+    table = f"events_txnmerge_{run_id}"
+    spark.sql(
+        f"""
+        CREATE TABLE {table}
+        (event_id BIGINT, user_id BIGINT, value DOUBLE, event_type STRING)
+        USING PARQUET LOCATION '{base}/tbl'
+        """
+    )
+    ev = stream_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    q = write_stream_to_table(
+        ev,
+        checkpoint_dir=f"{base}/ckpt",
+        db="default",
+        table=table,
+        trigger={"availableNow": True},
+        **{"table.format": "txnlog"},
+    )
+    q.awaitTermination()
+    from ..io import load_table
+
+    updates = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("value") + 1000.0).alias("value"),
+            "event_type",
+        )
+    )
+    merge_txnlog_table(spark, "default", table, updates, key="event_id")
+    return read_txnlog_table(spark, "default", table).select(
+        "event_id", "user_id", "value", "event_type"
+    )

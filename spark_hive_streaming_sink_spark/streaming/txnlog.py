@@ -479,3 +479,130 @@ def read_txnlog_table_changes(
     if not files:
         return spark.createDataFrame([], schema), high
     return spark.read.schema(schema).parquet(*files), high
+
+
+def _list_add_entries(
+    log: TxnLogTable, rel_dir: str, part_cols: list[str]
+) -> list[dict]:
+    """Walk a freshly written data dir and build its commit ``add``
+    entries (relative path, size, optional per-file stats)."""
+    fs = log._fs()
+    out_q = fs.makeQualified(log._path(f"{log.location}/{rel_dir}")).toString()
+    add: list[dict] = []
+    it = fs.listFiles(log._path(f"{log.location}/{rel_dir}"), True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        if p.getName().startswith(("_", ".")):
+            continue
+        rel = fs.makeQualified(p).toString()[len(out_q) :].lstrip("/")
+        entry: dict = {"path": f"{rel_dir}/{rel}", "size": st.getLen()}
+        stats = _file_stats(f"{log.location}/{rel_dir}/{rel}", part_cols)
+        if stats:
+            entry["stats"] = stats
+        add.append(entry)
+    return add
+
+
+def merge_txnlog_table(
+    spark: SparkSession,
+    db: str,
+    table: str,
+    updates: DataFrame,
+    key: str,
+    part_cols: list[str] | None = None,
+) -> dict:
+    """MERGE (upsert-by-key) into a ``table.format=txnlog`` destination
+    — Delta MERGE mechanics on the commit log: rows in ``updates``
+    replace current rows with the same non-NULL ``key`` (latest write
+    wins), rows with unmatched or NULL keys insert. Only the data
+    files that actually CONTAIN a matched key are rewritten (their
+    surviving rows + every update row land in new files); untouched
+    files stay live, so the write cost is O(affected files + updates),
+    not O(table). Visibility is ONE atomic ``{add, remove}`` commit:
+    readers see the pre-merge or post-merge snapshot, never a mix.
+
+    Like compaction, the commit loop re-validates on version collision
+    that every file it retires is still live — a concurrent compactor
+    or merge retiring them aborts this merge loudly instead of
+    resurrecting replaced rows. Returns ``{files_rewritten, files_added,
+    version}``.
+
+    Scale: locating affected files is one equi-join of the snapshot
+    (with ``input_file_name``) against the distinct update keys,
+    collecting only FILE NAMES (bounded by the file count, never by
+    rows); the rewrite reads only affected files. At 100 TB the
+    per-file key min/max stats in the commit log let the affected-file
+    probe skip the scan entirely for keys outside a file's range —
+    the same pruning Delta uses for MERGE."""
+    import pyspark.sql.functions as F
+
+    from .sink import _table_location
+
+    qualified = f"{db}.{table}"
+    schema = spark.table(qualified).schema
+    log = TxnLogTable(spark, _table_location(spark, qualified))
+    adds = log.snapshot_adds()
+    aligned = updates.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+    touched_rel: list[str] = []
+    survivors = None
+    if adds:
+        files = [f"{log.location}/{a['path']}" for a in adds]
+        cur = spark.read.schema(schema).parquet(*files).withColumn(
+            "_shss_file", F.input_file_name()
+        )
+        upd_keys = aligned.select(key).filter(F.col(key).isNotNull()).distinct()
+        touched_q = [
+            r["_shss_file"]
+            for r in cur.join(upd_keys, key)
+            .select("_shss_file")
+            .distinct()
+            .collect()
+        ]
+        # map qualified URIs back to the commit log's relative paths
+        touched_rel = [
+            a["path"]
+            for a in adds
+            if any(q.endswith("/" + a["path"]) for q in touched_q)
+        ]
+        if touched_rel:
+            touched_files = [f"{log.location}/{p}" for p in touched_rel]
+            survivors = (
+                spark.read.schema(schema)
+                .parquet(*touched_files)
+                .join(upd_keys, key, "left_anti")
+            )
+    new_data = (
+        aligned if survivors is None else survivors.unionByName(aligned)
+    )
+    rel_dir = f"{_DATA_DIR}/merge-{uuid.uuid4().hex[:12]}"
+    new_data.write.mode("errorifexists").format("parquet").save(
+        f"{log.location}/{rel_dir}"
+    )
+    new_add = _list_add_entries(log, rel_dir, part_cols or [])
+    retire = set(touched_rel)
+    for _ in range(_COMMIT_RETRIES):
+        vs = log.versions()
+        live = {a["path"] for a in log.snapshot_adds()}
+        if not retire <= live:
+            raise TxnLogError(
+                "concurrent commit retired files this merge was rewriting "
+                f"({sorted(retire - live)[:3]}...); re-run against the new "
+                "snapshot"
+            )
+        next_v = (vs[-1] + 1) if vs else 0
+        if log.try_commit(
+            next_v,
+            {"merge": True, "add": new_add, "remove": sorted(retire)},
+        ):
+            return {
+                "files_rewritten": len(retire),
+                "files_added": len(new_add),
+                "version": next_v,
+            }
+    raise TxnLogError(
+        f"merge commit contention: {_COMMIT_RETRIES} consecutive version "
+        f"collisions at {log.location}"
+    )

@@ -205,6 +205,7 @@ DOC_FUZZED = [
     "corpus_tokenizer_fertility",
     "corpus_context_window_fit",
     "layout_epoch_shuffle",
+    "multimodal_audio_fingerprint",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]

@@ -481,3 +481,85 @@ def test_txnlog_multi_microbatch_single_query(spark, tmp_path):
     snap = read_txnlog_table(spark, "default", table)
     assert snap.count() == 3 * n
     assert snap.dropDuplicates(["event_id"]).count() == 3 * n
+
+
+def test_txnlog_merge_rewrites_only_touched_files(spark):
+    """MERGE must retire exactly the files containing matched keys:
+    seed the table with two separate commits (disjoint key ranges),
+    merge updates touching only the second range, and check (a) the
+    final rows are upsert-correct, (b) the first commit's files are
+    still live in the snapshot, and (c) the merge commit removed only
+    the second commit's files."""
+    import pyspark.sql.functions as F
+
+    from spark_hive_streaming_sink_spark.streaming.txnlog import (
+        TxnLogTable,
+        merge_txnlog_table,
+        read_txnlog_table,
+    )
+
+    table, loc, _base = _mk_table(spark)
+    ev = _events_batch(spark).filter(F.col("event_id").isNotNull())
+    lo = ev.filter(F.col("event_id") < 500).coalesce(1)
+    hi = ev.filter(F.col("event_id") >= 500).coalesce(1)
+    log = TxnLogTable(spark, loc)
+    from spark_hive_streaming_sink_spark.streaming.txnlog import TxnLogPublisher
+
+    pub = TxnLogPublisher(spark, f"default.{table}", [], "t#merge", loc)
+    pub.publish(lo, 0)
+    pub.publish(hi, 1)
+    files_before = {a["path"] for a in log.snapshot_adds()}
+    lo_files = {p for p in files_before if "b0-" in p}
+    hi_files = files_before - lo_files
+    updates = (
+        ev.filter(F.col("event_id") >= 500)
+        .limit(50)
+        .withColumn("value", F.col("value") + 77.0)
+    )
+    res = merge_txnlog_table(
+        spark, "default", table, updates, key="event_id"
+    )
+    assert res["files_rewritten"] == len(hi_files)
+    after = {a["path"] for a in log.snapshot_adds()}
+    assert lo_files <= after, "untouched files must stay live"
+    assert not (hi_files & after), "touched files must be retired"
+    final = read_txnlog_table(spark, "default", table)
+    n_src = ev.count()
+    assert final.count() == n_src
+    upd_keys = [r.event_id for r in updates.select("event_id").collect()]
+    got = {
+        r.event_id: r.value
+        for r in final.filter(F.col("event_id").isin(upd_keys)).collect()
+    }
+    want = {r.event_id: r.value for r in updates.collect()}
+    assert got == want
+
+
+def test_txnlog_merge_pure_insert_add_only_commit(spark):
+    """Updates with no matching key (and NULL keys) insert via an
+    add-only commit — no file is retired."""
+    import pyspark.sql.functions as F
+
+    from spark_hive_streaming_sink_spark.streaming.txnlog import (
+        TxnLogTable,
+        TxnLogPublisher,
+        merge_txnlog_table,
+        read_txnlog_table,
+    )
+
+    table, loc, _base = _mk_table(spark)
+    ev = _events_batch(spark).filter(F.col("event_id").isNotNull())
+    pub = TxnLogPublisher(spark, f"default.{table}", [], "t#ins", loc)
+    pub.publish(ev.coalesce(1), 0)
+    log = TxnLogTable(spark, loc)
+    before = {a["path"] for a in log.snapshot_adds()}
+    n0 = read_txnlog_table(spark, "default", table).count()
+    inserts = spark.createDataFrame(
+        [(10_000_001, 1, 5.0, "new"), (None, 2, 6.0, "new")],
+        "event_id bigint, user_id bigint, value double, event_type string",
+    )
+    res = merge_txnlog_table(spark, "default", table, inserts, key="event_id")
+    assert res["files_rewritten"] == 0
+    after = {a["path"] for a in log.snapshot_adds()}
+    assert before <= after
+    assert read_txnlog_table(spark, "default", table).count() == n0 + 2

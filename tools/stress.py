@@ -220,6 +220,9 @@ HEADLINE = [
     # candidates by construction; a superlinear jump means the kNN
     # bound broke
     "graph_link_prediction_ra",
+    # round-10: Arrow decode kernel + lag window + fingerprint-keyed
+    # count join — linear like the VAD/ahash siblings
+    "multimodal_audio_fingerprint",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
