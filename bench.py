@@ -145,6 +145,8 @@ HEADLINE = [
     "layout_epoch_shuffle",
     "graph_link_prediction_ra",
     "multimodal_audio_fingerprint",
+    "corpus_decontam_span_removal",
+    "text_langid_confusion",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -1754,3 +1754,156 @@ def corpus_context_window_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dropped_ppm",
         "n_chunks",
     )
+
+
+@register(
+    "corpus_decontam_span_removal",
+    oracle=f"""
+    -- span-level decontamination: instead of dropping whole training
+    -- docs that share a 5-gram with the eval set, mask exactly the
+    -- covered token positions and keep the rest. clean_md5 pins the
+    -- reconstructed text, so the driver hash certifies the surgery,
+    -- not just the counts.
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS tk FROM documents),
+    base AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= {NGRAM}),
+    ev AS (
+      SELECT DISTINCT
+             md5(array_to_string(tk[i:i+{NGRAM - 1}], ' ')) AS h
+      FROM base, unnest(generate_series(1, len(tk) - {NGRAM - 1})) t(i)
+      WHERE doc_id % {EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, tk FROM base WHERE doc_id % {EVAL_MOD} != 0),
+    g AS (
+      SELECT doc_id, i,
+             md5(array_to_string(tk[i:i+{NGRAM - 1}], ' ')) AS h
+      FROM tr, unnest(generate_series(1, len(tk) - {NGRAM - 1})) t(i)),
+    matched AS (SELECT g.doc_id, g.i FROM g JOIN ev USING (h)),
+    covered AS (
+      SELECT DISTINCT doc_id, pos
+      FROM matched, unnest(generate_series(i, i + {NGRAM - 1})) t(pos)),
+    runs AS (
+      SELECT doc_id,
+             CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_spans,
+             CAST(COUNT(*) AS BIGINT) AS tokens_removed
+      FROM (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS grp
+            FROM covered)
+      GROUP BY doc_id),
+    allpos AS (
+      SELECT doc_id, i AS pos, tk[i] AS tok
+      FROM tr, unnest(generate_series(1, len(tk))) t(i)),
+    kept AS (
+      SELECT a.doc_id, a.pos, a.tok
+      FROM allpos a LEFT JOIN covered c
+        ON c.doc_id = a.doc_id AND c.pos = a.pos
+      WHERE c.pos IS NULL),
+    clean AS (
+      SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+      FROM kept GROUP BY doc_id)
+    SELECT tr.doc_id,
+           CAST(len(tr.tk) AS BIGINT) AS n_tokens,
+           COALESCE(r.n_spans, 0) AS n_spans,
+           COALESCE(r.tokens_removed, 0) AS tokens_removed,
+           CAST(len(tr.tk) - COALESCE(r.tokens_removed, 0) AS BIGINT)
+             AS clean_tokens,
+           COALESCE(c.clean_md5, md5('')) AS clean_md5,
+           COALESCE(r.tokens_removed, 0) > 0 AS contaminated
+    FROM tr LEFT JOIN runs r USING (doc_id) LEFT JOIN clean c USING (doc_id)
+    """,
+    tags=("llm", "curation", "contamination"),
+)
+def corpus_decontam_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (the Dolma/FineWeb upgrade over
+    whole-doc dropping): every training-doc token position covered by
+    a 5-gram that also appears in the pseudo-holdout eval set
+    (doc_id % EVAL_MOD == 0, as in contamination_ngram_overlap) is
+    masked; the rest of the document survives. Per training doc the
+    report carries token count, the number of maximal removed spans
+    (gaps-islands over covered positions), tokens removed/kept, and
+    the md5 of the reconstructed clean text — so the oracle certifies
+    the actual surgery byte-for-byte, not just the counts.
+
+    Exactness: grams hash with md5 over the same ' '-split used by the
+    contamination op; covered-position sets, span runs, and the
+    position-ordered reconstruction are all exact integer/string ops.
+
+    Scale: gram digests and position explodes are O(tokens) map work;
+    the eval-gram probe is a digest-to-digest shuffle join (both sides
+    corpus-scale here — a real fixed benchmark suite would broadcast);
+    coverage dedup, span runs, and reconstruction all ride ONE doc_id
+    partitioning. Nothing is quadratic in doc length or corpus
+    size."""
+    from ..io import parallelize_scan
+
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    tk = F.split(F.trim(F.col("text")), " ")
+    base = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= NGRAM)
+    grams = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (NGRAM - 1)),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.md5(F.concat_ws(" ", F.slice("tk", i, NGRAM))).alias("h"),
+            ),
+        )
+    )
+    ev = (
+        base.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(grams.alias("g"))
+        .select(F.col("g.h").alias("h"))
+        .distinct()
+    )
+    tr = base.filter(F.col("doc_id") % EVAL_MOD != 0)
+    g = tr.select("doc_id", grams.alias("g")).select(
+        "doc_id", F.col("g.i").alias("i"), F.col("g.h").alias("h")
+    )
+    matched = g.join(ev, "h").select("doc_id", "i")
+    covered = matched.select(
+        "doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (NGRAM - 1))).alias("pos")
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        covered.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("grp").cast("bigint").alias("n_spans"),
+            F.count("*").cast("bigint").alias("tokens_removed"),
+        )
+    )
+    allpos = tr.select(
+        "doc_id", F.posexplode("tk").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = allpos.join(covered, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            )
+        ).alias("clean_md5")
+    )
+    return (
+        tr.select("doc_id", F.size("tk").cast("bigint").alias("n_tokens"))
+        .join(runs, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("tokens_removed", F.lit(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            (
+                F.col("n_tokens")
+                - F.coalesce("tokens_removed", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("clean_tokens"),
+            F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+            (F.coalesce("tokens_removed", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -2260,3 +2260,85 @@ def text_pii_signal_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_emails + n_urls + n_numbers > 0).alias("has_pii_signal"),
         F.md5(redacted).alias("redacted_fingerprint"),
     )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    -- confusion matrix of declared lang vs the marker-word language-ID
+    -- heuristic (same scorer as text_langid): per (declared,
+    -- predicted) cell, count and the row share of the declared lang.
+    WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks
+               FROM documents
+               WHERE lang IS NOT NULL AND text IS NOT NULL),
+    s AS (SELECT doc_id, lang,
+                 {_lang_score_sql('en')} AS s_en,
+                 {_lang_score_sql('de')} AS s_de,
+                 {_lang_score_sql('fr')} AS s_fr,
+                 {_lang_score_sql('es')} AS s_es
+          FROM t),
+    p AS (SELECT lang,
+                 CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0
+                        THEN 'unknown'
+                      WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                        THEN 'en'
+                      WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                      WHEN s_fr >= s_es THEN 'fr'
+                      ELSE 'es' END AS predicted
+          FROM s),
+    rowtot AS (SELECT lang, COUNT(*) AS n_lang FROM p GROUP BY lang)
+    SELECT p.lang, p.predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * 1000000 // r.n_lang AS BIGINT) AS row_share_ppm,
+           p.lang = p.predicted AS on_diagonal
+    FROM p JOIN rowtot r USING (lang)
+    GROUP BY p.lang, p.predicted, r.n_lang
+    """,
+    tags=("llm", "text", "audit"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared `lang` label vs the
+    marker-word heuristic's prediction (the exact scorer behind
+    text_langid), one row per (declared, predicted) cell with the
+    count and the within-declared-lang share — the quality report a
+    curation pipeline reads before trusting either the labels or the
+    classifier. Integer-ppm shares; the per-lang row total joins back
+    via broadcast (one row per language)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
+    toks = _toks()
+
+    def score_col(lang: str):
+        markers = LANG_MARKERS[lang]
+        return F.size(F.filter(toks, lambda x: x.isin(*markers))).alias(
+            f"s_{lang}"
+        )
+
+    scores = d.select("lang", *[score_col(lang) for lang in LANG_MARKERS])
+    s_en, s_de, s_fr, s_es = (
+        F.col(c) for c in ["s_en", "s_de", "s_fr", "s_es"]
+    )
+    pred = (
+        F.when((s_en == 0) & (s_de == 0) & (s_fr == 0) & (s_es == 0), "unknown")
+        .when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), "en")
+        .when((s_de >= s_fr) & (s_de >= s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es")
+    )
+    p = scores.select("lang", pred.alias("predicted"))
+    rowtot = p.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    return (
+        p.groupBy("lang", "predicted")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(F.broadcast(rowtot), "lang")
+        .select(
+            "lang",
+            "predicted",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000000 div n_lang AS BIGINT)").alias(
+                "row_share_ppm"
+            ),
+            (F.col("lang") == F.col("predicted")).alias("on_diagonal"),
+        )
+    )

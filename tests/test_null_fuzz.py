@@ -206,6 +206,8 @@ DOC_FUZZED = [
     "corpus_context_window_fit",
     "layout_epoch_shuffle",
     "multimodal_audio_fingerprint",
+    "corpus_decontam_span_removal",
+    "text_langid_confusion",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]

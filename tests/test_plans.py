@@ -1561,3 +1561,25 @@ def test_link_prediction_knn_bounded(spark):
     assert count_nodes(df, "CartesianProduct") == 0
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontam_span_digest_join_single_doc_partitioning(spark):
+    """Span decontamination: the eval-gram probe is a digest equi-join
+    (never text-to-text, never cartesian); coverage dedup, span runs,
+    and reconstruction ride doc_id exchanges; all JVM-side."""
+    df = _df(spark, "corpus_decontam_span_removal")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_langid_confusion_broadcast_row_totals(spark):
+    """Confusion matrix: the per-lang row total (one row per language)
+    joins back via broadcast; scoring is map-side higher-order
+    functions, no Python."""
+    df = _df(spark, "text_langid_confusion")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -223,6 +223,10 @@ HEADLINE = [
     # round-10: Arrow decode kernel + lag window + fingerprint-keyed
     # count join — linear like the VAD/ahash siblings
     "multimodal_audio_fingerprint",
+    # round-10: gram-digest probe + position explodes on one doc_id
+    # partitioning — O(tokens); a jump means the digest join broke
+    "corpus_decontam_span_removal",
+    "text_langid_confusion",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
