@@ -147,6 +147,8 @@ HEADLINE = [
     "multimodal_audio_fingerprint",
     "corpus_decontam_span_removal",
     "text_langid_confusion",
+    "events_forecast_backtest",
+    "multimodal_keyframe_select",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -1037,3 +1037,120 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(coll, "fingerprint").select(
         "doc_id", "fingerprint", "n_matches"
     )
+
+
+@register(
+    "multimodal_keyframe_select",
+    oracle="""
+    -- same frame/intensity CTEs as multimodal_shot_boundaries, then:
+    -- shots are cumulative boundary counts, the keyframe is each
+    -- shot's brightest frame (tie -> earliest).
+    WITH g AS (
+      SELECT doc_id,
+             regexp_replace(text, '[^ -~]', '', 'g') AS a
+      FROM documents WHERE text IS NOT NULL),
+    dims AS (
+      SELECT doc_id, a,
+             CAST(greatest(1, floor(sqrt(CAST(floor(length(a) / 3) AS DOUBLE))))
+                  AS BIGINT) AS w,
+             CAST(floor(floor(length(a) / 3)
+                  / greatest(1, floor(sqrt(CAST(floor(length(a) / 3) AS DOUBLE)))))
+                  AS BIGINT) AS h
+      FROM g WHERE floor(length(a) / 3) >= 1),
+    frames AS (
+      SELECT doc_id, w, h, fno,
+             substr(a, CAST((fno - 1) * w * 3 + 1 AS INT), CAST(w * 3 AS INT))
+               AS fstr
+      FROM dims, unnest(generate_series(1, h)) AS u(fno)),
+    m AS (
+      SELECT doc_id, CAST(fno AS BIGINT) AS frame_no,
+             CAST(round(CAST(list_sum(list_transform(
+                    generate_series(1, len(fstr)),
+                    i -> ord(substr(fstr, i, 1)))) AS DOUBLE)
+                  * 1000.0 / (w * 3), 0) AS BIGINT) AS mean_milli
+      FROM frames),
+    d AS (
+      SELECT doc_id, frame_no, mean_milli,
+             COALESCE(abs(mean_milli - lag(mean_milli) OVER (
+               PARTITION BY doc_id ORDER BY frame_no)) > 10000, FALSE)
+               AS is_boundary
+      FROM m),
+    shots AS (
+      SELECT doc_id, frame_no, mean_milli,
+             SUM(CASE WHEN is_boundary THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY frame_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS shot_no
+      FROM d),
+    ranked AS (
+      SELECT doc_id, shot_no, frame_no, mean_milli,
+             row_number() OVER (PARTITION BY doc_id, shot_no
+                                ORDER BY mean_milli DESC, frame_no)
+               AS kr
+      FROM shots)
+    SELECT s.doc_id, CAST(s.shot_no AS BIGINT) AS shot_no,
+           CAST(MIN(s.frame_no) AS BIGINT) AS shot_start,
+           CAST(MAX(s.frame_no) AS BIGINT) AS shot_end,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(CASE WHEN r.kr = 1 THEN r.frame_no END) AS BIGINT)
+             AS keyframe_no,
+           CAST(MAX(CASE WHEN r.kr = 1 THEN r.mean_milli END) AS BIGINT)
+             AS keyframe_mean_milli
+    FROM shots s JOIN ranked r
+      ON r.doc_id = s.doc_id AND r.shot_no = s.shot_no
+     AND r.frame_no = s.frame_no
+    GROUP BY s.doc_id, s.shot_no
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection per shot: shots are the runs between
+    luminance-delta boundaries (composed directly on the
+    multimodal_shot_boundaries output — one builder feeding another,
+    the way a real video pipeline chains detect -> sample), and each
+    shot's keyframe is its brightest frame (exact integer milli-mean,
+    tie -> earliest) — the representative frame a vision-language
+    curation pass would embed instead of all frames.
+
+    Exactness: shot numbering is a cumulative boundary count over the
+    same bigint means the boundary op emits; keyframe choice is an
+    integer (mean DESC, frame ASC) rank. Scale: both windows and the
+    per-shot aggregate ride the ONE doc_id partitioning the boundary
+    op already shuffles on — composing adds no exchange."""
+    from pyspark.sql import Window
+
+    sb = multimodal_shot_boundaries(spark, sf_dir)
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("frame_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shots = sb.select(
+        "doc_id",
+        "frame_no",
+        "mean_milli",
+        F.sum(F.col("is_boundary").cast("int")).over(w_cum).alias("shot_no"),
+    )
+    w_key = Window.partitionBy("doc_id", "shot_no").orderBy(
+        F.col("mean_milli").desc(), "frame_no"
+    )
+    ranked = shots.withColumn("kr", F.row_number().over(w_key))
+    return ranked.groupBy("doc_id", "shot_no").agg(
+        F.min("frame_no").cast("bigint").alias("shot_start"),
+        F.max("frame_no").cast("bigint").alias("shot_end"),
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.max(F.when(F.col("kr") == 1, F.col("frame_no")))
+        .cast("bigint")
+        .alias("keyframe_no"),
+        F.max(F.when(F.col("kr") == 1, F.col("mean_milli")))
+        .cast("bigint")
+        .alias("keyframe_mean_milli"),
+    ).select(
+        "doc_id",
+        F.col("shot_no").cast("bigint").alias("shot_no"),
+        "shot_start",
+        "shot_end",
+        "n_frames",
+        "keyframe_no",
+        "keyframe_mean_milli",
+    )

@@ -1737,3 +1737,94 @@ def events_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return touched.unionByName(direct)
+
+
+@register(
+    "events_forecast_backtest",
+    oracle="""
+    -- walk-forward backtest: at every step with >= 3 points of
+    -- history, forecast the next value with (a) naive last-value and
+    -- (b) a 3-point moving average, score absolute errors, and
+    -- compare the models — the honest out-of-sample protocol, never
+    -- in-sample fit.
+    WITH s AS (
+      SELECT user_id, value,
+             lag(value, 1) OVER w AS l1,
+             lag(value, 2) OVER w AS l2,
+             lag(value, 3) OVER w AS l3
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    f AS (
+      SELECT round(abs(value - l1), 6) AS e_naive,
+             round(abs(value - (l1 + l2 + l3) / 3.0), 6) AS e_ma3
+      FROM s WHERE l3 IS NOT NULL)
+    SELECT 'naive' AS model, CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           CAST(SUM(CAST(e_naive AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS mae,
+           CAST(SUM(CASE WHEN e_naive < e_ma3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_wins
+    FROM f
+    UNION ALL
+    SELECT 'ma3', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(e_ma3 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*),
+           CAST(SUM(CASE WHEN e_ma3 < e_naive THEN 1 ELSE 0 END) AS BIGINT)
+    FROM f
+    """,
+    tags=("timeseries", "forecast", "window"),
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward forecast backtest over each user's value series:
+    one-step-ahead naive (last value) vs 3-point moving average,
+    scored by MAE and head-to-head wins over every step with three
+    points of history — the out-of-sample model-selection table that
+    decides which baseline a forecasting pipeline must beat.
+
+    Exactness: both forecasts are fixed-order expressions over lagged
+    doubles (the ma3 sum is written (l1+l2+l3)/3.0, never a frame
+    aggregate whose addition order floats); absolute errors round to
+    6dp and sum as exact decimals, so MAE is merge-order independent;
+    wins are exact comparisons of identical doubles.
+
+    Scale: ONE user_id window serves all three lags; the scoreboard is
+    a two-row aggregate with map-side combine. The backtest never
+    leaks the future — each forecast uses strictly prior rows."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "value",
+        F.lag("value", 1).over(w).alias("l1"),
+        F.lag("value", 2).over(w).alias("l2"),
+        F.lag("value", 3).over(w).alias("l3"),
+    )
+    f = s.filter(F.col("l3").isNotNull()).select(
+        F.round(F.abs(F.col("value") - F.col("l1")), 6).alias("e_naive"),
+        F.round(
+            F.abs(
+                F.col("value")
+                - (F.col("l1") + F.col("l2") + F.col("l3")) / F.lit(3.0)
+            ),
+            6,
+        ).alias("e_ma3"),
+    )
+
+    def scoreboard(model: str, own: str, other: str) -> DataFrame:
+        return f.agg(
+            F.lit(model).alias("model"),
+            F.count("*").cast("bigint").alias("n_forecasts"),
+            (
+                F.sum(F.col(own).cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("mae"),
+            F.sum(F.when(F.col(own) < F.col(other), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_wins"),
+        ).select("model", "n_forecasts", "mae", "n_wins")
+
+    return scoreboard("naive", "e_naive", "e_ma3").unionByName(
+        scoreboard("ma3", "e_ma3", "e_naive")
+    )

@@ -68,6 +68,7 @@ FUZZED = [
     "events_key_skew_audit",
     "events_survival_km",
     "events_attribution_credit",
+    "events_forecast_backtest",
 ]
 
 _T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)
@@ -208,6 +209,7 @@ DOC_FUZZED = [
     "multimodal_audio_fingerprint",
     "corpus_decontam_span_removal",
     "text_langid_confusion",
+    "multimodal_keyframe_select",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]

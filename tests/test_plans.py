@@ -1583,3 +1583,27 @@ def test_langid_confusion_broadcast_row_totals(spark):
     assert count_nodes(df, "SortMergeJoin") == 0
     assert count_nodes(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_forecast_backtest_single_window_pass(spark):
+    """Backtest: all three lags ride ONE user_id window (one Window
+    node, one exchange family); the scoreboard is a two-branch
+    aggregate; no Python, no joins."""
+    df = _df(spark, "events_forecast_backtest")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Window") == 2  # one per union branch
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_keyframe_select_composes_without_extra_exchange_kinds(spark):
+    """Keyframe selection composes on the shot-boundary output: the
+    added shot window, keyframe rank, and per-shot aggregate all key
+    on doc_id(+shot_no) — no join, no cartesian, no Python beyond the
+    boundary op's own plan."""
+    df = _df(spark, "multimodal_keyframe_select")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

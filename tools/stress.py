@@ -227,6 +227,10 @@ HEADLINE = [
     # partitioning — O(tokens); a jump means the digest join broke
     "corpus_decontam_span_removal",
     "text_langid_confusion",
+    # round-10: single-window lag backtest and the shot->keyframe
+    # composition — both ride existing per-key partitionings
+    "events_forecast_backtest",
+    "multimodal_keyframe_select",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
