@@ -149,6 +149,7 @@ HEADLINE = [
     "text_langid_confusion",
     "events_forecast_backtest",
     "multimodal_keyframe_select",
+    "events_diff_in_diff",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -1828,3 +1828,141 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scoreboard("naive", "e_naive", "e_ma3").unionByName(
         scoreboard("ma3", "e_ma3", "e_naive")
     )
+
+
+@register(
+    "events_diff_in_diff",
+    oracle="""
+    -- difference-in-differences: treated users are those who ever hit
+    -- an 'error' event; periods split at the study midpoint; the DiD
+    -- estimate is the treated group's post-pre change minus the
+    -- control group's — the workhorse quasi-experimental estimator.
+    WITH e AS (
+      SELECT user_id, ts, event_type, value FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL),
+    span AS (SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM e),
+    treated AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'error'),
+    cells AS (
+      SELECT CASE WHEN t.user_id IS NOT NULL THEN 'treated'
+                  ELSE 'control' END AS grp,
+             CASE WHEN epoch_us(e.ts) * 2 >= epoch_us(s.t0) + epoch_us(s.t1)
+                  THEN 'post' ELSE 'pre' END AS period,
+             e.value
+      FROM e CROSS JOIN span s
+      LEFT JOIN treated t ON t.user_id = e.user_id),
+    agg AS (
+      SELECT grp, period,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS mean_value
+      FROM cells GROUP BY grp, period),
+    wide AS (
+      SELECT grp,
+             MAX(CASE WHEN period = 'pre' THEN mean_value END) AS m_pre,
+             MAX(CASE WHEN period = 'post' THEN mean_value END) AS m_post,
+             CAST(SUM(n_obs) AS BIGINT) AS n_obs
+      FROM agg GROUP BY grp)
+    SELECT grp, n_obs,
+           round(m_pre, 6) AS mean_pre,
+           round(m_post, 6) AS mean_post,
+           round(m_post - m_pre, 6) AS delta,
+           round((SELECT (tw.m_post - tw.m_pre) - (cw.m_post - cw.m_pre)
+                  FROM wide tw, wide cw
+                  WHERE tw.grp = 'treated' AND cw.grp = 'control'), 6)
+             AS did_estimate
+    FROM wide
+    WHERE m_pre IS NOT NULL AND m_post IS NOT NULL
+    """,
+    tags=("timeseries", "stats", "causal"),
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the 'error' experience's
+    effect on event values: users who ever hit an error are the
+    treated group, the study window splits at its midpoint, and the
+    DiD estimate is the treated post-minus-pre change net of the
+    control group's — the standard quasi-experimental readout when
+    randomization isn't available. One row per group with cell means
+    and the shared DiD estimate (NULL-safe: groups missing a period
+    drop out of the report in both engines).
+
+    Exactness: cell means are exact decimal sums of 6dp-rounded values
+    over exact counts; the midpoint split compares integer
+    microseconds (epoch*2 vs t0+t1, no division); the estimate is a
+    final scalar op on identical doubles, rounded in both engines.
+
+    Scale: one scan feeds the treated-user set (semi-join shape on
+    user_id) and the 4-cell aggregate (map-side combine); the study
+    span is a 1-row broadcast. Nothing holds per-user state."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    span = e.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    treated = (
+        e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    )
+    cells = (
+        e.crossJoin(F.broadcast(span))
+        .join(
+            treated.withColumn("is_treated", F.lit(True)), "user_id", "left"
+        )
+        .select(
+            F.when(F.col("is_treated"), "treated")
+            .otherwise("control")
+            .alias("grp"),
+            F.when(
+                F.unix_micros("ts") * 2
+                >= F.unix_micros("t0") + F.unix_micros("t1"),
+                "post",
+            )
+            .otherwise("pre")
+            .alias("period"),
+            "value",
+        )
+    )
+    agg = cells.groupBy("grp", "period").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        (
+            F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_value"),
+    )
+    wide = agg.groupBy("grp").agg(
+        F.max(F.when(F.col("period") == "pre", F.col("mean_value"))).alias(
+            "m_pre"
+        ),
+        F.max(F.when(F.col("period") == "post", F.col("mean_value"))).alias(
+            "m_post"
+        ),
+        F.sum("n_obs").cast("bigint").alias("n_obs"),
+    )
+    # single-row aggregate (never 0 rows): a missing group or period
+    # yields a NULL estimate, mirroring the oracle's scalar subquery
+    did = wide.agg(
+        F.round(
+            F.max(
+                F.when(
+                    F.col("grp") == "treated", F.col("m_post") - F.col("m_pre")
+                )
+            )
+            - F.max(
+                F.when(
+                    F.col("grp") == "control", F.col("m_post") - F.col("m_pre")
+                )
+            ),
+            6,
+        ).alias("did_estimate")
+    )
+    return (
+        wide.filter(F.col("m_pre").isNotNull() & F.col("m_post").isNotNull())
+        .crossJoin(F.broadcast(did))
+        .select(
+            "grp",
+            "n_obs",
+            F.round("m_pre", 6).alias("mean_pre"),
+            F.round("m_post", 6).alias("mean_post"),
+            F.round(F.col("m_post") - F.col("m_pre"), 6).alias("delta"),
+            "did_estimate",
+        )
+    )

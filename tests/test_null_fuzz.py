@@ -69,6 +69,7 @@ FUZZED = [
     "events_survival_km",
     "events_attribution_credit",
     "events_forecast_backtest",
+    "events_diff_in_diff",
 ]
 
 _T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)

@@ -1607,3 +1607,13 @@ def test_keyframe_select_composes_without_extra_exchange_kinds(spark):
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "SortMergeJoin") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_diff_in_diff_broadcast_scalars_no_cartesian(spark):
+    """DiD: study span and the 1-row estimate ride broadcasts; the
+    treated-user set joins on user_id; the cell table is a 4-row
+    aggregate with map-side combine; no Python."""
+    df = _df(spark, "events_diff_in_diff")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -231,6 +231,8 @@ HEADLINE = [
     # composition — both ride existing per-key partitionings
     "events_forecast_backtest",
     "multimodal_keyframe_select",
+    # round-10: semi-join treated set + 4-cell aggregate — scan-bound
+    "events_diff_in_diff",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
