@@ -1633,7 +1633,17 @@ def events_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = touches.unionByName(lo).unionByName(hi)
     w = Window.partitionBy("user_id").orderBy("ts", "k", "tb_id")
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # "next touch at-or-after this row" as a REVERSED cumulative frame:
+    # Spark evaluates cumulative (UnboundedPreceding..CurrentRow) frames
+    # incrementally in O(n) per partition, but a
+    # CurrentRow..UnboundedFollowing frame re-aggregates the remaining
+    # rows for EVERY row — O(n^2) per partition, measured 129 s at the
+    # x100 stress vs 2.7 s at x10 before this rewrite. last(...) over
+    # the exact reverse ordering is the same value, computed
+    # incrementally.
+    w_rev = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("k").desc(), F.col("tb_id").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     scanned = merged.select(
         "p_id",
         "p_ts",
@@ -1641,7 +1651,7 @@ def events_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_click").over(w_cum).alias("cum_click"),
         F.sum("is_view").over(w_cum).alias("cum_view"),
         F.last("tstruct", ignorenulls=True).over(w_cum).alias("last_t"),
-        F.first("tstruct", ignorenulls=True).over(w_fwd).alias("next_t"),
+        F.last("tstruct", ignorenulls=True).over(w_rev).alias("next_t"),
     ).filter(F.col("p_id").isNotNull())
     per_p = scanned.groupBy("p_id").agg(
         F.max("p_ts").alias("p_ts"),
