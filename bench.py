@@ -150,6 +150,7 @@ HEADLINE = [
     "events_forecast_backtest",
     "multimodal_keyframe_select",
     "events_diff_in_diff",
+    "sim_ivf_nprobe_recall_curve",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

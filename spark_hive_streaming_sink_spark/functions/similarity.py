@@ -3157,3 +3157,223 @@ def sim_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_ppm"),
         )
     )
+
+
+NPROBE_POINTS = (1, 2, 4)
+
+
+@register(
+    "sim_ivf_nprobe_recall_curve",
+    oracle=f"""
+    -- index-tuning curve: recall@k AND scan cost per nprobe setting,
+    -- against the brute-force truth — the table that picks an IVF
+    -- deployment's nprobe before anything ships.
+    WITH {_SQL_CENTROIDS},
+    pairs AS (SELECT e.vec_id, e.embedding, c.label AS cl,
+                     {_sql_d2('e.embedding', 'c.cvec')} AS d2
+              FROM embeddings e CROSS JOIN cents c),
+    ranked AS (SELECT vec_id, embedding, cl,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY round(d2, 6), cl) AS rn
+               FROM pairs),
+    v AS (SELECT vec_id, embedding, cl AS cell,
+                 sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+          FROM ranked WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                 sqrt({_sql_dot('embedding', 'embedding')}) AS q_nrm
+          FROM v WHERE vec_id < {N_QUERIES}),
+    truth AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round({_sql_dot('q.q_emb', 'c.embedding')}
+                                / (q.q_nrm * c.nrm), 6) DESC, c.vec_id)
+                 AS rnk
+        FROM q JOIN v c ON c.vec_id != q.query_id)
+      WHERE rnk <= {RECALL_K}),
+    qprobe AS (
+      SELECT r.vec_id AS query_id, p.np, r.cl AS probe_cell
+      FROM ranked r
+      CROSS JOIN (SELECT unnest([{', '.join(str(p) for p in NPROBE_POINTS)}])
+                  AS np) p
+      WHERE r.vec_id < {N_QUERIES} AND r.rn <= p.np),
+    scored AS (
+      SELECT qp.query_id, qp.np, c.vec_id AS cand_id,
+             round({_sql_dot('q.q_emb', 'c.embedding')}
+                   / (q.q_nrm * c.nrm), 6) AS cosine
+      FROM qprobe qp
+      JOIN q ON q.query_id = qp.query_id
+      JOIN v c ON c.cell = qp.probe_cell AND c.vec_id != qp.query_id),
+    approx AS (
+      SELECT query_id, np, cand_id FROM (
+        SELECT query_id, np, cand_id,
+               row_number() OVER (PARTITION BY query_id, np
+                                  ORDER BY cosine DESC, cand_id) AS rnk
+        FROM scored)
+      WHERE rnk <= {RECALL_K}),
+    cost AS (SELECT query_id, np, CAST(COUNT(*) AS BIGINT) AS n_scanned
+             FROM scored GROUP BY query_id, np)
+    SELECT a.query_id, CAST(a.np AS INT) AS nprobe, co.n_scanned,
+           CAST(COUNT(t.cand_id) AS BIGINT) AS n_hits,
+           CAST(round(COUNT(t.cand_id) * 1000000.0 / {RECALL_K}, 0)
+                AS BIGINT) AS recall_ppm
+    FROM approx a
+    LEFT JOIN truth t ON t.query_id = a.query_id AND t.cand_id = a.cand_id
+    JOIN cost co ON co.query_id = a.query_id AND co.np = a.np
+    GROUP BY a.query_id, a.np, co.n_scanned
+    """,
+    tags=("llm", "similarity", "ann", "ivf", "audit"),
+)
+def sim_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF nprobe tuning curve: for each query and each nprobe in
+    (1, 2, 4), recall@k against the brute-force truth AND the number
+    of candidates actually scanned — the cost/quality trade-off table
+    an ANN deployment reads to pick its operating point (recall climbs
+    with probes, scan cost climbs with it; the knee is the setting).
+    Extends sim_ann_recall_audit (one fixed index) and
+    sim_ivf_multiprobe_topk (fixed nprobe=2) into the full curve.
+
+    Scale: the index assignment is the same broadcast-centroid
+    map-side argmin as every IVF op; the probe fan-out is bounded
+    (queries x sum(nprobe points) rows) and joins cell-locally, so the
+    corpus never re-shuffles; the truth side is affordable because it
+    ranks only the bounded query sample — exactly how production
+    recall monitoring works."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("label").isNotNull())
+        .select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("val").cast("double"), 6).cast(
+                        "decimal(12,6)"
+                    )
+                ).cast("double")
+                / F.count("*")
+            ).alias("cv")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = emb.crossJoin(
+        F.broadcast(cents.withColumnRenamed("label", "cl"))
+    ).select("vec_id", "embedding", "cl", d2.alias("d2"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("d2"), 6).asc_nulls_last(), "cl"
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w_assign))
+    v = ranked.filter(F.col("rn") == 1).select(
+        "vec_id",
+        "embedding",
+        F.col("cl").alias("cell"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    q = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .limit(N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    cos = F.round(
+        F.try_divide(
+            _dot(F.col("q_emb"), F.col("embedding")),
+            F.col("q_nrm") * F.col("nrm"),
+        ),
+        6,
+    )
+    w_truth = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "cand_id"
+    )
+    truth = (
+        F.broadcast(q)
+        .join(v, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"), cos.alias("cosine")
+        )
+        .withColumn("rnk", F.row_number().over(w_truth))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("query_id", "cand_id")
+    )
+    qprobe = (
+        ranked.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("rn"),
+            F.col("cl").alias("probe_cell"),
+            F.explode(
+                F.array(*[F.lit(p) for p in NPROBE_POINTS])
+            ).alias("np"),
+        )
+        .filter(F.col("rn") <= F.col("np"))
+        .select("query_id", "np", "probe_cell")
+        .limit(N_QUERIES * sum(NPROBE_POINTS))  # provably bounded broadcast
+    )
+    scored = (
+        F.broadcast(qprobe.join(q, "query_id"))
+        .join(
+            v,
+            (F.col("cell") == F.col("probe_cell"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "np",
+            F.col("vec_id").alias("cand_id"),
+            cos.alias("cosine"),
+        )
+    )
+    w_np = Window.partitionBy("query_id", "np").orderBy(
+        F.col("cosine").desc(), "cand_id"
+    )
+    approx = (
+        scored.withColumn("rnk", F.row_number().over(w_np))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("query_id", "np", "cand_id")
+    )
+    cost = scored.groupBy("query_id", "np").agg(
+        F.count("*").cast("bigint").alias("n_scanned")
+    )
+    t = truth.select(
+        F.col("query_id").alias("t_q"), F.col("cand_id").alias("t_c")
+    )
+    return (
+        approx.join(
+            t,
+            (F.col("query_id") == F.col("t_q"))
+            & (F.col("cand_id") == F.col("t_c")),
+            "left",
+        )
+        .groupBy("query_id", "np")
+        .agg(F.count("t_c").cast("bigint").alias("n_hits"))
+        .join(cost, ["query_id", "np"])
+        .select(
+            "query_id",
+            F.col("np").cast("int").alias("nprobe"),
+            "n_scanned",
+            "n_hits",
+            F.round(F.col("n_hits") * 1000000.0 / RECALL_K, 0)
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )

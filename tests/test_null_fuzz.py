@@ -325,6 +325,7 @@ EMB_FUZZED = [
     "embed_isotropy_audit",
     "sim_query_expansion_prf",
     "graph_link_prediction_ra",
+    "sim_ivf_nprobe_recall_curve",
 ]
 
 # element values: exact-in-float32 two-decimal-ish values plus 0 and

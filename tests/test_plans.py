@@ -1617,3 +1617,13 @@ def test_diff_in_diff_broadcast_scalars_no_cartesian(spark):
     plan = formatted_plan(df)
     assert count_nodes(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nprobe_curve_bounded_broadcast_cell_local(spark):
+    """nprobe curve: the probe fan-out is a bounded broadcast
+    (GlobalLimit over queries x sum(nprobe points)); candidates join
+    cell-locally; the corpus side never cartesian-joins itself."""
+    df = _df(spark, "sim_ivf_nprobe_recall_curve")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

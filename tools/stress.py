@@ -233,6 +233,9 @@ HEADLINE = [
     "multimodal_keyframe_select",
     # round-10: semi-join treated set + 4-cell aggregate — scan-bound
     "events_diff_in_diff",
+    # round-10: bounded probe fan-out x cell-local scan — cost scales
+    # with sum(nprobe points), corpus never re-shuffles
+    "sim_ivf_nprobe_recall_curve",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
