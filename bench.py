@@ -151,6 +151,8 @@ HEADLINE = [
     "multimodal_keyframe_select",
     "events_diff_in_diff",
     "sim_ivf_nprobe_recall_curve",
+    "corpus_token_weighted_length_percentiles",
+    "corpus_curriculum_deciles",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

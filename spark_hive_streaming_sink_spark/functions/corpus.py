@@ -1907,3 +1907,222 @@ def corpus_decontam_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("tokens_removed", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+PCTL_POINTS_PPM = (250_000, 500_000, 750_000, 900_000, 990_000)
+
+
+@register(
+    "corpus_token_weighted_length_percentiles",
+    oracle=f"""
+    -- "the median TOKEN lives in a document of N tokens": doc-length
+    -- percentiles weighted by token mass, not doc count — the
+    -- statistic that sizes sequence length for the tokens a model
+    -- actually trains on (doc-count percentiles over-weight short
+    -- docs that contribute almost no tokens).
+    WITH t AS (
+      SELECT len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+               AS toks
+      FROM documents WHERE text IS NOT NULL),
+    hist AS (SELECT toks, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(toks * COUNT(*) AS BIGINT) AS tok_mass
+             FROM t WHERE toks > 0 GROUP BY toks),
+    cum AS (
+      SELECT toks, n_docs, tok_mass,
+             SUM(tok_mass) OVER (ORDER BY toks
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_mass,
+             SUM(tok_mass) OVER () AS total_mass
+      FROM hist),
+    pts AS (SELECT unnest([{', '.join(str(p) for p in PCTL_POINTS_PPM)}])
+              AS p_ppm),
+    hit AS (
+      SELECT p.p_ppm, c.toks, c.cum_mass, c.total_mass,
+             row_number() OVER (PARTITION BY p.p_ppm ORDER BY c.toks) AS rn
+      FROM pts p JOIN cum c
+        ON c.cum_mass * 1000000 >= p.p_ppm * c.total_mass)
+    SELECT CAST(p_ppm AS BIGINT) AS p_ppm,
+           CAST(toks AS BIGINT) AS doc_len_tokens,
+           CAST(cum_mass AS BIGINT) AS cum_token_mass,
+           CAST(total_mass AS BIGINT) AS total_tokens
+    FROM hit WHERE rn = 1
+    """,
+    tags=("llm", "corpus", "stats"),
+)
+def corpus_token_weighted_length_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-weighted document-length percentiles: for each mass point
+    (p25/p50/p75/p90/p99 of total token mass), the smallest document
+    length such that documents up to that length carry >= p of all
+    tokens. Doc-count percentiles over-weight short documents; this is
+    the curve that answers 'what sequence length covers 90% of the
+    tokens we train on'.
+
+    Exactness: everything is integer — token counts, the length
+    histogram, cumulative masses, and the threshold comparison
+    cum*1e6 >= p*total (no division anywhere).
+
+    Scale: one map pass + a groupBy on doc length (the histogram's
+    cardinality is bounded by max doc length, thousands of rows at any
+    corpus size), so the global-order cumulative window runs over the
+    HISTOGRAM, never the corpus; the 5-point spine is a constant
+    broadcast."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = d.select(
+        F.regexp_count(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]")).alias(
+            "toks"
+        )
+    ).filter(F.col("toks") > 0)
+    hist = t.groupBy("toks").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.col("toks") * F.count("*")).cast("bigint").alias("tok_mass"),
+    )
+    w_cum = Window.orderBy("toks").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("toks").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "toks",
+        F.sum("tok_mass").over(w_cum).alias("cum_mass"),
+        F.sum("tok_mass").over(w_all).alias("total_mass"),
+    )
+    pts = cum.select(
+        "toks",
+        "cum_mass",
+        "total_mass",
+        F.explode(
+            F.array(*[F.lit(p) for p in PCTL_POINTS_PPM])
+        ).alias("p_ppm"),
+    ).filter(F.col("cum_mass") * 1_000_000 >= F.col("p_ppm") * F.col("total_mass"))
+    w_hit = Window.partitionBy("p_ppm").orderBy("toks")
+    return (
+        pts.withColumn("rn", F.row_number().over(w_hit))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("p_ppm").cast("bigint").alias("p_ppm"),
+            F.col("toks").cast("bigint").alias("doc_len_tokens"),
+            F.col("cum_mass").cast("bigint").alias("cum_token_mass"),
+            F.col("total_mass").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+def _sql_quality_score() -> str:
+    from .text import _SQL_STOP
+
+    return f"""
+      SELECT doc_id, coalesce(lang, '(none)') AS lang,
+             len(toks) AS n_tokens,
+             0.4 * (len(list_distinct(toks)) / len(toks))
+               + 0.4 * (len(list_filter(toks,
+                          x -> list_contains([{_SQL_STOP}], x))) / len(toks))
+               + 0.2 * (CASE WHEN len(toks) >= 50 THEN 1.0
+                             ELSE len(toks) / 50.0 END) AS score
+      FROM (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks
+            FROM documents WHERE text IS NOT NULL)
+    """
+
+
+@register(
+    "corpus_curriculum_deciles",
+    oracle=f"""
+    -- curriculum-ordering audit: rank the corpus by the engine's
+    -- quality score (text_stats_quality's formula) and report each
+    -- decile's language composition and token mass — the table that
+    -- sanity-checks a quality-ordered curriculum before training on
+    -- it (a decile dominated by one language means the score is
+    -- really a language detector).
+    WITH s AS ({_sql_quality_score()}),
+    r AS (SELECT doc_id, lang, n_tokens, score,
+                 row_number() OVER (ORDER BY score, doc_id) AS rk,
+                 COUNT(*) OVER () AS n
+          FROM s),
+    d AS (SELECT ((rk - 1) * 10) // n AS decile, lang, n_tokens FROM r),
+    cell AS (SELECT decile, lang,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(n_tokens) AS BIGINT) AS tokens
+             FROM d GROUP BY decile, lang),
+    tot AS (SELECT decile, SUM(n_docs) AS dec_docs FROM cell GROUP BY decile)
+    SELECT CAST(c.decile AS BIGINT) AS decile, c.lang, c.n_docs, c.tokens,
+           CAST(c.n_docs * 1000000 // t.dec_docs AS BIGINT)
+             AS lang_share_ppm
+    FROM cell c JOIN tot t USING (decile)
+    """,
+    tags=("llm", "corpus", "curation"),
+)
+def corpus_curriculum_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordering audit: the corpus ranks by the engine's
+    quality score (the exact text_stats_quality formula), splits into
+    score deciles, and each (decile, language) cell reports doc count,
+    token mass, and the language's share of its decile — the
+    confound check a quality-ordered curriculum needs before training
+    (quality scores that secretly rank language or length produce
+    skewed early deciles).
+
+    Exactness: the score is the same int/int double expression both
+    engines evaluate bit-identically; ranking ties break on doc_id;
+    decile assignment is pure integer math; shares are integer-ppm.
+
+    Scale: the global rank uses the distributed range-repartition +
+    offset pattern (per-partition row_number plus a K-row broadcast of
+    partition offsets — never a single-partition window over the
+    corpus); the decile rollup is a 10 x languages aggregate."""
+    from .text import STOPWORDS, _toks
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = _toks()
+    nt = F.size(toks)
+    s = d.select(
+        "doc_id",
+        F.coalesce("lang", F.lit("(none)")).alias("lang"),
+        nt.alias("n_tokens"),
+        (
+            F.lit(0.4) * (F.size(F.array_distinct(toks)) / nt)
+            + F.lit(0.4)
+            * (F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / nt)
+            + F.lit(0.2)
+            * F.when(nt >= 50, F.lit(1.0)).otherwise(nt / F.lit(50.0))
+        ).alias("score"),
+    )
+    # pay the per-doc token analysis ONCE: the scored table feeds the
+    # range partitioner's SAMPLING pass, the local ranks, the
+    # per-partition counts, and the corpus total — four evaluations
+    # without a checkpoint (the checklist's >=2-consumers rule)
+    s = s.localCheckpoint(eager=True)
+    key = [F.col("score"), F.col("doc_id")]
+    parts = s.repartitionByRange(*key).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    wp = Window.partitionBy("pid").orderBy(*key)
+    local = parts.withColumn("lrn", F.row_number().over(wp))
+    pc = parts.groupBy("pid").agg(F.count("*").alias("pn"))
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = pc.select(
+        "pid", F.coalesce(F.sum("pn").over(wo), F.lit(0)).alias("offset")
+    )
+    n_tot = s.agg(F.count("*").alias("n"))
+    ranked = (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "lang",
+            "n_tokens",
+            F.expr("((lrn + offset - 1) * 10) div n").alias("decile"),
+        )
+    )
+    cell = ranked.groupBy("decile", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens"),
+    )
+    tot = cell.groupBy("decile").agg(F.sum("n_docs").alias("dec_docs"))
+    return cell.join(F.broadcast(tot), "decile").select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "lang",
+        "n_docs",
+        "tokens",
+        F.expr("CAST(n_docs * 1000000 div dec_docs AS BIGINT)").alias(
+            "lang_share_ppm"
+        ),
+    )

@@ -211,6 +211,8 @@ DOC_FUZZED = [
     "corpus_decontam_span_removal",
     "text_langid_confusion",
     "multimodal_keyframe_select",
+    "corpus_token_weighted_length_percentiles",
+    "corpus_curriculum_deciles",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]

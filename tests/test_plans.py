@@ -1627,3 +1627,24 @@ def test_nprobe_curve_bounded_broadcast_cell_local(spark):
     plan = formatted_plan(df)
     assert count_nodes(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_weighted_percentiles_histogram_window(spark):
+    """Token-weighted percentiles: the cumulative-mass window runs
+    over the doc-LENGTH histogram (one aggregate first), never the
+    corpus; the 5-point spine is a constant explode; no Python."""
+    df = _df(spark, "corpus_token_weighted_length_percentiles")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curriculum_deciles_distributed_rank(spark):
+    """Curriculum deciles: the global quality rank must ride the
+    range-repartition + offset pattern, never a single-partition
+    row_number over all docs."""
+    df = _df(spark, "corpus_curriculum_deciles")
+    plan = formatted_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -236,6 +236,10 @@ HEADLINE = [
     # round-10: bounded probe fan-out x cell-local scan — cost scales
     # with sum(nprobe points), corpus never re-shuffles
     "sim_ivf_nprobe_recall_curve",
+    # round-10: histogram-level cumulative mass (window over doc-LENGTH
+    # cardinality, not docs) and the distributed-rank curriculum split
+    "corpus_token_weighted_length_percentiles",
+    "corpus_curriculum_deciles",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
