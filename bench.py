@@ -153,6 +153,7 @@ HEADLINE = [
     "sim_ivf_nprobe_recall_curve",
     "corpus_token_weighted_length_percentiles",
     "corpus_curriculum_deciles",
+    "text_perplexity_filter_audit",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -2342,3 +2342,154 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang") == F.col("predicted")).alias("on_diagonal"),
         )
     )
+
+
+@register(
+    "text_perplexity_filter_audit",
+    oracle="""
+    -- the CCNet-style perplexity filter as an auditable pipeline step:
+    -- score each doc by mean bigram surprisal (integer micro-nats), flag
+    -- docs 25% above the corpus mean, report the blast radius per
+    -- source. All comparisons are exact integer cross-multiplications.
+    WITH t AS (
+      SELECT doc_id, coalesce(source, '(none)') AS source,
+             string_split(trim(text), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    v AS (SELECT COUNT(DISTINCT w) AS vocab
+          FROM (SELECT unnest(toks) AS w FROM t)),
+    bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+           FROM t CROSS JOIN unnest(generate_series(1, len(toks)-1)) AS u(i)),
+    cnt AS (SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2),
+    tot AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM cnt GROUP BY w1),
+    sc AS (
+      SELECT bg.doc_id,
+             CAST(-round(ln((cnt.n12 + 1) / CAST(tot.n1 + v.vocab AS DOUBLE))
+                         * 1000000, 0) AS BIGINT) AS unats
+      FROM bg JOIN cnt USING (w1, w2) JOIN tot USING (w1) CROSS JOIN v),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(unats) AS BIGINT) AS sum_unats,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams
+      FROM sc GROUP BY doc_id),
+    corpus AS (
+      SELECT CAST(SUM(sum_unats) AS BIGINT) AS c_unats,
+             CAST(SUM(n_bigrams) AS BIGINT) AS c_bigrams
+      FROM per_doc),
+    flagged AS (
+      SELECT d.doc_id,
+             -- mean_doc > 1.25 * mean_corpus, cross-multiplied exactly:
+             -- 4 * sum * c_bigrams > 5 * c_unats * n_bigrams
+             4 * d.sum_unats * c.c_bigrams > 5 * c.c_unats * d.n_bigrams
+               AS is_flagged
+      FROM per_doc d CROSS JOIN corpus c),
+    docs AS (
+      SELECT t.source, t.doc_id, len(t.toks) AS n_tokens,
+             f.is_flagged
+      FROM t LEFT JOIN flagged f USING (doc_id))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_flagged THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(CASE WHEN is_flagged IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unscored,
+           CAST(SUM(CASE WHEN is_flagged THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS flagged_ppm,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN is_flagged THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_flagged
+    FROM docs GROUP BY source
+    """,
+    tags=("llm", "text", "lm", "curation"),
+)
+def text_perplexity_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perplexity filter (CCNet / Wenzek et al. 2020) as an
+    auditable pipeline step: every document scores by mean bigram-LM
+    surprisal (add-one smoothing, the text_bigram_surprisal model),
+    documents 25% above the corpus-mean surprisal are flagged, and the
+    report shows the filter's blast radius per source — docs and token
+    mass it would remove, plus the unscored tail (docs with no bigram).
+    This is the audit a curation team reads before turning the filter
+    on.
+
+    Exactness: per-occurrence surprisal rounds to integer micro-nats;
+    every mean comparison is an exact integer cross-multiplication
+    (4·sum·C_bigrams > 5·C_unats·n_bigrams) — no float thresholds;
+    shares are integer-ppm.
+
+    Scale: same shapes as the surprisal op (map-side bigram explode,
+    model aggregate, occurrence-to-model join) plus a 1-row corpus
+    broadcast and a source-keyed rollup. Nothing new shuffles."""
+    d = parallelize_scan(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.split(F.trim(F.col("text")), " ")
+    t = d.select(
+        "doc_id",
+        F.coalesce("source", F.lit("(none)")).alias("source"),
+        toks.alias("toks"),
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.expr("slice(toks, 2, size(toks) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    vocab = t.select(F.explode("toks").alias("w")).agg(
+        F.count_distinct("w").alias("vocab")
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    tot = cnt.groupBy("w1").agg(F.sum("n12").cast("bigint").alias("n1"))
+    model = cnt.join(tot, "w1").crossJoin(F.broadcast(vocab))
+    sc = bg.join(model, ["w1", "w2"]).select(
+        "doc_id",
+        (
+            -F.round(
+                F.log(
+                    (F.col("n12") + 1).cast("double")
+                    / (F.col("n1") + F.col("vocab")).cast("double")
+                )
+                * 1000000,
+                0,
+            )
+        )
+        .cast("bigint")
+        .alias("unats"),
+    )
+    per_doc = sc.groupBy("doc_id").agg(
+        F.sum("unats").cast("bigint").alias("sum_unats"),
+        F.count("*").cast("bigint").alias("n_bigrams"),
+    )
+    corpus = per_doc.agg(
+        F.sum("sum_unats").cast("bigint").alias("c_unats"),
+        F.sum("n_bigrams").cast("bigint").alias("c_bigrams"),
+    )
+    flagged = per_doc.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        (
+            F.lit(4) * F.col("sum_unats") * F.col("c_bigrams")
+            > F.lit(5) * F.col("c_unats") * F.col("n_bigrams")
+        ).alias("is_flagged"),
+    )
+    docs = t.select("source", "doc_id", F.size("toks").alias("n_tokens")).join(
+        flagged, "doc_id", "left"
+    )
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("is_flagged"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("is_flagged").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unscored"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_flagged THEN 1 ELSE 0 END) * 1000000"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("flagged_ppm"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.sum(F.when(F.col("is_flagged"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_flagged"),
+    )

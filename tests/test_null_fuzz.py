@@ -213,6 +213,7 @@ DOC_FUZZED = [
     "multimodal_keyframe_select",
     "corpus_token_weighted_length_percentiles",
     "corpus_curriculum_deciles",
+    "text_perplexity_filter_audit",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]

@@ -1648,3 +1648,13 @@ def test_curriculum_deciles_distributed_rank(spark):
     assert "rangepartitioning" in plan.lower()
     assert count_nodes(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_perplexity_filter_corpus_broadcast_no_python(spark):
+    """Perplexity filter: the corpus totals are a 1-row broadcast; the
+    model join is the surprisal op's occurrence-to-model equi-join; no
+    cartesian beyond scalar broadcasts, no Python."""
+    df = _df(spark, "text_perplexity_filter_audit")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -240,6 +240,9 @@ HEADLINE = [
     # cardinality, not docs) and the distributed-rank curriculum split
     "corpus_token_weighted_length_percentiles",
     "corpus_curriculum_deciles",
+    # round-10: bigram-model join + 1-row corpus broadcast — the
+    # surprisal op's shapes plus a source rollup
+    "text_perplexity_filter_audit",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
