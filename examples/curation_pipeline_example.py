@@ -10,8 +10,10 @@ script only sequences them):
     3. near-dup delete list — MinHash → LSH bands → connected
                               components → keep component minimum
     4. quality gate         — stopword/length/repetition screen
-    5. split audit          — hash-routed train/val/test shares
-    6. BM25 probe           — retrieval sanity on the survivors
+    5. perplexity filter    — bigram-LM surprisal gate (CCNet-style)
+    6. span decontamination — mask eval-set 5-grams, keep the doc
+    7. split audit          — hash-routed train/val/test shares
+    8. BM25 probe           — retrieval sanity on the survivors
 
 Run: ``python examples/curation_pipeline_example.py [sf_dir]``
 (defaults to the sf0.001 fixtures).
@@ -35,11 +37,13 @@ from spark_hive_streaming_sink_spark.functions.clustering import (  # noqa: E402
 )
 from spark_hive_streaming_sink_spark.functions.corpus import (  # noqa: E402
     corpus_data_card,
+    corpus_decontam_span_removal,
     corpus_train_split_audit,
 )
 from spark_hive_streaming_sink_spark.functions.dedup import dedup_exact  # noqa: E402
 from spark_hive_streaming_sink_spark.functions.text import (  # noqa: E402
     text_bm25_score,
+    text_perplexity_filter_audit,
     text_quality_filter_pipeline,
 )
 from spark_hive_streaming_sink_spark.io import load_table  # noqa: E402
@@ -78,12 +82,26 @@ def main() -> None:
     n3 = kept.count()
     print(f"   {n2} -> {n3} after quality gate")
 
-    print("== 5. split audit ==")
+    print("== 5. perplexity filter (audit view) ==")
+    text_perplexity_filter_audit(spark, sf_dir).orderBy("source").show(
+        truncate=False
+    )
+
+    print("== 6. span decontamination ==")
+    decon = corpus_decontam_span_removal(spark, sf_dir)
+    decon.agg(
+        F.count("*").alias("train_docs"),
+        F.sum(F.col("contaminated").cast("int")).alias("docs_touched"),
+        F.sum("tokens_removed").alias("tokens_masked"),
+        F.sum("clean_tokens").alias("tokens_kept"),
+    ).show(truncate=False)
+
+    print("== 7. split audit ==")
     corpus_train_split_audit(spark, sf_dir).orderBy("source", "split").show(
         9, truncate=False
     )
 
-    print("== 6. BM25 probe over survivors ==")
+    print("== 8. BM25 probe over survivors ==")
     bm25 = text_bm25_score(spark, sf_dir).join(kept, "doc_id", "left_semi")
     bm25.orderBy(F.col("bm25").desc(), "doc_id").show(5, truncate=False)
 
