@@ -1838,6 +1838,11 @@ def corpus_decontam_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     tk = F.split(F.trim(F.col("text")), " ")
+    # NOT checkpointed despite four consumers: the split is cheap
+    # relative to materializing 500k token arrays (measured x100
+    # isolate 54.2 s without vs 70.4 s with localCheckpoint — the
+    # md5 gram digests, not the split, dominate, and they differ per
+    # branch anyway)
     base = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= NGRAM)
     grams = F.explode(
         F.transform(
