@@ -154,6 +154,7 @@ HEADLINE = [
     "corpus_token_weighted_length_percentiles",
     "corpus_curriculum_deciles",
     "text_perplexity_filter_audit",
+    "agg_hll_intersection_error_bound",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -1957,3 +1957,93 @@ def events_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             gini.alias("gini_ppm"),
         )
     )
+
+
+@register(
+    "agg_hll_intersection_error_bound",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderstatus = 'O' AND o_custkey IS NOT NULL),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL)
+    SELECT (SELECT COUNT(*) FROM a) AS exact_a,
+           (SELECT COUNT(*) FROM b) AS exact_b,
+           (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+             AS exact_union,
+           (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+             AS exact_intersection,
+           TRUE AS within_bound
+    """,
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_hll_intersection_error_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-algebra intersection: HLL sketches support union
+    natively, so |A∩B| comes from inclusion-exclusion
+    (est(A) + est(B) − est(A∪B)) — the standard audience-overlap
+    estimate over persisted per-segment sketches. The estimate's
+    error compounds three HLL errors, so the certified contract is a
+    bound, not the value: the inclusion-exclusion estimate must land
+    within 10% of the exact union's size of the exact intersection
+    (exact sets: customers with open vs fulfilled orders). The exact
+    counts hash-check; the estimate certifies as the boolean.
+
+    Scale: three sketch aggregates over one scan (map-side partial
+    merge, O(sketch bytes) per partition) + the exact side's two
+    distincts — at 100 TB the sketches are what you persist, and this
+    op is the audit that says the persisted algebra is trustworthy."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    a = o.filter(F.col("o_orderstatus") == "O")
+    b = o.filter(F.col("o_orderstatus") == "F")
+    sk = (
+        a.agg(F.hll_sketch_agg("o_custkey").alias("ska"))
+        .crossJoin(F.broadcast(b.agg(F.hll_sketch_agg("o_custkey").alias("skb"))))
+        .select(
+            F.hll_sketch_estimate("ska").alias("est_a"),
+            F.hll_sketch_estimate("skb").alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union(F.col("ska"), F.col("skb"))
+            ).alias("est_u"),
+        )
+    )
+    exact = (
+        a.select("o_custkey")
+        .distinct()
+        .agg(F.count("*").alias("exact_a"))
+        .crossJoin(
+            F.broadcast(
+                b.select("o_custkey").distinct().agg(F.count("*").alias("exact_b"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                a.select("o_custkey")
+                .union(b.select("o_custkey"))
+                .distinct()
+                .agg(F.count("*").alias("exact_union"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                a.select("o_custkey")
+                .intersect(b.select("o_custkey"))
+                .agg(F.count("*").alias("exact_intersection"))
+            )
+        )
+    )
+    return exact.crossJoin(F.broadcast(sk)).select(
+        F.col("exact_a").cast("bigint").alias("exact_a"),
+        F.col("exact_b").cast("bigint").alias("exact_b"),
+        F.col("exact_union").cast("bigint").alias("exact_union"),
+        F.col("exact_intersection").cast("bigint").alias("exact_intersection"),
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_u")).cast("double")
+                - F.col("exact_intersection")
+            )
+            <= 0.1 * F.col("exact_union")
+        ).alias("within_bound"),
+    )

@@ -1658,3 +1658,13 @@ def test_perplexity_filter_corpus_broadcast_no_python(spark):
     plan = formatted_plan(df)
     assert count_nodes(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_intersection_sketch_broadcast_scalars(spark):
+    """Sketch intersection: every side is a 1-row aggregate broadcast
+    (scalar-join idiom); no corpus-sized join, no Python."""
+    df = _df(spark, "agg_hll_intersection_error_bound")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -243,6 +243,8 @@ HEADLINE = [
     # round-10: bigram-model join + 1-row corpus broadcast — the
     # surprisal op's shapes plus a source rollup
     "text_perplexity_filter_audit",
+    # round-10: three sketch scalars over one scan — pure scan shape
+    "agg_hll_intersection_error_bound",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
