@@ -155,6 +155,7 @@ HEADLINE = [
     "corpus_curriculum_deciles",
     "text_perplexity_filter_audit",
     "agg_hll_intersection_error_bound",
+    "window_ignore_nulls_bfill",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -1976,3 +1976,52 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "did_estimate",
         )
     )
+
+
+@register(
+    "window_ignore_nulls_bfill",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 3 = 0 THEN value END AS sparse
+      FROM events WHERE ts IS NOT NULL)
+    SELECT event_id, user_id, sparse,
+           first_value(sparse IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS filled
+    FROM s
+    """,
+    tags=("window", "timeseries"),
+)
+def window_ignore_nulls_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward fill (NOCB — next observation carried backward), the
+    mirror of window_ignore_nulls_ffill: each gap takes the NEXT
+    non-null reading per user. The oracle states it naturally as
+    first_value IGNORE NULLS over a following frame; the Spark side
+    deliberately does NOT — Spark re-aggregates a
+    CurrentRow..UnboundedFollowing frame for every row (O(n^2) per
+    partition, the x100 lesson from events_attribution_credit), so
+    the fill computes as last_value IGNORE NULLS over the EXACT
+    REVERSE ordering's cumulative frame, which Spark evaluates
+    incrementally in O(n). Same values, linear plan — this op pins
+    the pattern as a first-class operator.
+
+    Scale: one user_id window shuffle; (ts, event_id) is a unique
+    ordering so the fill is deterministic; values are untouched
+    doubles from the scan."""
+    e = load_table(spark, sf_dir, "events")
+    s = e.filter(F.col("ts").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, F.col("value")).alias("sparse"),
+    )
+    w_rev = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return s.select(
+        "event_id",
+        "user_id",
+        "sparse",
+        F.last("sparse", ignorenulls=True).over(w_rev).alias("filled"),
+    )

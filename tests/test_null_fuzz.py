@@ -40,6 +40,7 @@ _N_EXAMPLES = int(os.environ.get("SHSS_FUZZ_EXAMPLES", "5"))
 
 FUZZED = [
     "window_ignore_nulls_ffill",
+    "window_ignore_nulls_bfill",
     "events_ohlc_resample",
     "window_hampel_filter",
     "window_gaps_islands_sessionize",

@@ -1668,3 +1668,14 @@ def test_hll_intersection_sketch_broadcast_scalars(spark):
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "SortMergeJoin") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bfill_single_window_no_following_frame(spark):
+    """Backfill must compile to ONE window over the reversed ordering —
+    never a CurrentRow..UnboundedFollowing frame (O(n^2) per
+    partition); no joins, no Python."""
+    df = _df(spark, "window_ignore_nulls_bfill")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Window") == 1
+    assert "unboundedfollowing" not in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

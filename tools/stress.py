@@ -245,6 +245,9 @@ HEADLINE = [
     "text_perplexity_filter_audit",
     # round-10: three sketch scalars over one scan — pure scan shape
     "agg_hll_intersection_error_bound",
+    # round-10: the reversed-cumulative-frame backfill — MUST stay
+    # O(n) per partition (the naive following-frame form is O(n^2))
+    "window_ignore_nulls_bfill",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
