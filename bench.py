@@ -156,6 +156,7 @@ HEADLINE = [
     "text_perplexity_filter_audit",
     "agg_hll_intersection_error_bound",
     "window_ignore_nulls_bfill",
+    "join_asof_forward",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -567,3 +567,67 @@ def join_runtime_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
         )
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    -- forward as-of: the NEXT click at-or-after each purchase (the
+    -- "what happened next" direction — next maintenance after a
+    -- failure, next quote after an order). Same guards as join_asof.
+    WITH purch AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'
+                     AND ts IS NOT NULL AND user_id IS NOT NULL),
+         clicks AS (SELECT user_id, ts FROM events
+                    WHERE event_type = 'click'
+                      AND ts IS NOT NULL AND user_id IS NOT NULL)
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS next_click_ts,
+           CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us
+    FROM purch p ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (nearest NEXT click per purchase, per user)
+    — the mirror of join_asof, completing the as-of family's
+    direction axis (backward / nearest / tolerance / forward).
+
+    Spark side: the same single-sort pattern as join_asof but over
+    the REVERSED ordering — a cumulative MIN of click time over
+    (ts DESC) sees exactly the clicks at-or-after each row, and Spark
+    evaluates the reversed cumulative frame incrementally in O(n) per
+    user (a CurrentRow..UnboundedFollowing frame would re-aggregate
+    the tail per row — the documented O(n^2) trap). Clicks sort
+    before purchases at equal ts in the scan so the inclusive
+    p.ts <= c.ts boundary matches DuckDB's native forward ASOF."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    clicks_first = F.when(F.col("event_type") == "click", 0).otherwise(1)
+    w_rev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), clicks_first, F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        e.withColumn("next_click", F.min(click_ts).over(w_rev))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("next_click").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            ts_str("ts").alias("purchase_ts"),
+            ts_str("next_click").alias("next_click_ts"),
+            (
+                F.unix_micros(F.col("next_click")) - F.unix_micros(F.col("ts"))
+            ).alias("gap_us"),
+        )
+    )

@@ -46,6 +46,7 @@ FUZZED = [
     "window_gaps_islands_sessionize",
     "window_cumulative_distinct",
     "join_asof",
+    "join_asof_forward",
     "events_autocorr_lag1",
     "events_windowed_rate_limit",
     "events_cusum_changepoint",

@@ -1679,3 +1679,16 @@ def test_bfill_single_window_no_following_frame(spark):
     assert count_nodes(df, "Window") == 1
     assert "unboundedfollowing" not in plan.lower()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_forward_single_reversed_window_no_join(spark):
+    """Forward as-of: ONE window over the reversed per-user ordering —
+    no join node at all, and never a following frame (the O(n^2)
+    form); no Python."""
+    df = _df(spark, "join_asof_forward")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Window") == 1
+    assert "unboundedfollowing" not in plan.lower()
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "BroadcastHashJoin") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -248,6 +248,7 @@ HEADLINE = [
     # round-10: the reversed-cumulative-frame backfill — MUST stay
     # O(n) per partition (the naive following-frame form is O(n^2))
     "window_ignore_nulls_bfill",
+    "join_asof_forward",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
