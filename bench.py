@@ -157,6 +157,7 @@ HEADLINE = [
     "agg_hll_intersection_error_bound",
     "window_ignore_nulls_bfill",
     "join_asof_forward",
+    "events_cuped_adjustment",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -2025,3 +2025,234 @@ def window_ignore_nulls_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sparse",
         F.last("sparse", ignorenulls=True).over(w_rev).alias("filled"),
     )
+
+
+@register(
+    "events_cuped_adjustment",
+    oracle="""
+    -- CUPED (Deng et al. 2013): adjust each user's post-period metric
+    -- with their pre-period covariate, theta = cov(X,Y)/var(X), and
+    -- report the per-group means before/after plus the pooled
+    -- variance reduction — the standard experimentation trick that
+    -- shrinks A/B confidence intervals for free.
+    WITH e AS (
+      SELECT user_id, ts, event_type, round(value, 6) AS v FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL),
+    span AS (SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM e),
+    per_user AS (
+      SELECT e.user_id,
+             CAST(SUM(CASE WHEN epoch_us(e.ts) * 2 < epoch_us(s.t0)
+                                + epoch_us(s.t1)
+                           THEN CAST(e.v AS DECIMAL(18,6)) END) AS DOUBLE)
+               / COUNT(CASE WHEN epoch_us(e.ts) * 2 < epoch_us(s.t0)
+                                 + epoch_us(s.t1) THEN 1 END) AS x,
+             CAST(SUM(CASE WHEN epoch_us(e.ts) * 2 >= epoch_us(s.t0)
+                                + epoch_us(s.t1)
+                           THEN CAST(e.v AS DECIMAL(18,6)) END) AS DOUBLE)
+               / COUNT(CASE WHEN epoch_us(e.ts) * 2 >= epoch_us(s.t0)
+                                 + epoch_us(s.t1) THEN 1 END) AS y
+      FROM e CROSS JOIN span s GROUP BY e.user_id),
+    u AS (SELECT user_id, round(x, 6) AS x, round(y, 6) AS y
+          FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL),
+    treated AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'error'),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))
+                  AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))
+                  AS DOUBLE) AS syy
+      FROM u),
+    th AS (
+      SELECT n, sx, sy,
+             CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                  ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END
+               AS theta,
+             (n * syy - sy * sy) / (CAST(n AS DOUBLE) * n) AS var_y
+      FROM stats),
+    adj AS (
+      SELECT u.user_id, u.y,
+             u.y - t.theta * (u.x - t.sx / t.n) AS y_adj, t.theta, t.var_y
+      FROM u CROSS JOIN th t),
+    vadj AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(y_adj, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sya,
+             CAST(SUM(CAST(round(y_adj, 6) AS DECIMAL(18,6))
+                      * CAST(round(y_adj, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS syya
+      FROM adj),
+    vr AS (
+      SELECT CASE WHEN t.var_y = 0 THEN 0
+                  ELSE CAST(floor(1000000 * (1.0
+                    - ((v.n * v.syya - v.sya * v.sya)
+                       / (CAST(v.n AS DOUBLE) * v.n)) / t.var_y)) AS BIGINT)
+             END AS var_reduction_ppm,
+             round(t.theta, 6) + 0.0 AS theta
+      FROM vadj v CROSS JOIN th t)
+    SELECT CASE WHEN tr.user_id IS NOT NULL THEN 'treated'
+                ELSE 'control' END AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           round(CAST(SUM(CAST(a.y AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) + 0.0 AS mean_y,
+           round(CAST(SUM(CAST(round(a.y_adj, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_y_adj,
+           MAX(vr.theta) AS theta,
+           MAX(vr.var_reduction_ppm) AS var_reduction_ppm
+    FROM adj a
+    LEFT JOIN treated tr ON tr.user_id = a.user_id
+    CROSS JOIN vr
+    GROUP BY 1
+    """,
+    tags=("timeseries", "stats", "experimentation"),
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013): each user's
+    post-period mean value adjusts by theta times their pre-period
+    deviation, theta = cov(X,Y)/var(X) pooled over users with both
+    periods — the free CI-shrink every mature experimentation platform
+    applies. Per exposure group (users who ever hit an 'error' event
+    vs not): user counts, raw and adjusted post-period means, the
+    shared theta, and the pooled variance reduction in ppm.
+
+    Exactness: per-user and pooled moments ride 6dp-rounded decimal
+    sums (order-independent, every unscaled sum below 2^53); theta,
+    the adjustment, and the variance ratio are final scalar double
+    expressions on identical inputs, rounded in both engines; the
+    period split compares integer microseconds.
+
+    Scale: one scan feeds the per-user aggregate (map-side combine on
+    user_id), the 1-row moment table broadcasts, the adjustment is a
+    map over users, and the group rollup is 2 rows. The treated set
+    joins on user_id. Nothing super-linear."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "user_id", "ts", "event_type", F.round("value", 6).alias("v")
+    )
+    span = e.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    is_post = (
+        F.unix_micros("ts") * 2 >= F.unix_micros("t0") + F.unix_micros("t1")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    per_user = (
+        e.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.when(~is_post, dec("v"))).cast("double")
+                / F.count(F.when(~is_post, F.lit(1)))
+            ).alias("x"),
+            (
+                F.sum(F.when(is_post, dec("v"))).cast("double")
+                / F.count(F.when(is_post, F.lit(1)))
+            ).alias("y"),
+        )
+    )
+    u = per_user.filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    ).select("user_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+    treated = (
+        e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    )
+    stats = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+        F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
+    )
+    th = stats.select(
+        "n",
+        "sx",
+        "sy",
+        F.when(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0,
+            F.lit(0.0),
+        )
+        .otherwise(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        )
+        .alias("theta"),
+        (
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            / (F.col("n").cast("double") * F.col("n"))
+        ).alias("var_y"),
+    )
+    adj = u.crossJoin(F.broadcast(th)).select(
+        "user_id",
+        "y",
+        (
+            F.col("y")
+            - F.col("theta") * (F.col("x") - F.col("sx") / F.col("n"))
+        ).alias("y_adj"),
+    )
+    ya = F.round("y_adj", 6).cast("decimal(18,6)")
+    vadj = adj.agg(
+        F.count("*").cast("bigint").alias("vn"),
+        F.sum(ya).cast("double").alias("sya"),
+        F.sum(ya * ya).cast("double").alias("syya"),
+    )
+    vr = (
+        vadj.crossJoin(F.broadcast(th))
+        .select(
+            F.when(F.col("var_y") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.floor(
+                    1_000_000
+                    * (
+                        F.lit(1.0)
+                        - (
+                            (
+                                F.col("vn") * F.col("syya")
+                                - F.col("sya") * F.col("sya")
+                            )
+                            / (F.col("vn").cast("double") * F.col("vn"))
+                        )
+                        / F.col("var_y")
+                    )
+                ).cast("bigint")
+            )
+            .alias("var_reduction_ppm"),
+            # + 0.0 canonicalizes IEEE negative zero (fuzzer-found:
+            # round(-epsilon, 6) = -0.0 hash-diverges from 0.0)
+            (F.round("theta", 6) + F.lit(0.0)).alias("theta"),
+        )
+    )
+    return (
+        adj.join(
+            treated.withColumn("is_treated", F.lit(True)), "user_id", "left"
+        )
+        .crossJoin(F.broadcast(vr))
+        .groupBy(
+            F.when(F.col("is_treated"), "treated")
+            .otherwise("control")
+            .alias("grp")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            (
+                F.round(F.sum(dec("y")).cast("double") / F.count("*"), 6)
+                + F.lit(0.0)
+            ).alias("mean_y"),
+            (
+                F.round(
+                    F.sum(
+                        F.round("y_adj", 6).cast("decimal(18,6)")
+                    ).cast("double")
+                    / F.count("*"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("mean_y_adj"),
+            F.max("theta").alias("theta"),
+            F.max("var_reduction_ppm").alias("var_reduction_ppm"),
+        )
+    )

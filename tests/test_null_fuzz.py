@@ -72,6 +72,7 @@ FUZZED = [
     "events_attribution_credit",
     "events_forecast_backtest",
     "events_diff_in_diff",
+    "events_cuped_adjustment",
 ]
 
 _T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)

@@ -1692,3 +1692,13 @@ def test_asof_forward_single_reversed_window_no_join(spark):
     assert count_nodes(df, "SortMergeJoin") == 0
     assert count_nodes(df, "BroadcastHashJoin") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cuped_broadcast_moments_no_cartesian(spark):
+    """CUPED: span, pooled moments, theta, and the variance ratio all
+    ride 1-row broadcasts (scalar-join idiom); the only data joins key
+    on user_id; no Python."""
+    df = _df(spark, "events_cuped_adjustment")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

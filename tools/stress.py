@@ -249,6 +249,8 @@ HEADLINE = [
     # O(n) per partition (the naive following-frame form is O(n^2))
     "window_ignore_nulls_bfill",
     "join_asof_forward",
+    # round-10: user-keyed moments + 1-row broadcasts — scan-bound
+    "events_cuped_adjustment",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
