@@ -158,6 +158,7 @@ HEADLINE = [
     "window_ignore_nulls_bfill",
     "join_asof_forward",
     "events_cuped_adjustment",
+    "events_sprt_decision",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

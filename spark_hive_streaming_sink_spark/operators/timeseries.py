@@ -2256,3 +2256,109 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("var_reduction_ppm").alias("var_reduction_ppm"),
         )
     )
+
+
+import math as _math
+
+# SPRT constants, computed ONCE in Python and inlined as integer
+# micro-nat literals into BOTH engines (no runtime ln -> no cross-
+# engine libm question): H0 p=0.15 vs H1 p=0.25 click share,
+# alpha = beta = 0.1 -> boundaries +-ln(9). (The fixture's true click
+# share is ~0.20 — dead between the hypotheses — so decisions come
+# from each user's sampling noise; ~half the sf0.01 users decide
+# within their stream, the rest stay undecided, which is exactly the
+# behavior the test's error guarantees describe.)
+SPRT_P0, SPRT_P1 = 0.15, 0.25
+SPRT_INC_HIT = round(_math.log(SPRT_P1 / SPRT_P0) * 1_000_000)
+SPRT_INC_MISS = round(_math.log((1 - SPRT_P1) / (1 - SPRT_P0)) * 1_000_000)
+SPRT_BOUND = round(_math.log(9.0) * 1_000_000)
+
+
+@register(
+    "events_sprt_decision",
+    oracle=f"""
+    -- Wald's SPRT per user: is this user's click share 0.22 (H1) or
+    -- 0.18 (H0)? The log-likelihood ratio walks in exact integer
+    -- micro-nats ({SPRT_INC_HIT} per click, {SPRT_INC_MISS} per
+    -- non-click, both Python-inlined so neither engine computes a
+    -- logarithm) and the FIRST crossing of +-{SPRT_BOUND} decides —
+    -- the sequential test that stops reading a user's stream as soon
+    -- as the evidence suffices.
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS hit
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND event_id IS NOT NULL),
+    walk AS (
+      SELECT user_id, ts, event_id,
+             SUM(CASE WHEN hit = 1 THEN {SPRT_INC_HIT}
+                      ELSE {SPRT_INC_MISS} END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS n_obs
+      FROM e),
+    crossed AS (
+      SELECT user_id, llr, n_obs,
+             row_number() OVER (PARTITION BY user_id ORDER BY n_obs)
+               AS cross_rank
+      FROM walk
+      WHERE llr >= {SPRT_BOUND} OR llr <= -{SPRT_BOUND})
+    SELECT user_id,
+           CASE WHEN llr >= {SPRT_BOUND} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(llr AS BIGINT) AS llr_micro_nats
+    FROM crossed WHERE cross_rank = 1
+    """,
+    tags=("timeseries", "stats", "sequential"),
+)
+def events_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability ratio test per user: walk the
+    click/non-click log-likelihood ratio down each user's event
+    stream in exact integer micro-nats and stop at the FIRST crossing
+    of the +-ln(9) boundary (alpha = beta = 0.1) — the sequential
+    decision that lets a pipeline stop scoring an entity as soon as
+    the evidence suffices, instead of fixed-n testing everyone.
+    Users whose stream never crosses produce no row (undecided).
+
+    Exactness: both LLR increments and the boundary are Python-
+    computed integer literals inlined into BOTH engines — the query
+    itself does pure integer cumsum and comparison; (ts, event_id)
+    is a unique order.
+
+    Scale: one user_id window pass for the walk + one for the first
+    crossing — both cumulative frames, O(events) total; the decision
+    table is at most one row per user."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    inc = F.when(
+        F.col("event_type") == "click", F.lit(SPRT_INC_HIT)
+    ).otherwise(F.lit(SPRT_INC_MISS))
+    walk = e.select(
+        "user_id",
+        F.sum(inc).over(w_cum).alias("llr"),
+        F.row_number().over(w).alias("n_obs"),
+    )
+    crossed = walk.filter(
+        (F.col("llr") >= SPRT_BOUND) | (F.col("llr") <= -SPRT_BOUND)
+    )
+    w_first = Window.partitionBy("user_id").orderBy("n_obs")
+    return (
+        crossed.withColumn("cross_rank", F.row_number().over(w_first))
+        .filter(F.col("cross_rank") == 1)
+        .select(
+            "user_id",
+            F.when(F.col("llr") >= SPRT_BOUND, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("decision"),
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.col("llr").cast("bigint").alias("llr_micro_nats"),
+        )
+    )

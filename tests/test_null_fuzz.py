@@ -73,6 +73,7 @@ FUZZED = [
     "events_forecast_backtest",
     "events_diff_in_diff",
     "events_cuped_adjustment",
+    "events_sprt_decision",
 ]
 
 _T0 = datetime.datetime(2024, 3, 1, 12, 0, 0)

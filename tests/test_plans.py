@@ -1702,3 +1702,14 @@ def test_cuped_broadcast_moments_no_cartesian(spark):
     plan = formatted_plan(df)
     assert count_nodes(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sprt_two_cumulative_windows_no_join(spark):
+    """SPRT: the LLR walk and the first-crossing pick are cumulative
+    user_id windows — no join, no following frame, no Python."""
+    df = _df(spark, "events_sprt_decision")
+    plan = formatted_plan(df)
+    assert "unboundedfollowing" not in plan.lower()
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

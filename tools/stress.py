@@ -251,6 +251,8 @@ HEADLINE = [
     "join_asof_forward",
     # round-10: user-keyed moments + 1-row broadcasts — scan-bound
     "events_cuped_adjustment",
+    # round-10: two cumulative user windows, integer walk — linear
+    "events_sprt_decision",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
