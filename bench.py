@@ -159,6 +159,7 @@ HEADLINE = [
     "join_asof_forward",
     "events_cuped_adjustment",
     "events_sprt_decision",
+    "multimodal_image_dhash",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

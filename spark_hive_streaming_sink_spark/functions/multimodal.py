@@ -1154,3 +1154,112 @@ def multimodal_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keyframe_no",
         "keyframe_mean_milli",
     )
+
+
+DHASH_SCHEMA = "doc_id long, width int, height int, dhash int"
+
+
+def _dhash(doc_id: int, payload: bytes) -> tuple:
+    """2×2-grid gradient hash (dHash): bits record the BRIGHTNESS
+    GRADIENT between adjacent grid cells — horizontal (left vs right
+    per grid row) and vertical (top vs bottom per grid column) —
+    instead of aHash's cell-vs-mean. Gradients survive global
+    brightness shifts that flip every aHash bit, which is why real
+    pipelines run both. All-integer cross-multiplied comparisons."""
+    w, h, _maxval, pix = decode_image(payload)
+    cell_sum = [0, 0, 0, 0]
+    cell_n = [0, 0, 0, 0]
+    for i, byte in enumerate(pix):
+        p = i // 3
+        row, col = p // w, p % w
+        cell = (row * 2 // h) * 2 + (col * 2 // w)
+        cell_sum[cell] += byte
+        cell_n[cell] += 1
+    pairs = [(0, 1), (2, 3), (0, 2), (1, 3)]  # h-top, h-bottom, v-left, v-right
+    dhash = 0
+    for b, (a, c) in enumerate(pairs):
+        if cell_sum[a] * cell_n[c] > cell_sum[c] * cell_n[a]:
+            dhash |= 1 << b
+    return doc_id, w, h, dhash
+
+
+def dhash_binary(df: DataFrame) -> DataFrame:
+    """mapInPandas kernel computing the gradient hash per payload."""
+    import pandas as pd
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = [
+                _dhash(doc_id, bytes(payload))
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "dhash"]
+            )
+
+    return df.mapInPandas(kernel, DHASH_SCHEMA)
+
+
+@register(
+    "multimodal_image_dhash",
+    oracle=f"""
+    WITH {_ORACLE_GEOM},
+    u AS (SELECT doc_id, w, h, px,
+                 unnest(generate_series(1, length(px))) AS i
+          FROM p),
+    cells AS (
+      SELECT doc_id, w, h,
+             CAST((((i-1)//3) // w) * 2 // h AS BIGINT) * 2
+               + CAST((((i-1)//3) % w) * 2 // w AS BIGINT) AS cell,
+             CAST(SUM(ascii(substr(px, CAST(i AS INTEGER), 1))) AS BIGINT) AS cs,
+             COUNT(*) AS cn
+      FROM u GROUP BY doc_id, w, h, 4),
+    wide AS (
+      SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+             MAX(CASE WHEN cell = 0 THEN cs END) AS s0,
+             MAX(CASE WHEN cell = 0 THEN cn END) AS n0,
+             MAX(CASE WHEN cell = 1 THEN cs END) AS s1,
+             MAX(CASE WHEN cell = 1 THEN cn END) AS n1,
+             MAX(CASE WHEN cell = 2 THEN cs END) AS s2,
+             MAX(CASE WHEN cell = 2 THEN cn END) AS n2,
+             MAX(CASE WHEN cell = 3 THEN cs END) AS s3,
+             MAX(CASE WHEN cell = 3 THEN cn END) AS n3
+      FROM cells GROUP BY doc_id, w, h),
+    hashed AS (
+      SELECT doc_id, width, height,
+             CAST(
+               (CASE WHEN COALESCE(s0,0) * COALESCE(n1,0)
+                        > COALESCE(s1,0) * COALESCE(n0,0) THEN 1 ELSE 0 END)
+             + (CASE WHEN COALESCE(s2,0) * COALESCE(n3,0)
+                        > COALESCE(s3,0) * COALESCE(n2,0) THEN 2 ELSE 0 END)
+             + (CASE WHEN COALESCE(s0,0) * COALESCE(n2,0)
+                        > COALESCE(s2,0) * COALESCE(n0,0) THEN 4 ELSE 0 END)
+             + (CASE WHEN COALESCE(s1,0) * COALESCE(n3,0)
+                        > COALESCE(s3,0) * COALESCE(n1,0) THEN 8 ELSE 0 END)
+               AS INTEGER) AS dhash
+      FROM wide)
+    SELECT doc_id, width, height, dhash,
+           COUNT(*) OVER (PARTITION BY dhash) AS bucket_size
+    FROM hashed
+    """,
+    tags=("llm", "multimodal", "dedup", "pandas_udf"),
+)
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual gradient-hash (dHash) image dedup — the
+    brightness-shift-robust companion to multimodal_image_ahash: bits
+    record the gradient between adjacent 2×2 grid cells (left/right
+    per row, top/bottom per column) via integer cross-multiplied
+    comparisons, so a global exposure change that flips every aHash
+    bit leaves the dHash intact. Production image dedup keys on the
+    CONCATENATION of both hashes; this op certifies the second half.
+
+    Exactness and scale posture identical to the aHash op: Arrow-
+    batched decode kernel, integer-only bit derivation the oracle
+    reproduces from the source text, and a ≤16-row bucket rollup
+    broadcast back for bucket_size."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = dhash_binary(ppm_payloads(d))
+    buckets = hashed.groupBy("dhash").agg(F.count("*").alias("bucket_size"))
+    return hashed.join(F.broadcast(buckets), "dhash").select(
+        "doc_id", "width", "height", "dhash", "bucket_size"
+    )

@@ -195,6 +195,7 @@ DOC_FUZZED = [
     "corpus_heaps_law_fit",
     "corpus_dedup_rate_by_source",
     "multimodal_shot_boundaries",
+    "multimodal_image_dhash",
     "text_bpe_train_rounds",
     "udtf_tokenize",
     "text_ngram_repetition",

@@ -1713,3 +1713,14 @@ def test_sprt_two_cumulative_windows_no_join(spark):
     assert count_nodes(df, "SortMergeJoin") == 0
     assert count_nodes(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dhash_bucket_broadcast(spark):
+    """dHash: the <=16-row bucket rollup broadcasts back (never a
+    corpus shuffle on the skewed 4-bit key); decode is the one
+    deliberate Arrow Python stage."""
+    df = _df(spark, "multimodal_image_dhash")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "CartesianProduct") == 0

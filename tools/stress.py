@@ -253,6 +253,8 @@ HEADLINE = [
     "events_cuped_adjustment",
     # round-10: two cumulative user windows, integer walk — linear
     "events_sprt_decision",
+    # round-10: Arrow decode + 16-row bucket broadcast — the aHash shape
+    "multimodal_image_dhash",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
