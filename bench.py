@@ -203,7 +203,14 @@ def _run_shared(sf_dir: str, cpus: str, names: list[str]) -> dict[str, float]:
 
 
 def _run_one_isolated(name: str, sf_dir: str, cpus: str) -> None:
-    """Child-process body for --isolate: fresh JVM, warm-up, min of 2."""
+    """Child-process body for --isolate: fresh JVM, warm-up, min of 2
+    (third run when the two disagree >1.5× — a C2/GC/page-cache
+    outlier), plus the 1-minute load average sampled before the timed
+    runs. Run-to-run hygiene (r10 lesson: the r10 double-run's run2
+    carried up-to-11.8× same-code outliers because other jobs shared
+    the 32 CPUs): a recorded load_1m well above the JVM's own
+    footprint means the number is contaminated — rerun, don't
+    adjudicate."""
     from spark_hive_streaming_sink_spark.registry import queries
     from spark_hive_streaming_sink_spark.session import get_spark
 
@@ -213,17 +220,29 @@ def _run_one_isolated(name: str, sf_dir: str, cpus: str) -> None:
         _noop(qs[name](spark, WARM_DIR))
     except Exception:
         pass
+    load_1m = round(os.getloadavg()[0], 1)
     runs = []
     for _ in range(2):
         t0 = time.time()
         _noop(qs[name](spark, sf_dir))
         runs.append(time.time() - t0)
-    print(json.dumps({"query": name, "sec": round(min(runs), 3)}))
+    if max(runs) > 1.5 * min(runs):
+        t0 = time.time()
+        _noop(qs[name](spark, sf_dir))
+        runs.append(time.time() - t0)
+    print(
+        json.dumps(
+            {"query": name, "sec": round(min(runs), 3), "load_1m": load_1m}
+        )
+    )
     spark.stop()
 
 
-def _run_isolated(sf_dir: str, cpus: str, names: list[str]) -> dict[str, float]:
+def _run_isolated(
+    sf_dir: str, cpus: str, names: list[str]
+) -> tuple[dict[str, float], dict[str, float]]:
     timings: dict[str, float] = {}
+    loads: dict[str, float] = {}
     for name in names:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name],
@@ -233,14 +252,16 @@ def _run_isolated(sf_dir: str, cpus: str, names: list[str]) -> dict[str, float]:
         )
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         try:
-            timings[name] = json.loads(line)["sec"]
+            rec = json.loads(line)
+            timings[name] = rec["sec"]
+            loads[name] = rec.get("load_1m", float("nan"))
         except Exception:
             print(
                 f"isolate child failed for {name}: {proc.stderr[-2000:]}",
                 file=sys.stderr,
             )
             timings[name] = float("nan")
-    return timings
+    return timings, loads
 
 
 def main() -> None:
@@ -269,8 +290,9 @@ def main() -> None:
     unknown = [n for n in names if n not in queries()]
     if unknown:
         sys.exit(f"unknown queries: {unknown}; see registry.queries()")
+    loads: dict[str, float] = {}
     if isolate:
-        timings = _run_isolated(sf_dir, cpus, names)
+        timings, loads = _run_isolated(sf_dir, cpus, names)
         mode = "isolate"
     else:
         timings = _run_shared(sf_dir, cpus, names)
@@ -288,6 +310,14 @@ def main() -> None:
         "cpus": int(cpus),
         "mode": mode,
     }
+    real_loads = [v for v in loads.values() if v == v]
+    if real_loads:
+        # contamination telltale (r10: concurrent system load produced
+        # up-to-11.8× same-code outliers): each child samples
+        # os.getloadavg() before its timed runs; a max far above one
+        # JVM's footprint means external load shared the CPUs
+        record["load_1m_max"] = max(real_loads)
+        record["loads"] = {k: v for k, v in loads.items() if v == v}
     # Full per-query record on disk (the per-round ledger the judge
     # reads); the stdout line must stay SMALL — the round-8 driver kept
     # only the last ~2 KB of stdout and the 75-query line got truncated

@@ -657,11 +657,8 @@ from .dedup import (  # noqa: E402  (shared MinHash pipeline pieces)
     _SQL_BAND_REPS,
     _SQL_HX,
     _SQL_MINHASH,
-    _SQL_SHINGLES,
-    _add_minhash,
     _band_reps,
-    _shingle_hashes,
-    _shingles,
+    _minhash_frame,
 )
 
 
@@ -669,8 +666,7 @@ from .dedup import (  # noqa: E402  (shared MinHash pipeline pieces)
     "dedup_lsh_components",
     oracle=f"""
     WITH RECURSIVE t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
-    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM sh),
+    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM t),
     mh0 AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt),
     -- degenerate docs (NULL minhash: empty/NULL text, <3 tokens) must not
     -- band — concat_ws skips NULLs, so they'd all share the md5('') bucket
@@ -726,9 +722,7 @@ def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5('') bucket would merge every empty/NULL doc into one phantom
     # duplicate component.
     mh = (
-        _add_minhash(
-            d.select("doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx"))
-        )
+        _minhash_frame(d)
         .localCheckpoint(eager=True)
         .filter(F.col("mh0").isNotNull())
     )
@@ -803,7 +797,7 @@ def _pr_oracle() -> str:
     # _sql_dot carries the empty/NULL/ragged-list guard that mirrors
     # Spark's zip_with fold — the raw list_reduce form ERRORS on the
     # empty-list embeddings the fuzzer feeds
-    from .similarity import _sql_bucket, _sql_dot
+    from .similarity import K_NN_GRAPH, _sql_bucket, _sql_dot
 
     _PR_DOT_VV = _sql_dot("embedding", "embedding")
     _PR_DOT_AB = _sql_dot("a.embedding", "b.embedding")
@@ -819,7 +813,7 @@ def _pr_oracle() -> str:
                                     ORDER BY round({_PR_DOT_AB} / (a.nrm * b.nrm), 6)
                                              DESC, b.vec_id) AS rnk
           FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
-    edges AS (SELECT src, dst FROM p WHERE rnk <= 3),
+    edges AS (SELECT src, dst FROM p WHERE rnk <= {K_NN_GRAPH}),
     deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
             FROM edges GROUP BY src),
     r0 AS (SELECT node,
@@ -1491,7 +1485,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _link_pred_oracle() -> str:
-    from .similarity import _sql_bucket, _sql_dot
+    from .similarity import K_NN_GRAPH, _sql_bucket, _sql_dot
 
     dot_vv = _sql_dot("embedding", "embedding")
     dot_ab = _sql_dot("a.embedding", "b.embedding")
@@ -1505,7 +1499,7 @@ def _link_pred_oracle() -> str:
                                     ORDER BY round({dot_ab} / (a.nrm * b.nrm), 6)
                                              DESC, b.vec_id) AS rnk
           FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
-    edges AS (SELECT src, dst FROM p WHERE rnk <= 3),
+    edges AS (SELECT src, dst FROM p WHERE rnk <= {K_NN_GRAPH}),
     und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
     deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
             FROM und GROUP BY src),

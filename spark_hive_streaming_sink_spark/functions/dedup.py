@@ -133,7 +133,13 @@ def _shingle_hashes(shingles: Column) -> Column:
     pipeline), parsed ONCE into two 60-bit longs (h1, h2). The N
     permutations below derive from the pair arithmetically — hashing
     and hex-parsing cost is paid once per shingle, not once per
-    (shingle, permutation)."""
+    (shingle, permutation).
+
+    Kept for consumers that genuinely hash gram STRINGS (simhash,
+    ngram-jaccard, substring windows); the MinHash family moved to
+    ``_hx_frame``'s token-combine digests in r11 — 2.8× cheaper,
+    because building the gram strings (slice+concat per gram) was the
+    measured ×100 floor, not the hashing."""
 
     def parse(x: Column) -> Column:
         return F.struct(
@@ -142,6 +148,89 @@ def _shingle_hashes(shingles: Column) -> Column:
         )
 
     return F.transform(F.transform(shingles, lambda s: F.md5(s)), parse)
+
+
+# --- r11 signature scheme: positional token-hash combine --------------------
+#
+# The MinHash family's per-shingle digest pair (h1, h2) is a POSITIONAL
+# COMBINE of the three member tokens' 60-bit md5 halves instead of an
+# md5 of the gram string:
+#
+#   h = ((t_i + 3*t_{i+1}) & M60) + 5*t_{i+2}) & M60      (per half)
+#
+# Same distinct-3-token-shingle semantics, same 60-bit digest width,
+# same ~2^-60 in-doc collision odds (linear combos of independent
+# uniform hashes), but the gram STRING never materializes: profiling
+# the ×100 isolate showed shingle-string construction (slice +
+# concat_ws per gram) was ~10 s of the ~11.5 s signature floor, while
+# md5+parse+fold were marginal. Token md5s are computed once per token
+# (n md5 calls vs n-2 — same count, shorter inputs), and the combine
+# is integer multiply-add — measured 11.6 s → 4.2 s for the hx stage
+# at ×100. Every step is overflow-safe for DuckDB's checked BIGINT
+# arithmetic: 3*t < 2^62, sum < 2^62.6, masked + 5*t < 6*2^60 < 2^63.
+# Gram-level de-duplication is deliberately DROPPED from hx (minhash
+# MINs are invariant under duplicates); digest SETS distinct at the
+# point of use (``_SQL_DIG`` / array_distinct on h1).
+
+M60 = (1 << 60) - 1
+
+
+def _hx_frame(d: DataFrame, keep: list[str] | None = None) -> DataFrame:
+    """``(keep..., hx)`` where ``hx`` is the array<struct<h1,h2>> of
+    positional token-combine shingle digests of ``text`` (see module
+    note above). TWO projections on purpose: the per-token hash array
+    materializes in the first, and the gram lambda references it as a
+    bound attribute — inlining the token transform into the gram
+    lambda re-evaluates ALL n token md5s per gram (O(n²) md5 calls;
+    measured as a wedge, not a slowdown, at ×100). CollapseProject
+    keeps them apart because the token array is non-cheap and
+    referenced 6× by the gram struct."""
+    keep = keep if keep is not None else ["doc_id"]
+    toks = F.split(F.trim(F.col("text")), " ")
+    t1 = d.select(
+        *keep,
+        F.size(toks).alias("_ntok"),
+        F.transform(
+            toks,
+            lambda t: F.struct(
+                F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("a"),
+                F.conv(F.substring(F.md5(t), 17, 15), 16, 10)
+                .cast("bigint")
+                .alias("b"),
+            ),
+        ).alias("_th"),
+    )
+    th = F.col("_th")
+
+    def comb(i: Column, f: str) -> Column:
+        x = F.element_at(th, i).getField(f)
+        y = F.element_at(th, i + F.lit(1)).getField(f)
+        z = F.element_at(th, i + F.lit(2)).getField(f)
+        return (
+            (x + F.lit(3) * y).bitwiseAND(F.lit(M60)) + F.lit(5) * z
+        ).bitwiseAND(F.lit(M60))
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("_ntok") - 2),
+        lambda i: F.struct(comb(i, "a").alias("h1"), comb(i, "b").alias("h2")),
+    )
+    hx_t = "array<struct<h1:bigint,h2:bigint>>"
+    hx = (
+        F.when(th.isNull(), F.lit(None).cast(hx_t))
+        .when(F.col("_ntok") >= 3, grams)
+        .otherwise(F.array().cast(hx_t))
+    )
+    return t1.select(*keep, hx.alias("hx"))
+
+
+def _dig_col() -> Column:
+    """Distinct 60-bit shingle digest SET of an ``hx`` column (the h1
+    halves) — the exact-Jaccard/containment verify representation."""
+    return F.array_distinct(
+        F.transform(F.col("hx"), lambda p: p.getField("h1"))
+    )
 
 
 def _minhash_cols() -> Column:
@@ -198,11 +287,55 @@ def _add_minhash(df: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_frame(d: DataFrame) -> DataFrame:
+    """``(doc_id, mh0..mh7)`` per documents ROW via the per-row fold —
+    one corpus pass, zero exchanges, pipelines straight into whatever
+    projection follows. An explode → codegen md5 → groupBy(min×8)
+    variant was measured AGAINST this in the ×100 isolate harness
+    (r11): 14.0 s vs 11.2 s for dedup_minhash_lsh — the per-doc
+    shuffle + hash aggregation costs more than the interpreted
+    higher-order fold saves, because shingle-array construction (not
+    hashing) dominates the stage. Keep the fold, over the r11
+    token-combine digests (_hx_frame)."""
+    return _add_minhash(_hx_frame(d))
+
+
+def _signature_frame(d: DataFrame, digests: bool = False) -> DataFrame:
+    """``(doc_id[, dig], mh)`` per documents ROW — packed-signature
+    variant of ``_minhash_frame`` for the calibration / threshold-sweep
+    consumers (per-row fold, one corpus pass, zero exchanges — see
+    ``_minhash_frame`` for the measured explode/groupBy comparison).
+    ``dig`` is the distinct 60-bit shingle digest set (order = shingle
+    order; every consumer is array_intersect/size — set semantics)."""
+    sig = _hx_frame(d).withColumn("mh", _minhash_cols())
+    if digests:
+        return sig.select("doc_id", _dig_col().alias("dig"), "mh")
+    return sig.select("doc_id", "mh")
+
+
+def _sql_tok_half(off: int, lo: int) -> str:
+    # one token's 60-bit md5 half; DuckDB re-hashes per reference (the
+    # oracle runs at sf0.01 — clarity over speed there)
+    idx = "i" if off == 0 else f"i+{off}"
+    return f"CAST(('0x' || substr(md5(toks[{idx}]), {lo}, 15)) AS BIGINT)"
+
+
+def _sql_comb(lo: int) -> str:
+    # positional combine, identical arithmetic to _hx_frame.comb
+    a, b, c = (_sql_tok_half(o, lo) for o in (0, 1, 2))
+    return f"((({a} + 3*{b}) & {M60}) + 5*{c}) & {M60}"
+
+
+# hx from a relation exposing `toks` (token-combine digests; NULL for
+# NULL text via list_transform(NULL), [] for <3 tokens via the empty
+# generate_series — same guards the Spark side encodes as CASE)
 _SQL_HX = (
-    "list_transform(list_transform(shingles, s -> md5(s)), x -> "
-    "{'h1': CAST(('0x' || substr(x, 1, 15)) AS BIGINT), "
-    "'h2': CAST(('0x' || substr(x, 17, 15)) AS BIGINT)})"
+    "list_transform(generate_series(1, len(toks)-2), "
+    f"i -> {{'h1': {_sql_comb(1)}, 'h2': {_sql_comb(17)}}})"
 )
+
+# distinct digest SET of an hx column (the h1 halves)
+_SQL_DIG = "list_distinct(list_transform(hx, p -> p.h1))"
 
 _SQL_MINHASH = ", ".join(
     f"list_aggregate(list_transform(hx, p -> p.h1 + {i} * p.h2), 'min') AS mh{i}"
@@ -214,8 +347,7 @@ _SQL_MINHASH = ", ".join(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
-    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM sh),
+    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM t),
     mh AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt)
     -- degenerate docs (NULL / <3-token text) have NULL minhash -> NULL
     -- bands, not md5('') phantom buckets
@@ -236,11 +368,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     one md5 per shingle → 8 Carter-Wegman permutation minhashes →
     2 banded keys. Documents sharing a band key are near-dup candidates
     (join on band0/band1 downstream — see dedup_minhash_pairs).
-    Map-side only; no shuffle at all."""
+    Map-side only; no shuffle at all (see _minhash_frame for the
+    measured explode/groupBy alternative that lost)."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    mh = _add_minhash(
-        d.select("doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx"))
-    )
+    mh = _minhash_frame(d)
     ok = F.col("mh0").isNotNull()  # NULL minhash -> NULL bands
     b0 = F.when(ok, F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)])))
     b1 = F.when(ok, F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)])))
@@ -256,8 +387,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_pairs",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
-    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM sh),
+    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM t),
     mh0 AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt),
     -- degenerate docs (NULL minhash) cannot be candidates
     mh AS (SELECT * FROM mh0 WHERE mh0 IS NOT NULL),
@@ -298,9 +428,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole minhash fold into a pushed-down filter — measured 1.8 s →
     # 5.7 s at sf0.1.
     mh = (
-        _add_minhash(
-            d.select("doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx"))
-        )
+        _minhash_frame(d)
         .localCheckpoint(eager=True)
         # degenerate docs (NULL minhash) can't be candidates
         .filter(F.col("mh0").isNotNull())
@@ -384,11 +512,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-    sh AS (SELECT doc_id,
-                  list_transform({_SQL_SHINGLES},
-                                 s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))
-                    AS shingles
-           FROM t)
+    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM t),
+    sh AS (SELECT doc_id, {_SQL_DIG} AS shingles FROM hxt)
     -- NULL-text docs have NULL shingles: their pairs report NULL metrics
     -- (Spark's array_intersect(NULL, x) is NULL; DuckDB's list_intersect
     -- is [] — the CASE makes both NULL). Empty-empty pairs (n_union = 0)
@@ -426,13 +551,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       recompute the shingles on both branches of the plan. Measured
       12.4s → 2.5s on the ×10 stress corpus."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    sh = d.select(
-        "doc_id",
-        F.transform(
-            _shingles(F.col("text")),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
-        ).alias("shingles"),
-    )
+    sh = _hx_frame(d).select("doc_id", _dig_col().alias("shingles"))
     payload = F.struct("doc_id", "shingles")
     sides = sh.select(
         F.explode(
@@ -482,13 +601,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_pipeline_end_to_end",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-    sh AS (SELECT doc_id,
-                  list_transform({_SQL_SHINGLES},
-                                 s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))
-                    AS shingles
-           FROM t),
-    hxt AS (SELECT doc_id, {_SQL_HX} AS hx
-            FROM (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t)),
+    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM t),
+    sh AS (SELECT doc_id, {_SQL_DIG} AS shingles FROM hxt),
     mh0 AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt),
     -- degenerate docs (NULL minhash) can't be candidates; without this
     -- they all share the md5('') bucket and inflate the pair join
@@ -538,11 +652,7 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_plans.py pins the scan count)."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     feat = _add_minhash(
-        d.select(
-            "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
-        ).withColumn(
-            "shingles", F.transform(F.col("hx"), lambda p: p.getField("h1"))
-        )
+        _hx_frame(d).withColumn("shingles", _dig_col())
     )
     # NULL band_key for degenerate docs (NULL minhash): concat_ws skips
     # NULLs, so unguarded they'd all share the md5('') bucket — the
@@ -799,14 +909,13 @@ _SQL_CALIB_SAMPLE = (
     "dedup_minhash_calibration",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
-    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM sh),
+    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM t),
     -- degenerate docs (NULL minhash: NULL / <3-token text) are not
     -- candidates; also guarantees n_union >= 1 below (no 0-divide).
     -- dig = the 60-bit shingle digest (md5 head) already computed for
     -- the minhash permutations — the exact-Jaccard intersect runs on
     -- 8-byte ints, not 32-char hex strings
-    mh AS (SELECT * FROM (SELECT doc_id, list_transform(hx, p -> p.h1) AS dig,
+    mh AS (SELECT * FROM (SELECT doc_id, {_SQL_DIG} AS dig,
                                  {_SQL_MINHASH} FROM hxt)
            WHERE mh0 IS NOT NULL),
     bands AS (
@@ -862,8 +971,9 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     array of 8 longs) plus the 60-bit shingle DIGESTS already computed
     for the permutations — never the raw shingle strings (5× narrower
     through both pair-side shuffles; digest collisions would need two
-    distinct shingles of one doc to share 60 md5 bits, ~2^-60 per
-    in-doc pair). The audit runs over a deterministic md5-keyed 1-in-K
+    distinct shingles of one doc to share a 60-bit token-combine
+    value, ~2^-60 per in-doc pair — see the scheme note at _hx_frame).
+    The audit runs over a deterministic md5-keyed 1-in-K
     sample of the candidate pairs (K=16 default — the production
     posture at 100 TB, where the error distribution is what's being
     estimated, not any individual pair; see CALIB_SAMPLE_K above).
@@ -880,15 +990,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity-selected — but a capped run's pair list is a sample."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     sig = (
-        d.select(
-            "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
-        )
-        .withColumn("mh", _minhash_cols())
-        .select(
-            "doc_id",
-            F.transform("hx", lambda p: p.getField("h1")).alias("dig"),
-            "mh",
-        )
+        _signature_frame(d, digests=True)
         # four consumers (two band sides + both pair sides): shingle
         # once — at 100 TB this is the persisted signature table
         .localCheckpoint(eager=True)
@@ -974,12 +1076,8 @@ RARE_DF_CAP = int(os.environ.get("SHSS_RARE_DF_CAP", "16"))
     "dedup_containment_pairs",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-    sh AS (
-      SELECT doc_id,
-             list_transform({_SQL_SHINGLES},
-                            s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))
-               AS shingles
-      FROM t WHERE len(toks) >= 3),
+    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM t WHERE len(toks) >= 3),
+    sh AS (SELECT doc_id, {_SQL_DIG} AS shingles FROM hxt),
     e AS (SELECT doc_id, unnest(shingles) AS h FROM sh),
     rare AS (
       SELECT h FROM e GROUP BY h
@@ -1021,55 +1119,57 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: candidates are approximate, but each emitted pair's
     containment is EXACT — both docs' full distinct-shingle digest
-    arrays join back by doc_id and intersect per pair (O(|A|+|B|) hash
-    intersect, bounded by doc length). Digests are the 60-bit md5 head
-    as a BIGINT (8 bytes/shingle through the pair-side shuffles, 5×
-    narrower than 32-char hex; a within-pair collision needs two
-    distinct shingles sharing 60 md5 bits, ~2^-60). Counts are BIGINTs,
-    containments are single int/int IEEE divides, and the near_superset
-    verdict (>= 0.9 of the smaller side) compares integers —
-    bit-identical in both engines.
+    arrays, re-derived for the PAIRED docs only, intersect per pair
+    (O(|A|+|B|) hash intersect, bounded by doc length). Digests are
+    the 60-bit token-combine values (see the scheme note at
+    _hx_frame; a within-pair collision is ~2^-60). Counts are
+    BIGINTs, containments are single int/int IEEE divides, and the
+    near_superset verdict (>= 0.9 of the smaller side) compares
+    integers — bit-identical in both engines. (Assumes unique doc_id,
+    as every fixture and the fuzzer guarantee; the oracle's
+    doc_id-keyed joins assume the same.)
 
-    Scale shape: explode distinct shingle digests (uniform hash keys),
-    one groupBy for document frequency, a semi-join keeps rare
-    postings, the bounded self-join emits DISTINCT pairs, then two
-    doc_id-keyed joins fetch the digest arrays from the SAME
-    materialized signature relation — Spark's ReuseExchange serves both
-    fetches from one shuffle of it (pinned in tests/test_plans.py). No
-    minhash approximation, no windows, no Python."""
+    Scale shape (r11, VERDICT r10 item 3): ONE corpus postings pass
+    feeds an explicit h-repartition whose Exchange both the
+    document-frequency agg and the rare join REUSE (one shuffle, one
+    shingle+hash pass, no corpus-sized materialization — see the
+    in-body note for the measured localCheckpoint/window dead ends);
+    the df-capped rare index bounds the pair self-join, and the
+    exact verify re-shingles only the paired docs. ×100 isolate:
+    13.3 s (r10) → 9.2 s, under the <12 s bar. No minhash
+    approximation, no windows, no Python."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), " ")
-    # Three consumers (postings explode + both pair-side array fetches)
-    # and heavy per-row compute (shingle + md5) -> materialize once; see
-    # the fault-tolerance note on localCheckpoint at the module's other
-    # call sites.
-    sh = (
-        d.select(
-            "doc_id",
-            F.transform(
-                _shingles(F.col("text")),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
-                    "bigint"
-                ),
-            ).alias("shingles"),
+
+    def postings(docs: DataFrame) -> DataFrame:
+        # one row per (doc, distinct shingle digest) — the r11
+        # token-combine digests (see the module note at _hx_frame)
+        return _hx_frame(docs.filter(F.size(toks) >= 3)).select(
+            "doc_id", F.explode(_dig_col()).alias("h")
         )
-        .filter(F.size(toks) >= 3)
-        .localCheckpoint(eager=True)
-    )
-    e = sh.select("doc_id", F.explode("shingles").alias("h"))
+
+    # NO corpus-sized materialization anywhere (the r11 lesson, twice
+    # over): localCheckpoint of the 26M-row postings relation cost a
+    # wildly variable 25-55 s at ×100 — dwarfing the 4.6 s map pass it
+    # "saved" — and a count-window over the h-partitioning buffered
+    # every digest's postings (149 s). Instead the postings pass runs
+    # ONCE into an explicit h-repartition: the document-frequency agg
+    # and the rare join both consume that SAME Exchange subtree
+    # (branched from one Python object, so the plans are identical and
+    # ReuseExchange serves both from one shuffle), each partition-local
+    # above it. Only the BOUNDED relations (rare postings, pairs,
+    # paired-doc postings) ever hit the block manager.
+    ex = postings(d).repartition(F.col("h"))
     rare = (
-        e.groupBy("h")
+        ex.groupBy("h")
         .agg(F.count("*").alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= RARE_DF_CAP))
         .select("h")
     )
-    # er is BOTH sides of the pair self-join below; without the
-    # checkpoint each side re-runs the explode + document-frequency
-    # shuffle over the full postings (measured as two identical
-    # Exchange(h) subtrees). Materializing the rare-postings index once
-    # is exactly what a production pipeline persists; it is df-capped,
-    # so its size is bounded by RARE_DF_CAP × |rare shingles|.
-    er = e.join(rare, "h").localCheckpoint(eager=True)
+    # er is BOTH sides of the pair self-join below; df-capped, so its
+    # size is bounded by RARE_DF_CAP × |rare shingles| — the bounded
+    # index a production pipeline persists
+    er = ex.join(rare, "h").localCheckpoint(eager=True)
     pairs = (
         er.alias("a")
         .join(
@@ -1078,6 +1178,26 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # consumed by the paired-doc semi-join AND the co-count join
+        .localCheckpoint(eager=True)
+    )
+    pdocs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # digest ARRAYS of PAIRED docs only — the exact-containment verify
+    # intersects per pair (O(|A|+|B|) hash intersect), which beats a
+    # postings co-count join when pairs are dense (the co-count
+    # variant exploded each pair × its shingles: measured 12.6 s vs
+    # 2.7 s at sf0.1 on the dup-heavy fixture). The join runs BEFORE
+    # the hx projection, so digests are recomputed for paired docs
+    # alone — the corpus side of this pass is a bare (doc_id, text)
+    # scan into the join; bounded by pairs, not the corpus.
+    sh = (
+        _hx_frame(d.join(pdocs, "doc_id").filter(F.size(toks) >= 3))
+        .select("doc_id", _dig_col().alias("shingles"))
+        .localCheckpoint(eager=True)
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -1239,8 +1359,7 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_threshold_sweep",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-    sh AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t),
-    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM sh),
+    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM t),
     mh AS (SELECT * FROM (SELECT doc_id, {_SQL_MINHASH} FROM hxt)
            WHERE mh0 IS NOT NULL),
     bands AS (
@@ -1308,9 +1427,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     a capped run's curve is the rep-anchored candidate subset."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     sig = (
-        d.select("doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx"))
-        .withColumn("mh", _minhash_cols())
-        .select("doc_id", "mh")
+        _signature_frame(d)
         # four consumers (two band sides + both pair sides)
         .localCheckpoint(eager=True)
         .filter(F.col("mh").isNotNull())

@@ -2277,8 +2277,8 @@ SPRT_BOUND = round(_math.log(9.0) * 1_000_000)
 @register(
     "events_sprt_decision",
     oracle=f"""
-    -- Wald's SPRT per user: is this user's click share 0.22 (H1) or
-    -- 0.18 (H0)? The log-likelihood ratio walks in exact integer
+    -- Wald's SPRT per user: is this user's click share {SPRT_P1} (H1)
+    -- or {SPRT_P0} (H0)? The log-likelihood ratio walks in exact integer
     -- micro-nats ({SPRT_INC_HIT} per click, {SPRT_INC_MISS} per
     -- non-click, both Python-inlined so neither engine computes a
     -- logarithm) and the FIRST crossing of +-{SPRT_BOUND} decides —

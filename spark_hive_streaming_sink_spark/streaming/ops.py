@@ -382,12 +382,10 @@ def _minhash_band_index(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     (idx_id, band_no, band_key) band table + (doc_id, shingles) exact
     3-gram hashes for the verify stage. Checkpointed once — at 100 TB
     these are the two real index tables incremental ingest probes."""
-    from ..functions.dedup import _add_minhash, _shingle_hashes, _shingles
+    from ..functions.dedup import _add_minhash, _dig_col, _hx_frame
 
     sigs = _add_minhash(
-        docs.select(
-            "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
-        ).withColumn("shingles", F.transform("hx", lambda p: p.getField("h1")))
+        _hx_frame(docs).withColumn("shingles", _dig_col())
     ).localCheckpoint(eager=True)
     shingles = sigs.select("doc_id", "shingles")
     ok = sigs.filter(F.col("mh0").isNotNull())  # degenerate docs never band
@@ -421,14 +419,10 @@ def _probe_batch_against_index(
     streaming/sink.py:169-207, expressed as path idempotence.
 
     Module-level (not a closure) so tests can replay a batch directly."""
-    from ..functions.dedup import _add_minhash, _shingle_hashes, _shingles
+    from ..functions.dedup import _add_minhash, _dig_col, _hx_frame
 
     sigs = _add_minhash(
-        batch_df.select(
-            "doc_id", _shingle_hashes(_shingles(F.col("text"))).alias("hx")
-        ).withColumn(
-            "shingles", F.transform("hx", lambda p: p.getField("h1"))
-        )
+        _hx_frame(batch_df).withColumn("shingles", _dig_col())
     ).localCheckpoint(eager=True)
     in_sh = sigs.select("doc_id", "shingles")
     ok = sigs.filter(F.col("mh0").isNotNull())  # degenerate docs never band
@@ -471,9 +465,9 @@ def _probe_batch_against_index(
 
 
 from ..functions.dedup import (  # noqa: E402  (shared MinHash macros)
+    _SQL_DIG,
     _SQL_HX,
     _SQL_MINHASH,
-    _SQL_SHINGLES,
 )
 
 
@@ -481,13 +475,8 @@ from ..functions.dedup import (  # noqa: E402  (shared MinHash macros)
     "stream_dedup_minhash_incremental",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
-    sh AS (SELECT doc_id,
-                  list_transform({_SQL_SHINGLES},
-                                 s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))
-                    AS shingles
-           FROM t),
-    hxt AS (SELECT doc_id, {_SQL_HX} AS hx
-            FROM (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM t)),
+    hxt AS (SELECT doc_id, {_SQL_HX} AS hx FROM t),
+    sh AS (SELECT doc_id, {_SQL_DIG} AS shingles FROM hxt),
     mh0 AS (SELECT doc_id, {_SQL_MINHASH} FROM hxt),
     -- degenerate docs (NULL minhash: empty/NULL text, <3 tokens) never
     -- band, on either side of the probe

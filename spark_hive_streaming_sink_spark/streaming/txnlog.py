@@ -525,8 +525,14 @@ def merge_txnlog_table(
     Like compaction, the commit loop re-validates on version collision
     that every file it retires is still live — a concurrent compactor
     or merge retiring them aborts this merge loudly instead of
-    resurrecting replaced rows. Returns ``{files_rewritten, files_added,
-    version}``.
+    resurrecting replaced rows. Serializability of the MATCH itself is
+    also enforced: on collision the loop re-probes every file a
+    concurrent commit ADDED since this merge's snapshot read, and if
+    any of them contains a matched key the merge aborts (otherwise the
+    concurrent append would land unrewritten and leave duplicate keys
+    — the WriteSerializable hole Delta's Serializable level closes).
+    The probe reads only the newly added files, never the table.
+    Returns ``{files_rewritten, files_added, version}``.
 
     Scale: locating affected files is one equi-join of the snapshot
     (with ``input_file_name``) against the distinct update keys,
@@ -583,6 +589,11 @@ def merge_txnlog_table(
     )
     new_add = _list_add_entries(log, rel_dir, part_cols or [])
     retire = set(touched_rel)
+    snap0 = {a["path"] for a in adds}
+    has_matchable_keys = (
+        aligned.select(key).filter(F.col(key).isNotNull()).limit(1).count()
+        > 0
+    )
     for _ in range(_COMMIT_RETRIES):
         vs = log.versions()
         live = {a["path"] for a in log.snapshot_adds()}
@@ -592,6 +603,31 @@ def merge_txnlog_table(
                 f"({sorted(retire - live)[:3]}...); re-run against the new "
                 "snapshot"
             )
+        # serializable conflict check: a concurrent commit may have
+        # APPENDED rows whose keys this merge matched — those would
+        # land unrewritten and leave duplicate keys. Probe ONLY the
+        # files added since our snapshot read (bounded by the racing
+        # commit's size, never the table).
+        appended = sorted(live - snap0)
+        if appended and has_matchable_keys:
+            new_files = [f"{log.location}/{p}" for p in appended]
+            upd_keys = (
+                aligned.select(key).filter(F.col(key).isNotNull()).distinct()
+            )
+            clashes = (
+                spark.read.schema(schema)
+                .parquet(*new_files)
+                .join(upd_keys, key, "left_semi")
+                .limit(1)
+                .count()
+            )
+            if clashes:
+                raise TxnLogError(
+                    "serializable conflict: a concurrent commit appended "
+                    f"rows with keys this merge matched (files {appended[:3]}"
+                    "...); re-run the merge against the new snapshot"
+                )
+            snap0 = live  # probed clean — don't re-probe these files
         next_v = (vs[-1] + 1) if vs else 0
         if log.try_commit(
             next_v,

@@ -62,10 +62,15 @@ def test_global_topk_uses_take_ordered(spark):
 
 
 def test_minhash_is_shuffle_free(spark):
+    """The per-row signature fold: one round-robin exchange from
+    parallelize_scan is expected; no key shuffle beyond it. (An
+    explode → codegen md5 → groupBy(min×8) alternative was measured
+    in the ×100 isolate harness and LOST — 14.0 s vs 11.2 s — so the
+    zero-shuffle fold is the pinned shape; see _minhash_frame.)"""
     df = _df(spark, "dedup_minhash_lsh")
-    # one round-robin exchange from parallelize_scan is expected; no
-    # key shuffle beyond it
     assert count_nodes(df, "Exchange") <= 1
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_filter_predicates_fully_pushed(spark):

@@ -484,8 +484,10 @@ def test_verified_ledger_matches_driver_record():
 
 def test_survival_km_invariants(spark):
     """KM semantics on the fixture: survival is non-increasing in day,
-    bounded by (0, 1e6]; the at-risk count strictly shrinks down the
-    curve; events never exceed the at-risk set."""
+    bounded by [0, 1e6] (it legitimately reaches 0 when the whole
+    at-risk set events at the final step, and integer-ppm rounding can
+    floor it); the at-risk count strictly shrinks down the curve;
+    events never exceed the at-risk set."""
     from spark_hive_streaming_sink_spark.registry import QUERIES, queries
 
     queries()
@@ -497,8 +499,8 @@ def test_survival_km_invariants(spark):
     assert rows, "fixture must produce a curve"
     prev_s, prev_n = 1_000_000 + 1, None
     for r in rows:
-        assert 0 < r["survival_ppm"] < prev_s or r["survival_ppm"] <= prev_s
-        assert r["survival_ppm"] <= 1_000_000
+        assert 0 <= r["survival_ppm"] <= 1_000_000
+        assert r["survival_ppm"] <= prev_s
         assert 1 <= r["n_events"] <= r["n_at_risk"]
         if prev_n is not None:
             assert r["n_at_risk"] < prev_n

@@ -563,3 +563,105 @@ def test_txnlog_merge_pure_insert_add_only_commit(spark):
     after = {a["path"] for a in log.snapshot_adds()}
     assert before <= after
     assert read_txnlog_table(spark, "default", table).count() == n0 + 2
+
+
+def test_txnlog_merge_detects_concurrent_append_of_matched_keys(
+    spark, monkeypatch
+):
+    """Serializable conflict detection (r10 ADVICE): a concurrent commit
+    that APPENDS rows with keys this merge matched — landing between the
+    merge's snapshot read and its commit — must abort the merge loudly,
+    not leave duplicate keys behind unrewritten."""
+    import pyspark.sql.functions as F
+
+    from spark_hive_streaming_sink_spark.streaming import txnlog as T
+
+    table, loc, _base = _mk_table(spark)
+    ev = _events_batch(spark).filter(F.col("event_id").isNotNull())
+    pub = T.TxnLogPublisher(spark, f"default.{table}", [], "t#seed", loc)
+    pub.publish(ev.coalesce(1), 0)
+
+    matched_key = ev.select("event_id").first().event_id
+    racer = spark.createDataFrame(
+        [(int(matched_key), 99, 123.0, "raced")],
+        "event_id bigint, user_id bigint, value double, event_type string",
+    )
+    updates = spark.createDataFrame(
+        [(int(matched_key), 1, 999.0, "merged")],
+        "event_id bigint, user_id bigint, value double, event_type string",
+    )
+
+    orig = T.TxnLogTable.snapshot_adds
+    state = {"fired": False}
+
+    def racy(self, *a, **kw):
+        adds = orig(self, *a, **kw)
+        if not state["fired"]:
+            # concurrent writer lands an append AFTER the merge's
+            # snapshot read but BEFORE its commit loop
+            state["fired"] = True
+            T.TxnLogPublisher(
+                spark, f"default.{table}", [], "t#racer", loc
+            ).publish(racer.coalesce(1), 0)
+        return adds
+
+    monkeypatch.setattr(T.TxnLogTable, "snapshot_adds", racy)
+    with pytest.raises(T.TxnLogError, match="serializable conflict"):
+        T.merge_txnlog_table(
+            spark, "default", table, updates, key="event_id"
+        )
+
+
+def test_txnlog_merge_tolerates_concurrent_append_of_unmatched_keys(
+    spark, monkeypatch
+):
+    """The conflict probe is key-scoped: a concurrent append whose keys
+    the merge does NOT match is a plain version collision — the merge
+    retries and commits, and both writers' rows survive."""
+    import pyspark.sql.functions as F
+
+    from spark_hive_streaming_sink_spark.streaming import txnlog as T
+
+    table, loc, _base = _mk_table(spark)
+    ev = _events_batch(spark).filter(F.col("event_id").isNotNull())
+    pub = T.TxnLogPublisher(spark, f"default.{table}", [], "t#seed2", loc)
+    pub.publish(ev.coalesce(1), 0)
+    n0 = T.read_txnlog_table(spark, "default", table).count()
+
+    matched_key = ev.select("event_id").first().event_id
+    racer = spark.createDataFrame(
+        [(20_000_001, 99, 123.0, "raced")],
+        "event_id bigint, user_id bigint, value double, event_type string",
+    )
+    updates = spark.createDataFrame(
+        [(int(matched_key), 1, 999.0, "merged")],
+        "event_id bigint, user_id bigint, value double, event_type string",
+    )
+
+    orig = T.TxnLogTable.snapshot_adds
+    state = {"fired": False}
+
+    def racy(self, *a, **kw):
+        adds = orig(self, *a, **kw)
+        if not state["fired"]:
+            state["fired"] = True
+            T.TxnLogPublisher(
+                spark, f"default.{table}", [], "t#racer2", loc
+            ).publish(racer.coalesce(1), 0)
+        return adds
+
+    monkeypatch.setattr(T.TxnLogTable, "snapshot_adds", racy)
+    res = T.merge_txnlog_table(
+        spark, "default", table, updates, key="event_id"
+    )
+    assert res["files_rewritten"] >= 1
+    final = T.read_txnlog_table(spark, "default", table)
+    assert final.count() == n0 + 1  # racer row inserted, merge upserted
+    assert (
+        final.filter(F.col("event_id") == matched_key)
+        .select("value")
+        .first()
+        .value
+        == 999.0
+    )
+    assert final.filter(F.col("event_id") == 20_000_001).count() == 1
