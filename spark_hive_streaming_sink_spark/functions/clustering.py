@@ -1484,6 +1484,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# Hub cap for the RA distance-2 expansion: only common neighbors z with
+# deg(z) <= cap relay candidate pairs. RA weights a relay by 1/deg(z),
+# so super-hubs contribute ~nothing by design — but they dominate the
+# expansion COST (sum over z of deg(z)^2). The cap bounds candidates at
+# cap * |edges| — linear in the graph — at the documented recall cost
+# that a pair whose ONLY common neighbors are super-hubs (RA contribution
+# <= n/cap per million) never surfaces. r10 stress measured the uncapped
+# expansion superlinear (x10->x100 ratio 10.8x, 32.7 s) on the replicated
+# corpus, where identical-copy ties concentrate in-degree on the
+# lowest-id replicas.
+RA_DEG_CAP = int(os.environ.get("SHSS_RA_DEG_CAP", "64"))
+
+
 def _link_pred_oracle() -> str:
     from .similarity import K_NN_GRAPH, _sql_bucket, _sql_dot
 
@@ -1503,19 +1516,23 @@ def _link_pred_oracle() -> str:
     und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
     deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
             FROM und GROUP BY src),
+    -- hub cap (see the Python docstring): only z with deg <= cap relay
+    degok AS (SELECT node, deg FROM deg WHERE deg <= {RA_DEG_CAP}),
     cand AS (
-      SELECT a.src AS u, b.dst AS w, a.dst AS z
-      FROM und a JOIN und b ON a.dst = b.src AND a.src < b.dst),
+      SELECT a.src AS u, b.dst AS w, a.dst AS z, dz.deg AS zdeg
+      FROM und a
+      JOIN degok dz ON dz.node = a.dst
+      JOIN und b ON a.dst = b.src AND a.src < b.dst),
     miss AS (
-      SELECT c.u, c.w, c.z FROM cand c
+      SELECT c.u, c.w, c.z, c.zdeg FROM cand c
       LEFT JOIN und e ON e.src = c.u AND e.dst = c.w
       WHERE e.src IS NULL),
     sc AS (
       SELECT u, w,
              CAST(COUNT(*) AS BIGINT) AS n_common,
-             CAST(SUM(CAST(round(1000000.0 / d.deg, 0) AS BIGINT)) AS BIGINT)
+             CAST(SUM(CAST(round(1000000.0 / zdeg, 0) AS BIGINT)) AS BIGINT)
                AS ra_micro
-      FROM miss JOIN deg d ON d.node = miss.z GROUP BY u, w)
+      FROM miss GROUP BY u, w)
     SELECT u AS src, w AS dst, n_common, ra_micro, rnk FROM (
       SELECT u, w, n_common, ra_micro,
              row_number() OVER (ORDER BY ra_micro DESC, u, w) AS rnk
@@ -1546,9 +1563,14 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: edges are kNN-bounded (N*k) and cell-local by
     construction; the distance-2 expansion joins the undirected edge
-    list with itself on the shared endpoint — O(N * k^2) candidate
-    rows, never N^2; the anti-join against existing edges and the
-    degree join are equi-joins on node ids; the top-25 compiles to
+    list with itself on the shared endpoint, with the relay node
+    degree-capped (deg(z) <= SHSS_RA_DEG_CAP, see RA_DEG_CAP above) —
+    candidate rows are bounded by cap * |edges|, linear in the graph,
+    where the uncapped expansion is sum(deg^2) and measured
+    superlinear under replica-concentrated in-degree (r10 stress:
+    10.8x on the x10->x100 step). n_common likewise counts capped
+    relays — identical in the oracle. The anti-join against existing
+    edges is an equi-join on node ids; the top-25 compiles to
     TakeOrdered."""
     from pyspark.sql import Window
 
@@ -1576,27 +1598,29 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("deg")
     )
-    a = und.select(F.col("src").alias("u"), F.col("dst").alias("z"))
+    # hub cap BEFORE the expansion, so the quadratic term never
+    # materializes (see RA_DEG_CAP above)
+    deg_ok = deg.filter(F.col("deg") <= RA_DEG_CAP)
+    a = (
+        und.join(deg_ok, F.col("dst") == F.col("node"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("z"), "deg")
+    )
     b = und.select(F.col("src").alias("z2"), F.col("dst").alias("w"))
     cand = a.join(b, (F.col("z") == F.col("z2")) & (F.col("u") < F.col("w"))).select(
-        "u", "w", "z"
+        "u", "w", "z", "deg"
     )
     miss = cand.join(
         und,
         (F.col("u") == F.col("src")) & (F.col("w") == F.col("dst")),
         "left_anti",
     )
-    sc = (
-        miss.join(deg, F.col("z") == F.col("node"))
-        .groupBy("u", "w")
-        .agg(
-            F.count("*").cast("bigint").alias("n_common"),
-            F.sum(
-                F.round(F.lit(1_000_000.0) / F.col("deg"), 0).cast("bigint")
-            )
-            .cast("bigint")
-            .alias("ra_micro"),
+    sc = miss.groupBy("u", "w").agg(
+        F.count("*").cast("bigint").alias("n_common"),
+        F.sum(
+            F.round(F.lit(1_000_000.0) / F.col("deg"), 0).cast("bigint")
         )
+        .cast("bigint")
+        .alias("ra_micro"),
     )
     top = sc.orderBy(F.col("ra_micro").desc(), "u", "w").limit(25)
     w_rnk = Window.orderBy(F.col("ra_micro").desc(), "u", "w")

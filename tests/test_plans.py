@@ -1568,14 +1568,20 @@ def test_link_prediction_knn_bounded(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_decontam_span_digest_join_single_doc_partitioning(spark):
-    """Span decontamination: the eval-gram probe is a digest equi-join
-    (never text-to-text, never cartesian); coverage dedup, span runs,
-    and reconstruction ride doc_id exchanges; all JVM-side."""
+def test_decontam_span_broadcast_probe(spark):
+    """Span decontamination (r11 shape): the BOUNDED eval suite's
+    distinct gram digests broadcast, so the corpus-gram probe is a
+    map-side BroadcastHashJoin — the training grams never shuffle
+    (never text-to-text, never cartesian); the per-row surgery is all
+    JVM-side array math."""
     df = _df(spark, "corpus_decontam_span_removal")
     plan = formatted_plan(df)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
     assert count_nodes(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the broadcast hint must sit on the bounded (Aggregate) subtree
+    for sub in broadcast_hint_subtrees(df):
+        assert "Aggregate" in sub
 
 
 def test_langid_confusion_broadcast_row_totals(spark):
