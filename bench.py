@@ -160,6 +160,12 @@ HEADLINE = [
     "events_cuped_adjustment",
     "events_sprt_decision",
     "multimodal_image_dhash",
+    # round-11 additions (new keys only per BASELINE.md protocol)
+    "events_nelson_aalen_hazard",
+    "corpus_ngram_duplication_rate",
+    "text_kneser_ney_bigram",
+    "corpus_quality_calibration_ece",
+    "sim_reciprocal_nearest_neighbors",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

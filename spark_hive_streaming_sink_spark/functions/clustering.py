@@ -793,6 +793,95 @@ def _pagerank_iter_sql(rin: str, out: str) -> str:
     """
 
 
+def _rnn_oracle() -> str:
+    from .similarity import K_NN_GRAPH, _sql_bucket, _sql_dot
+
+    dot_vv = _sql_dot("embedding", "embedding")
+    dot_ab = _sql_dot("a.embedding", "b.embedding")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding,
+                      sqrt({dot_vv}) AS nrm,
+                      {_sql_bucket('embedding')} AS bucket
+               FROM embeddings WHERE embedding IS NOT NULL),
+    p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                 round({dot_ab} / (a.nrm * b.nrm), 6) AS cosine,
+                 row_number() OVER (PARTITION BY a.vec_id
+                                    ORDER BY round({dot_ab} / (a.nrm * b.nrm), 6)
+                                             DESC, b.vec_id) AS rnk
+          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+    knn AS (SELECT src, dst, cosine, rnk FROM p WHERE rnk <= {K_NN_GRAPH})
+    SELECT f.src, f.dst,
+           CAST(f.rnk AS BIGINT) AS rank_fwd,
+           CAST(r.rnk AS BIGINT) AS rank_rev,
+           CAST(round(f.cosine * 1000000, 0) AS BIGINT) AS cos_ppm
+    FROM knn f JOIN knn r ON r.src = f.dst AND r.dst = f.src
+    WHERE f.src < f.dst
+    """
+
+
+@register(
+    "sim_reciprocal_nearest_neighbors",
+    oracle=_rnn_oracle(),
+    tags=("llm", "similarity", "embedding", "graph"),
+)
+def sim_reciprocal_nearest_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reciprocal (mutual) k-nearest-neighbor pairs over the embedding
+    corpus: (a, b) such that b is in a's top-k AND a is in b's top-k.
+    Mutuality is the classic high-precision filter on a kNN graph —
+    RNN pairs seed agglomerative clusterings (Reciprocal Nearest
+    Neighbor chains) and are the "definitely related" edge set
+    re-rankers trust. One row per unordered pair with both ranks and
+    the shared cosine.
+
+    Exactness: cosines round to 6 places (the engine-parity quantum
+    shared by the whole kNN family), ranks carry the (cosine DESC,
+    vec_id) tie-break, and the output pair is canonical (src < dst).
+
+    Scale: the kNN lists are cell-local Arrow gram matrices
+    (_knn_cell_topk — only N*k rows leave the cells); mutuality is
+    ONE self-equi-join of that N*k edge list on the reversed key.
+    Never all-pairs."""
+    from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+    )
+    knn = _knn_cell_topk(v, K_NN_GRAPH).select(
+        F.col("node_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "cosine",
+        "rnk",
+    )
+    # one self-join on the reversed edge key — both sides are the same
+    # N*k relation
+    knn = knn.localCheckpoint(eager=True)
+    f = knn.alias("f")
+    r = knn.alias("r")
+    return (
+        f.join(
+            r,
+            (F.col("r.src") == F.col("f.dst"))
+            & (F.col("r.dst") == F.col("f.src")),
+        )
+        .filter(F.col("f.src") < F.col("f.dst"))
+        .select(
+            F.col("f.src").alias("src"),
+            F.col("f.dst").alias("dst"),
+            F.col("f.rnk").cast("bigint").alias("rank_fwd"),
+            F.col("r.rnk").cast("bigint").alias("rank_rev"),
+            F.round(F.col("f.cosine") * 1_000_000, 0)
+            .cast("bigint")
+            .alias("cos_ppm"),
+        )
+    )
+
+
 def _pr_oracle() -> str:
     # _sql_dot carries the empty/NULL/ragged-list guard that mirrors
     # Spark's zip_with fold — the raw list_reduce form ERRORS on the

@@ -1974,6 +1974,214 @@ def corpus_decontam_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_NGRAM = int(os.environ.get("SHSS_DUP_NGRAM", "8"))
+
+
+@register(
+    "corpus_ngram_duplication_rate",
+    oracle=f"""
+    -- the Lee et al. (2022, "Deduplicating Training Data Makes
+    -- Language Models Better") memorization-risk metric: what
+    -- fraction of {DUP_NGRAM}-gram OCCURRENCES belong to a gram that
+    -- appears 2+ times corpus-wide, reported per source. A source
+    -- with a high duplicated-occurrence rate is recycling text the
+    -- model will memorize rather than learn from.
+    WITH t AS (
+      SELECT source, string_split(trim(text), ' ') AS tk FROM documents),
+    g AS (
+      SELECT source,
+             md5(array_to_string(tk[i:i+{DUP_NGRAM - 1}], ' ')) AS h
+      FROM t, unnest(generate_series(1, len(tk) - {DUP_NGRAM - 1})) u(i)),
+    c AS (SELECT h, COUNT(*) AS cnt FROM g GROUP BY h)
+    SELECT g.source,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_duplicated,
+           CAST(round(1000000.0
+                      * SUM(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END)
+                      / COUNT(*), 0) AS BIGINT) AS dup_rate_ppm
+    FROM g JOIN c USING (h)
+    GROUP BY g.source
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def corpus_ngram_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram duplication rate — the corpus-health number
+    behind "dedup your data": of all {DUP_NGRAM}-gram occurrences a
+    source contributes, how many are copies (their gram occurs >= 2
+    times anywhere in the corpus). Unlike the pairwise dedup ops this
+    is a RATE over occurrences, not a pair list — the audit you run
+    FIRST to decide how aggressively to dedup each source.
+
+    Exactness: gram identity is the 60-bit token-hash polynomial chain
+    (internal only — the oracle uses md5 over the gram string; the
+    duplicate structure agrees modulo a ~2^-60 collision); counts are
+    exact bigints and the rate rounds once to ppm.
+
+    Scale: one corpus postings pass (token md5s once per token, grams
+    as integer chains — the gram string never materializes) into an
+    explicit h-repartition; the occurrence-count agg and the count
+    join both consume that SAME Exchange (ReuseExchange, the
+    dedup_containment_pairs pattern), so the corpus is hashed once
+    and shuffled once; the final rollup is per-source (tiny)."""
+    from ..io import parallelize_scan
+
+    d = parallelize_scan(load_table(spark, sf_dir, "documents"))
+    tk = F.split(F.trim(F.col("text")), " ")
+    t1 = d.select(
+        "source",
+        F.size(tk).alias("_n"),
+        F.transform(
+            tk,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("_th"),
+    )
+    th = F.col("_th")
+    M60 = (1 << 60) - 1
+
+    def chain(i: Column) -> Column:
+        # polynomial accumulator (see corpus_decontam_span_removal):
+        # scale the ACCUMULATOR each step so position matters
+        h = F.element_at(th, i)
+        for off in range(1, DUP_NGRAM):
+            h = F.lit(3) * h.bitwiseAND(F.lit(M60)) + F.element_at(
+                th, i + F.lit(off)
+            )
+        return h.bitwiseAND(F.lit(M60))
+
+    grams_arr = F.when(
+        F.col("_n") >= DUP_NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_n") - (DUP_NGRAM - 1)),
+            lambda i: chain(i),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = t1.select("source", F.explode(grams_arr).alias("h"))
+    ex = g.repartition(F.col("h"))
+    cnt = ex.groupBy("h").agg(F.count("*").alias("cnt"))
+    j = ex.join(cnt, "h")
+    dup = F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).cast("bigint")
+    occ = F.count("*").cast("bigint")
+    return j.groupBy("source").agg(
+        occ.alias("n_occurrences"),
+        dup.alias("n_duplicated"),
+        F.round(F.lit(1_000_000.0) * dup / occ, 0)
+        .cast("bigint")
+        .alias("dup_rate_ppm"),
+    )
+
+
+@register(
+    "corpus_quality_calibration_ece",
+    oracle="""
+    -- reliability diagram + per-bin expected-calibration-error terms
+    -- for a quality predictor: EN-stopword density as a predictor of
+    -- lang = 'en'. The audit every learned quality filter needs
+    -- before its scores gate data: within each confidence bin, does
+    -- the predicted rate match the observed rate? (Naeini et al.
+    -- 2015 ECE, decomposed per bin so the driver hash certifies the
+    -- whole diagram, not one scalar.)
+    WITH t AS (
+      SELECT lang, string_split(trim(text), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    sc AS (
+      SELECT CASE WHEN len(toks) > 0 THEN CAST(round(
+               1000000.0 * len(list_filter(toks,
+                 x -> list_contains(['the','a','of','and','to','in','is'], x)))
+               / len(toks), 0) AS BIGINT) END AS score_ppm,
+             COALESCE(lang = 'en', FALSE) AS label
+      FROM t),
+    ok AS (SELECT * FROM sc WHERE score_ppm IS NOT NULL),
+    n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ok),
+    b AS (
+      SELECT LEAST(score_ppm // 100000, 9) AS bin, score_ppm, label
+      FROM ok)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(round(AVG(CAST(score_ppm AS DOUBLE)), 0) AS BIGINT)
+             AS conf_ppm,
+           CAST(round(1000000.0 * SUM(CASE WHEN label THEN 1 ELSE 0 END)
+                      / COUNT(*), 0) AS BIGINT) AS acc_ppm,
+           CAST(round(1000000.0 * COUNT(*) / CAST(a.n AS DOUBLE), 0)
+             AS BIGINT) AS weight_ppm
+    FROM b CROSS JOIN n_all a
+    GROUP BY bin, a.n
+    """,
+    tags=("llm", "curation", "quality", "audit"),
+)
+def corpus_quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a quality predictor — the calibration
+    audit (Naeini et al. 2015) run before any classifier score is
+    trusted to gate training data. Predictor: EN-stopword token
+    density in ppm (a real, if crude, English-ness score); target:
+    lang == 'en'. Ten equal-width confidence bins, each reporting its
+    doc count, mean predicted confidence, observed positive rate, and
+    corpus weight — ECE is the weight_ppm-weighted sum of
+    |conf - acc|, recoverable from the rows; emitting the bins keeps
+    the whole diagram hash-certified.
+
+    Exactness: the score rounds once to integer ppm per doc; bins are
+    integer floor-division; per-bin stats are exact counts plus one
+    double divide each, rounded once.
+
+    Scale: one map-side score projection (no explode — the stopword
+    filter is a per-row array op) and ONE 10-group aggregation; the
+    corpus total joins back as a broadcast scalar. Scan-bound at any
+    size."""
+    from ..functions.text import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    score = F.when(
+        F.size(toks) > 0,
+        F.round(
+            F.lit(1_000_000.0) * n_stop / F.size(toks), 0
+        ).cast("bigint"),
+    )
+    sc = d.select(
+        score.alias("score_ppm"),
+        F.coalesce(F.col("lang") == "en", F.lit(False)).alias("label"),
+    ).filter(F.col("score_ppm").isNotNull())
+    n_all = sc.agg(F.count("*").cast("bigint").alias("n"))
+    b = sc.select(
+        F.least(F.col("score_ppm") / F.lit(100_000), F.lit(9))
+        .cast("bigint")
+        .alias("bin"),
+        "score_ppm",
+        "label",
+    )
+    return (
+        b.crossJoin(F.broadcast(n_all))
+        .groupBy("bin", "n")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg(F.col("score_ppm").cast("double")), 0)
+            .cast("bigint")
+            .alias("conf_ppm"),
+            F.round(
+                F.lit(1_000_000.0)
+                * F.sum(F.when(F.col("label"), 1).otherwise(0))
+                / F.count("*"),
+                0,
+            )
+            .cast("bigint")
+            .alias("acc_ppm"),
+            F.round(
+                F.lit(1_000_000.0) * F.count("*") / F.first("n").cast("double"),
+                0,
+            )
+            .cast("bigint")
+            .alias("weight_ppm"),
+        )
+        .select("bin", "n_docs", "conf_ppm", "acc_ppm", "weight_ppm")
+    )
+
+
 PCTL_POINTS_PPM = (250_000, 500_000, 750_000, 900_000, 990_000)
 
 

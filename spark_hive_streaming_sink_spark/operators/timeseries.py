@@ -1501,6 +1501,148 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_nelson_aalen_hazard",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, ts FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    t0 AS (SELECT user_id, MIN(ts) AS signup_ts FROM e
+           WHERE event_type = 'signup' GROUP BY user_id),
+    study AS (SELECT MAX(ts) AS end_ts FROM e),
+    p AS (SELECT e.user_id, MIN(e.ts) AS purchase_ts
+          FROM e JOIN t0 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts >= t0.signup_ts
+          GROUP BY e.user_id),
+    subj AS (
+      SELECT p.purchase_ts IS NOT NULL AS observed,
+             CASE WHEN p.purchase_ts IS NOT NULL
+                  THEN (epoch_us(p.purchase_ts) - epoch_us(t0.signup_ts))
+                       // 86400000000
+                  ELSE (epoch_us(s.end_ts) - epoch_us(t0.signup_ts))
+                       // 86400000000
+             END AS dur_day
+      FROM t0 LEFT JOIN p USING (user_id) CROSS JOIN study s),
+    n_tot AS (SELECT COUNT(*) AS n FROM subj),
+    by_day AS (
+      SELECT dur_day,
+             SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS d,
+             COUNT(*) AS leaving
+      FROM subj GROUP BY dur_day),
+    risk AS (
+      SELECT dur_day, d,
+             t.n - COALESCE(SUM(leaving) OVER (
+               ORDER BY dur_day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_at_risk
+      FROM by_day CROSS JOIN n_tot t),
+    ev AS (
+      SELECT dur_day, d, n_at_risk,
+             CAST(round(1000000.0 * CAST(d AS DOUBLE)
+                        / CAST(n_at_risk AS DOUBLE), 0) AS BIGINT)
+               AS term_ppm
+      FROM risk WHERE d > 0)
+    SELECT CAST(dur_day AS BIGINT) AS day,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(SUM(term_ppm) OVER (
+             ORDER BY dur_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_hazard_ppm
+    FROM ev
+    """,
+    tags=("aggregate", "window", "timeseries", "survival"),
+)
+def events_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard for time-to-first-purchase — the
+    companion estimator to events_survival_km on the same subjects
+    (signup cohort, first purchase as the event, right-censoring at
+    study end): H(t) = sum_{u <= t} d_u / n_u, one row per event day
+    with the at-risk count, event count, and the running hazard in
+    ppm. Where KM answers "what fraction survives", NA answers "how
+    much cumulative risk has accrued" — the quantity hazard-ratio
+    models are built on, and the better-behaved estimator under small
+    at-risk sets.
+
+    Exactness: each day's increment rounds ONCE to integer ppm
+    (identical double divide + round in both engines); the cumulative
+    sum is then pure integer addition — no float accumulation order
+    to disagree on (the KM product needs the ordered-fold trick; the
+    NA sum doesn't).
+
+    Scale: identical to KM — subjects aggregate per user (one
+    shuffle), the curve lives on the O(distinct days) table, so the
+    global-order window costs days, not events."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    t0 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    study = e.agg(F.max("ts").alias("end_ts"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    subj = (
+        t0.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(study))
+        .select(
+            F.col("purchase_ts").isNotNull().alias("observed"),
+            F.when(
+                F.col("purchase_ts").isNotNull(),
+                F.expr(
+                    "(unix_micros(purchase_ts) - unix_micros(signup_ts))"
+                    " div 86400000000"
+                ),
+            )
+            .otherwise(
+                F.expr(
+                    "(unix_micros(end_ts) - unix_micros(signup_ts))"
+                    " div 86400000000"
+                )
+            )
+            .alias("dur_day"),
+        )
+    )
+    n_tot = subj.agg(F.count("*").alias("n"))
+    by_day = subj.groupBy("dur_day").agg(
+        F.sum(F.col("observed").cast("bigint")).alias("d"),
+        F.count("*").alias("leaving"),
+    )
+    w_prev = Window.orderBy("dur_day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = by_day.crossJoin(F.broadcast(n_tot)).select(
+        "dur_day",
+        "d",
+        (
+            F.col("n") - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    ev = risk.filter(F.col("d") > 0).withColumn(
+        "term_ppm",
+        F.round(
+            F.lit(1_000_000.0)
+            * F.col("d").cast("double")
+            / F.col("n_at_risk").cast("double"),
+            0,
+        ).cast("bigint"),
+    )
+    w_cur = Window.orderBy("dur_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        F.col("dur_day").cast("bigint").alias("day"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.sum("term_ppm").over(w_cur).cast("bigint").alias("cum_hazard_ppm"),
+    )
+
+
+@register(
     "events_attribution_credit",
     oracle="""
     -- spec: the naive windowed pair join (every purchase x every

