@@ -80,14 +80,39 @@ def _load_all() -> None:
     from .functions import monitoring  # noqa: F401
 
 
+# Hand-maintained (unlike ``_verified``, which is generated from the
+# driver's CORRECTNESS_r*.json): queries whose OUTPUT VALUES a round
+# deliberately changed (new digest scheme, added cap, bounded eval set)
+# mapped to the round of the change.  A green verdict from an earlier
+# round certifies the OLD outputs, so until the driver re-judges them
+# these rank ahead of every routine re-certification.  Entries age out
+# on their own: once LAST_GREEN_ROUND reaches ``changed_round`` the
+# rank() test below stops firing, so stale entries are harmless.
+SEMANTIC_RECHECK: dict[str, int] = {
+    # r11 flipped the MinHash signature scheme (token-combine digests),
+    # hub-capped RA link prediction, and bounded the decontam eval set;
+    # these eight changed-output queries drew no r11 driver verdict.
+    "dedup_minhash_calibration": 11,
+    "dedup_containment_pairs": 11,
+    "dedup_threshold_sweep": 11,
+    "stream_dedup_minhash_incremental": 11,
+    "corpus_dedup_rate_by_source": 11,
+    "dedup_chunks_reconstruct": 11,
+    "corpus_decontam_span_removal": 11,
+    "graph_link_prediction_ra": 11,
+}
+
+
 def _ordered_specs() -> list[QuerySpec]:
     """Registry order, re-ranked so the driver's finite verdict budget
     lands where it buys the most signal (see ``_verified``):
 
     1. ``PRIORITY_RECHECK`` (previously wrong, now fixed);
-    2. never-judged queries (registration order preserved);
-    3. rows-only-judged (verdict can't improve, but cheap to refresh);
-    4. greens, STALEST verdict first — with all 234 queries judged at
+    2. ``SEMANTIC_RECHECK`` whose latest green predates the change
+       (outputs deliberately flipped; old verdict certifies old code);
+    3. never-judged queries (registration order preserved);
+    4. rows-only-judged (verdict can't improve, but cheap to refresh);
+    5. greens, STALEST verdict first — with all queries judged at
        least once, rolling re-certification matters more than first
        verdicts: queries last judged in r1/r2 have had shared helpers
        refactored under them and should be re-hashed before r6 greens.
@@ -99,11 +124,15 @@ def _ordered_specs() -> list[QuerySpec]:
     def rank(spec: QuerySpec) -> tuple[int, int]:
         if spec.name in recheck:
             return (0, recheck[spec.name])
+        changed = SEMANTIC_RECHECK.get(spec.name)
+        last_green = v.LAST_GREEN_ROUND.get(spec.name, 0)
+        if changed is not None and last_green < changed:
+            return (1, changed)
         if spec.name in v.GREEN:
-            return (3, v.LAST_GREEN_ROUND.get(spec.name, 0))
+            return (4, last_green)
         if spec.name in v.ROWS_ONLY_JUDGED:
-            return (2, 0)
-        return (1, 0)
+            return (3, 0)
+        return (2, 0)
 
     return sorted(QUERIES.values(), key=rank)  # stable → registration order kept
 

@@ -463,11 +463,17 @@ def test_benford_digit_extraction_matches_reference(spark, tmp_path_factory, cen
 
 
 def test_verified_ledger_matches_driver_record():
-    """VERDICT r9 item 9: `_verified.py` is GENERATED from the union of
-    CORRECTNESS_r*.json; a hand-edit or a missed per-round fold shows up
-    here as staleness (regenerate with tools/gen_verified.py --write)."""
+    """VERDICT r9 item 9 / r11 item 1: `_verified.py` is GENERATED from
+    the union of CORRECTNESS_r*.json. A hand-edited ledger hard-fails.
+    The one benign staleness — the round driver drops the NEWEST
+    CORRECTNESS_r{N}.json *after* the round's final commit, so HEAD can
+    never contain a ledger that includes it — only warns: the committed
+    ledger must exactly equal the generator's output with that newest
+    round excluded (i.e., it was honestly generated from everything
+    that existed at commit time)."""
     import importlib.util
     import os
+    import warnings
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
@@ -476,9 +482,21 @@ def test_verified_ledger_matches_driver_record():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     committed = open(mod.TARGET).read()
-    assert committed == mod.generate(), (
-        "_verified.py is stale vs CORRECTNESS_r*.json — run "
-        "`python tools/gen_verified.py --write`"
+    if committed == mod.generate():
+        return
+    newest = max(mod._load_rounds())
+    if committed == mod.generate(exclude_round=newest):
+        warnings.warn(
+            f"_verified.py predates CORRECTNESS_r{newest:02d}.json "
+            "(dropped by the driver after the last commit) — run "
+            "`python tools/gen_verified.py --write` at round start",
+            stacklevel=1,
+        )
+        return
+    raise AssertionError(
+        "_verified.py diverges from CORRECTNESS_r*.json beyond the "
+        "benign newest-round lag — it was hand-edited or a fold was "
+        "skipped; run `python tools/gen_verified.py --write`"
     )
 
 

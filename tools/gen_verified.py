@@ -86,8 +86,14 @@ def _fmt_set(name: str, items: set[str], comment: str) -> str:
     )
 
 
-def generate() -> str:
+def generate(exclude_round: int | None = None) -> str:
+    """Render the ledger. ``exclude_round`` drops that round's JSON
+    before rendering — the staleness guard uses it to distinguish "the
+    driver dropped a new CORRECTNESS file after the last commit" (warn,
+    regenerate at round start) from a hand-edited ledger (hard fail)."""
     rounds = _load_rounds()
+    if exclude_round is not None:
+        rounds.pop(exclude_round, None)
     if not rounds:
         raise SystemExit("no CORRECTNESS_r*.json found")
     green_by_round: dict[int, set[str]] = {}
