@@ -1952,14 +1952,25 @@ def corpus_decontam_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cov = F.col("cov")
+    # span starts: position whose predecessor is not covered. The
+    # element_at index is clamped to >= 1 so the idx == 0 element never
+    # references array index 0 even if an engine/ANSI change stops Or
+    # from short-circuiting (element_at raises on index 0); for idx == 0
+    # the clamped comparison cov[0] != cov[0] + 1 is vacuously true, so
+    # the clamp is semantics-free (ADVICE r11).
     n_spans = F.size(
         F.filter(
             cov,
             lambda x, idx: (idx == 0)
-            | (x != F.element_at(cov, idx) + 1),
+            | (x != F.element_at(cov, F.greatest(idx, F.lit(1))) + 1),
         )
     ).cast("bigint")
     removed = F.size(cov).cast("bigint")
+    # Per-row surgery is O(n_tokens * |cov|) (array_contains scan per
+    # token) — fine for web-doc lengths and the bounded eval suite
+    # (measured 13.4 s at ×100); if long heavily-contaminated docs ever
+    # appear, cov is sorted, so a merge-style aggregate() walk over
+    # zipped positions restores linearity.
     kept_toks = F.filter(
         F.col("tk"), lambda t, i0: ~F.array_contains(cov, i0 + 1)
     )
@@ -2019,11 +2030,15 @@ def corpus_ngram_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame
     exact bigints and the rate rounds once to ppm.
 
     Scale: one corpus postings pass (token md5s once per token, grams
-    as integer chains — the gram string never materializes) into an
-    explicit h-repartition; the occurrence-count agg and the count
-    join both consume that SAME Exchange (ReuseExchange, the
-    dedup_containment_pairs pattern), so the corpus is hashed once
-    and shuffled once; the final rollup is per-source (tiny)."""
+    as integer chains — the gram string never materializes), then ONE
+    occurrence shuffle: grams pre-aggregate to the (h, source) TYPE
+    table with map-side combine (duplicated grams collapse before the
+    wire — the r11 shape shuffled raw occurrences twice because column
+    pruning broke the intended ReuseExchange diamond). The corpus-wide
+    count is a sum-window over the type table partitioned by h — each
+    h holds at most |sources| type rows, so nothing buffers (unlike
+    the measured-dead count-window over raw postings, BASELINE.md);
+    the final rollup is per-source (tiny)."""
     from ..io import parallelize_scan
 
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
@@ -2059,11 +2074,14 @@ def corpus_ngram_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     g = t1.select("source", F.explode(grams_arr).alias("h"))
-    ex = g.repartition(F.col("h"))
-    cnt = ex.groupBy("h").agg(F.count("*").alias("cnt"))
-    j = ex.join(cnt, "h")
-    dup = F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0)).cast("bigint")
-    occ = F.count("*").cast("bigint")
+    gs = g.groupBy("h", "source").agg(F.count("*").alias("occ"))
+    j = gs.withColumn(
+        "cnt", F.sum("occ").over(Window.partitionBy("h"))
+    )
+    dup = F.sum(F.when(F.col("cnt") >= 2, F.col("occ")).otherwise(0)).cast(
+        "bigint"
+    )
+    occ = F.sum("occ").cast("bigint")
     return j.groupBy("source").agg(
         occ.alias("n_occurrences"),
         dup.alias("n_duplicated"),
@@ -2073,9 +2091,19 @@ def corpus_ngram_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _sql_stop() -> str:
+    """The oracle-side stopword list, interpolated from the SAME
+    constant the Spark side uses (``text.STOPWORDS``) — a hardcoded
+    copy here would silently diverge the oracle on any future edit
+    (ADVICE r11)."""
+    from .text import _SQL_STOP
+
+    return _SQL_STOP
+
+
 @register(
     "corpus_quality_calibration_ece",
-    oracle="""
+    oracle=f"""
     -- reliability diagram + per-bin expected-calibration-error terms
     -- for a quality predictor: EN-stopword density as a predictor of
     -- lang = 'en'. The audit every learned quality filter needs
@@ -2089,7 +2117,7 @@ def corpus_ngram_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame
     sc AS (
       SELECT CASE WHEN len(toks) > 0 THEN CAST(round(
                1000000.0 * len(list_filter(toks,
-                 x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                 x -> list_contains([{_sql_stop()}], x)))
                / len(toks), 0) AS BIGINT) END AS score_ppm,
              COALESCE(lang = 'en', FALSE) AS label
       FROM t),

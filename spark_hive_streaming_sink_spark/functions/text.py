@@ -2463,10 +2463,15 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- score each doc by mean bigram surprisal (integer micro-nats), flag
     -- docs 25% above the corpus mean, report the blast radius per
     -- source. All comparisons are exact integer cross-multiplications.
+    -- doc_id IS NOT NULL: a document with no id cannot be scored,
+    -- joined back, or reported — both engines exclude it up front
+    -- (and the shared guard keeps every Spark branch's scan
+    -- identical, which is what lets one gram pass serve the model
+    -- AND the probe).
     WITH t AS (
       SELECT doc_id, coalesce(source, '(none)') AS source,
              string_split(trim(text), ' ') AS toks
-      FROM documents WHERE text IS NOT NULL),
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
     v AS (SELECT COUNT(DISTINCT w) AS vocab
           FROM (SELECT unnest(toks) AS w FROM t)),
     bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
@@ -2527,11 +2532,23 @@ def text_perplexity_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4·sum·C_bigrams > 5·C_unats·n_bigrams) — no float thresholds;
     shares are integer-ppm.
 
-    Scale: same shapes as the surprisal op (map-side bigram explode,
-    model aggregate, occurrence-to-model join) plus a 1-row corpus
-    broadcast and a source-keyed rollup. Nothing new shuffles."""
+    Scale: the bigram explode runs ONCE. Occurrences pre-aggregate to
+    the per-doc (doc_id, w1, w2, k) type table with map-side combine,
+    and every downstream relation — the (w1,w2) count, its w1 rollup,
+    the model, and the scoring join's probe side — derives from that
+    ONE Aggregate. Pinning the diamond below an Aggregate (not a bare
+    repartition) is what makes AQE's ReuseExchange actually fire:
+    column pruning cannot reach beneath groupBy keys, so every branch
+    canonicalizes to the identical shuffle subtree and the corpus
+    explode+shuffle materializes once (the bare-repartition variant
+    measured two full explodes — pruning specialized the two sides'
+    scans; a localCheckpoint of the type table still paid the explode
+    twice: 41.3 s → 35.0 s → 17.1 s across the three shapes at ×100).
+    The per-occurrence surprisal rounds once per TYPE, making k·unats
+    exactly the occurrence sum. Plus a 1-row corpus broadcast and a
+    source-keyed rollup."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents")).filter(
-        F.col("text").isNotNull()
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
     )
     toks = F.split(F.trim(F.col("text")), " ")
     t = d.select(
@@ -2539,24 +2556,40 @@ def text_perplexity_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("source", F.lit("(none)")).alias("source"),
         toks.alias("toks"),
     )
-    bg = t.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice("toks", 1, F.size("toks") - 1),
-                F.expr("slice(toks, 2, size(toks) - 1)"),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
+    bg = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.expr("slice(toks, 2, size(toks) - 1)"),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+        # no-op semantically (equal-length zip_with slices yield no
+        # NULLs) but load-bearing for the plan: the model join infers
+        # isnotnull(w1) AND isnotnull(w2) on its branches while the
+        # w1-only `tot` rollup infers just isnotnull(w1) — one Filter
+        # node of difference, and the shared gram pass stops
+        # canonicalizing equal, re-materializing per consumer.
+        # Stating both guards here keeps every branch's subtree
+        # byte-identical so AQE reuses ONE gram stage.
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    )
     vocab = t.select(F.explode("toks").alias("w")).agg(
         F.count_distinct("w").alias("vocab")
     )
-    cnt = bg.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    bgd = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    cnt = bgd.groupBy("w1", "w2").agg(F.sum("k").alias("n12"))
     tot = cnt.groupBy("w1").agg(F.sum("n12").cast("bigint").alias("n1"))
     model = cnt.join(tot, "w1").crossJoin(F.broadcast(vocab))
-    sc = bg.join(model, ["w1", "w2"]).select(
+    sc = bgd.join(model, ["w1", "w2"]).select(
         "doc_id",
+        "k",
         (
             -F.round(
                 F.log(
@@ -2571,8 +2604,8 @@ def text_perplexity_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("unats"),
     )
     per_doc = sc.groupBy("doc_id").agg(
-        F.sum("unats").cast("bigint").alias("sum_unats"),
-        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum(F.col("k") * F.col("unats")).cast("bigint").alias("sum_unats"),
+        F.sum("k").cast("bigint").alias("n_bigrams"),
     )
     corpus = per_doc.agg(
         F.sum("sum_unats").cast("bigint").alias("c_unats"),

@@ -91,6 +91,16 @@ def parallelize_scan(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
+    # NOTE (measured ×100, r12): do NOT relax this to "skip when the
+    # scan has most of the target parallelism". The dedup family's
+    # diamond plans lean on this repartition as their shared
+    # ReuseExchange point — skipping it at 25-of-32 partitions blew
+    # dedup_minhash_calibration 8.1 → 31.7 s and
+    # dedup_containment_pairs 9.6 → 16.0 s, far more than the saved
+    # raw-input shuffle. Exchange-reuse breakage above this node comes
+    # from non-identical CONSUMER subtrees (join-inferred IsNotNull
+    # filters differing per branch) and is fixed by stating those
+    # guards explicitly in the op (see text_perplexity_filter_audit).
     if df.rdd.getNumPartitions() >= partitions:
         return df
     return df.repartition(partitions)

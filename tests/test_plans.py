@@ -1671,6 +1671,27 @@ def test_perplexity_filter_corpus_broadcast_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_perplexity_filter_single_gram_pass(spark):
+    """Perplexity filter (r12): ONE bigram gram pass serves the model
+    counts, the w1 rollup, AND the per-doc scoring probe — the
+    (doc_id, w1, w2) pre-aggregate's exchange is AQE-reused by every
+    consumer (41.3 s → 15.7 s at ×100). Two prerequisites are pinned
+    by construction and guarded here at execution: the doc_id guard is
+    explicit on the base relation (so the outer-join's inferred
+    IsNotNull can't specialize one branch's scan) and the w1/w2 guards
+    are explicit on the gram relation (so the w1-only rollup doesn't
+    carry a weaker Filter than the model join's branches)."""
+    import re
+
+    from spark_hive_streaming_sink_spark.plans import executed_final_plan
+
+    df = _df(spark, "text_perplexity_filter_audit")
+    final = executed_final_plan(df)
+    grams = len(re.findall(r"Generate explode\(zip_with", final))
+    assert grams == 1, f"bigram pass materialized {grams}x:\n{final[:2000]}"
+    assert "ReusedExchange" in final
+
+
 def test_hll_intersection_sketch_broadcast_scalars(spark):
     """Sketch intersection: every side is a 1-row aggregate broadcast
     (scalar-join idiom); no corpus-sized join, no Python."""
@@ -1735,3 +1756,96 @@ def test_dhash_bucket_broadcast(spark):
     assert count_nodes(df, "BroadcastHashJoin") >= 1
     assert count_nodes(df, "SortMergeJoin") == 0
     assert count_nodes(df, "CartesianProduct") == 0
+
+
+def test_dup_rate_single_gram_explode_and_shuffle(spark):
+    """n-gram duplication rate (r12 shape): the corpus grams explode
+    ONCE and cross the wire ONCE — pre-aggregated to the (h, source)
+    type table with map-side partial combine (the r11 diamond exploded
+    and shuffled raw occurrences twice because column pruning broke
+    its intended ReuseExchange). The corpus-wide count is a sum-window
+    over the type table (≤ |sources| rows per h — not the measured-dead
+    postings window); the rolling-hash chain is JVM array math."""
+    df = _df(spark, "corpus_ngram_duplication_rate")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Generate") == 1  # one explode of the corpus
+    assert count_nodes(df, "Scan parquet") == 1
+    # partial+final pairs for the type table and the source rollup
+    assert count_nodes(df, "HashAggregate") == 4
+    assert count_nodes(df, "Window") == 1
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kneser_ney_checkpointed_type_table_topk(spark):
+    """Kneser-Ney (r11): the vocab²-bounded bigram-TYPE table is
+    materialized once (localCheckpoint → the final plan scans the
+    checkpoint RDD, never re-running the corpus explode — measured
+    73.0 s → 20.2 s at ×100), its three rollups ride broadcasts, and
+    the top-50 is TakeOrderedAndProject, never a global sort."""
+    df = _df(spark, "text_kneser_ney_bigram")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the corpus explode is behind the checkpoint: no Generate node
+    # (and no parquet scan at all) survives into the final plan
+    assert count_nodes(df, "Generate") == 0
+    assert count_nodes(df, "Scan parquet") == 0
+    assert plan.count("localCheckpoint") >= 1
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_reciprocal_knn_single_self_join(spark):
+    """Reciprocal kNN (r11): mutuality is ONE self-equi-join of the
+    checkpointed N*k edge list on the reversed (dst, src) key — no
+    second join, no Generate, and the Arrow kNN build is entirely
+    behind the checkpoint (no Python stage in the final plan)."""
+    df = _df(spark, "sim_reciprocal_nearest_neighbors")
+    plan = formatted_plan(df)
+    joins = (
+        count_nodes(df, "BroadcastHashJoin")
+        + count_nodes(df, "SortMergeJoin")
+        + count_nodes(df, "ShuffledHashJoin")
+    )
+    assert joins == 1, f"expected exactly one self-join:\n{plan}"
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "Generate") == 0
+    assert plan.count("localCheckpoint") >= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_calibration_ece_single_aggregation_pass(spark):
+    """Calibration ECE (r11): one map-side score projection feeding ONE
+    partial+final 10-group aggregate; the corpus total is a 1-row
+    broadcast scalar (the only other aggregate pair); the stopword
+    density is a per-row array filter — no explode, no Python."""
+    df = _df(spark, "corpus_quality_calibration_ece")
+    plan = formatted_plan(df)
+    # exactly two aggregate pairs: the bin rollup and the 1-row total
+    assert count_nodes(df, "HashAggregate") == 4
+    assert count_nodes(df, "Exchange") <= 3
+    assert count_nodes(df, "Generate") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for sub in broadcast_hint_subtrees(df):
+        assert "Aggregate" in sub
+
+
+def test_nelson_aalen_windows_on_day_table_only(spark):
+    """Nelson-Aalen (r11): both global-order windows (the at-risk
+    depletion and the cumulative hazard) run AFTER the per-day
+    aggregate, so they cost O(distinct days), never O(events); no
+    following frame, no cartesian beyond 1-row broadcast scalars, no
+    Python."""
+    df = _df(spark, "events_nelson_aalen_hazard")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Window") == 2
+    assert "unboundedfollowing" not in plan.lower()
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the day-table windows sit above the per-day HashAggregate: the
+    # window sort exchanges must be SinglePartition over the aggregate
+    # output, and every scalar (n_tot, study end) is a hinted
+    # Aggregate broadcast
+    for sub in broadcast_hint_subtrees(df):
+        assert "Aggregate" in sub

@@ -665,3 +665,29 @@ def test_txnlog_merge_tolerates_concurrent_append_of_unmatched_keys(
         == 999.0
     )
     assert final.filter(F.col("event_id") == 20_000_001).count() == 1
+
+
+def test_delta_write_path_when_available(spark, tmp_path):
+    """AUTO-ACTIVATING (VERDICT r11 item 8): the delta write branch
+    (`sink.py` provider == "delta") has never executed in this sandbox
+    because `delta-spark` cannot be installed here. If the runtime ever
+    gains it, this test stops skipping and certifies the branch
+    end-to-end: stream -> delta table -> delta read-back parity."""
+    pytest.importorskip("delta", reason="delta-spark runtime not installed")
+    table, loc, base = _mk_table(spark)
+    ev = stream_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    q = write_stream_to_table(
+        ev,
+        checkpoint_dir=f"{base}/ckpt",
+        db="default",
+        table=table,
+        **{"table.format": "delta"},
+    )
+    q.awaitTermination()
+    got = spark.read.format("delta").load(loc)
+    assert got.count() == _events_batch(spark).count()
+    assert sorted(f.name for f in got.schema.fields) == [
+        "event_id", "event_type", "user_id", "value",
+    ]
