@@ -166,6 +166,12 @@ HEADLINE = [
     "text_kneser_ney_bigram",
     "corpus_quality_calibration_ece",
     "sim_reciprocal_nearest_neighbors",
+    # round-12 additions (new keys only per BASELINE.md protocol)
+    "corpus_token_tail_mass",
+    "corpus_boilerplate_heavy_hitters",
+    "sim_label_knn_disagreement",
+    "events_interval_union_coverage",
+    "stream_chained_windowed_aggregates",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -893,6 +893,137 @@ def sim_reciprocal_nearest_neighbors(
     )
 
 
+def _label_disagreement_oracle() -> str:
+    from .similarity import K_NN_GRAPH, _sql_bucket, _sql_dot
+
+    dot_vv = _sql_dot("embedding", "embedding")
+    dot_ab = _sql_dot("a.embedding", "b.embedding")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding, label,
+                      sqrt({dot_vv}) AS nrm,
+                      {_sql_bucket('embedding')} AS bucket
+               FROM embeddings
+               WHERE embedding IS NOT NULL AND label IS NOT NULL),
+    p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                 a.label AS own, b.label AS nbr,
+                 row_number() OVER (PARTITION BY a.vec_id
+                                    ORDER BY round({dot_ab} / (a.nrm * b.nrm), 6)
+                                             DESC, b.vec_id) AS rnk
+          FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+    j AS (SELECT src, own, nbr FROM p WHERE rnk <= {K_NN_GRAPH}),
+    per AS (
+      SELECT src, own, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+             CAST(SUM(CASE WHEN nbr != own THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_disagree
+      FROM j GROUP BY src, own),
+    mj AS (
+      SELECT src, nbr AS majority_label FROM (
+        SELECT src, nbr,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY COUNT(*) DESC, nbr) AS rn
+        FROM j GROUP BY src, nbr) WHERE rn = 1)
+    SELECT per.src AS vec_id,
+           CAST(per.own AS BIGINT) AS label,
+           per.n_nbrs, per.n_disagree,
+           CAST(round(1000000.0 * per.n_disagree / per.n_nbrs, 0) AS BIGINT)
+             AS disagree_ppm,
+           CAST(mj.majority_label AS BIGINT) AS majority_label,
+           (2 * per.n_disagree > per.n_nbrs) AS is_suspect
+    FROM per JOIN mj ON mj.src = per.src
+    """
+
+
+@register(
+    "sim_label_knn_disagreement",
+    oracle=_label_disagreement_oracle(),
+    tags=("llm", "similarity", "quality", "graph"),
+)
+def sim_label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen over the embedding corpus (the Confident
+    Learning / Northcutt et al. 2021 signal, kNN-voted form): each
+    labeled vector is scored by how many of its k nearest neighbors
+    carry a DIFFERENT label; a strict neighbor-majority disagreement
+    flags the row as a suspected mislabel, and the neighbor-majority
+    label (count-desc, label-asc tie-break) is the suggested fix. This
+    is the audit run before a labeled set trains a quality classifier
+    — mislabels cluster in embedding space by construction.
+
+    Exactness: the kNN graph is the deterministic cell-local top-k of
+    sim_knn_graph_lsh (cosine rounded to 6 places, vec_id tie-break);
+    votes are exact counts; the one divide rounds once to ppm.
+
+    Scale: identical to the kNN-graph ops — one bucket shuffle, Arrow
+    gram per cell, only N*k edges leave; labels join onto the edge
+    list by key (two equi-joins of an N*k list with an N-row label
+    table); the vote is one groupBy over edges. NULL embeddings can't
+    bucket and NULL labels can't vote or be audited: both excluded in
+    both engines."""
+    from pyspark.sql import Window as W
+
+    from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    v = emb.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+    )
+    # pair-bounded N*k edge list, TWO consumers (the disagreement
+    # rollup and the majority vote) — materialize once or the Arrow
+    # cell gram re-runs per consumer (the reciprocal-kNN precedent)
+    knn = (
+        _knn_cell_topk(v, K_NN_GRAPH)
+        .select("node_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    lab = emb.select("vec_id", "label")
+    e = (
+        knn.join(
+            lab.select(
+                F.col("vec_id").alias("node_id"), F.col("label").alias("own")
+            ),
+            "node_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nbr"),
+            ),
+            "neighbor_id",
+        )
+    )
+    per = e.groupBy("node_id", "own").agg(
+        F.count("*").cast("bigint").alias("n_nbrs"),
+        F.sum(F.when(F.col("nbr") != F.col("own"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_disagree"),
+    )
+    w_mj = W.partitionBy("node_id").orderBy(
+        F.col("votes").desc(), F.col("nbr")
+    )
+    mj = (
+        e.groupBy("node_id", "nbr")
+        .agg(F.count("*").alias("votes"))
+        .withColumn("rn", F.row_number().over(w_mj))
+        .filter(F.col("rn") == 1)
+        .select("node_id", F.col("nbr").alias("majority_label"))
+    )
+    return per.join(mj, "node_id").select(
+        F.col("node_id").alias("vec_id"),
+        F.col("own").cast("bigint").alias("label"),
+        "n_nbrs",
+        "n_disagree",
+        F.round(F.lit(1_000_000.0) * F.col("n_disagree") / F.col("n_nbrs"), 0)
+        .cast("bigint")
+        .alias("disagree_ppm"),
+        F.col("majority_label").cast("bigint").alias("majority_label"),
+        (F.lit(2) * F.col("n_disagree") > F.col("n_nbrs")).alias("is_suspect"),
+    )
+
+
 def _pr_oracle() -> str:
     # _sql_dot carries the empty/NULL/ragged-list guard that mirrors
     # Spark's zip_with fold — the raw list_reduce form ERRORS on the

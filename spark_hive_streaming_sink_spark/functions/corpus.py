@@ -2091,6 +2091,256 @@ def corpus_ngram_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+TAIL_MAX_COUNT = 2  # "rare" = corpus-wide type count <= this (hapax + dis)
+
+
+@register(
+    "corpus_token_tail_mass",
+    oracle=f"""
+    -- vocabulary-health audit per source: how much of a source's token
+    -- MASS sits in corpus-rare types (count <= {TAIL_MAX_COUNT}:
+    -- hapax + dis legomena). A high tail mass means the tokenizer will
+    -- shatter this source into byte fallbacks / the model sees
+    -- many once-off strings (typos, IDs, boilerplate noise) — the
+    -- Zipf-tail counterpart to the duplication-rate audit's head.
+    -- hapax_types is exact per source because a count-1 type's single
+    -- occurrence has exactly one source.
+    WITH t AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT source, w, COUNT(*) AS occ FROM t GROUP BY source, w),
+    c AS (SELECT w, CAST(SUM(occ) AS BIGINT) AS cnt FROM g GROUP BY w)
+    SELECT g.source,
+           CAST(SUM(g.occ) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c.cnt <= {TAIL_MAX_COUNT} THEN g.occ
+                         ELSE 0 END) AS BIGINT) AS tail_occurrences,
+           CAST(round(1000000.0
+                      * SUM(CASE WHEN c.cnt <= {TAIL_MAX_COUNT} THEN g.occ
+                            ELSE 0 END)
+                      / SUM(g.occ), 0) AS BIGINT) AS tail_mass_ppm,
+           CAST(SUM(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_types
+    FROM g JOIN c USING (w)
+    GROUP BY g.source
+    """,
+    tags=("llm", "curation", "text", "audit"),
+)
+def corpus_token_tail_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rare-token tail mass — the OOV-risk audit a tokenizer
+    team runs before committing a vocab: the share of a source's token
+    occurrences belonging to corpus-wide rare types (count <=
+    {TAIL_MAX_COUNT}), its distinct-type count, and its hapax count
+    (types the rest of the corpus never sees). Complements
+    corpus_ngram_duplication_rate: that op audits the duplicated HEAD
+    of the frequency curve, this one audits the unlearnable TAIL.
+
+    Exactness: all counts are exact bigints; the single divide rounds
+    once to ppm.
+
+    Scale: the proven duplication-rate shape — tokens explode ONCE and
+    pre-aggregate to the (w, source) type table with map-side combine
+    (one occurrence-scale shuffle), the corpus-wide type count is a
+    sum-window over that type table (<= |sources| rows per w, never
+    postings), and the rollup keys on source (tiny)."""
+    from ..io import parallelize_scan
+
+    d = parallelize_scan(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    g = (
+        d.select("source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w"))
+        .groupBy("w", "source")
+        .agg(F.count("*").alias("occ"))
+    )
+    j = g.withColumn("cnt", F.sum("occ").over(Window.partitionBy("w")))
+    tail = F.sum(
+        F.when(F.col("cnt") <= TAIL_MAX_COUNT, F.col("occ")).otherwise(0)
+    ).cast("bigint")
+    occ_all = F.sum("occ").cast("bigint")
+    return j.groupBy("source").agg(
+        occ_all.alias("n_occurrences"),
+        F.count("*").cast("bigint").alias("n_types"),
+        tail.alias("tail_occurrences"),
+        F.round(F.lit(1_000_000.0) * tail / occ_all, 0)
+        .cast("bigint")
+        .alias("tail_mass_ppm"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax_types"),
+    )
+
+
+HH_NGRAM = int(os.environ.get("SHSS_HH_NGRAM", "3"))
+HH_K = int(os.environ.get("SHSS_HH_K", "5000"))
+
+
+@register(
+    "corpus_boilerplate_heavy_hitters",
+    oracle=f"""
+    -- phrase-level boilerplate detector: every {HH_NGRAM}-gram whose
+    -- occurrence count exceeds 1/{HH_K} of all {HH_NGRAM}-gram
+    -- occurrences, with its exact count, doc spread, and corpus
+    -- share. The frequency-HEAD audit (navboxes, license headers,
+    -- scraper artifacts) that complements the dedup ops' pairwise
+    -- view — run before writing removal rules.
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, array_to_string(tk[i:i+{HH_NGRAM - 1}], ' ') AS gram
+      FROM t, unnest(generate_series(1, len(tk) - {HH_NGRAM - 1})) u(i)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_occ FROM g)
+    SELECT gram,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(round(1000000.0 * COUNT(*) / n.n_occ, 0) AS BIGINT)
+             AS share_ppm
+    FROM g CROSS JOIN n
+    GROUP BY gram, n.n_occ
+    HAVING COUNT(*) * {HH_K} > n.n_occ
+    """,
+    tags=("llm", "curation", "sketch", "text"),
+)
+def corpus_boilerplate_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact corpus heavy hitters through a bounded-memory sketch: the
+    {HH_NGRAM}-grams holding > 1/{HH_K} of all gram occurrences
+    (boilerplate: license headers, navigation chrome, scraper
+    artifacts). Two passes:
+
+    1. SKETCH — per partition, a mergeable Misra-Gries summary of
+       capacity {HH_K}-1 over the 60-bit token-chain gram digests
+       (mapInPandas: pandas value_counts per Arrow batch folded into
+       the running summary; on overflow, the classic MG decrement by
+       the (m+1)-th largest count). MG guarantees any item with local
+       count > n_p/(m+1) survives partition p's summary, and the
+       pigeonhole over Σn_p = N means every GLOBAL heavy hitter
+       (count > N/{HH_K}) survives in at least one partition — the
+       union of summary keys is a certified candidate SUPERSET.
+    2. RESCORE — candidates broadcast back (bounded: <= 2m keys per
+       partition by construction, never corpus-scale) and one exact
+       counting pass joins, reconstructs the gram TEXT only for
+       candidate matches (the expensive string never materializes for
+       the non-boilerplate bulk), and applies the exact threshold.
+
+    The candidate set depends on partitioning/batch order; the OUTPUT
+    does not — exact counts + the threshold make the result identical
+    to the oracle's full GROUP BY, independent of what else the sketch
+    happened to retain (hash collisions merely add candidates, which
+    the exact rescore then rejects).
+
+    Scale: pass 1 touches only digests (no gram strings — the r11
+    minhash lesson) in bounded memory; pass 2's join is a broadcast
+    hash join, so the corpus grams never shuffle; only candidate
+    occurrences reach the final gram-keyed aggregate. This is how
+    heavy-hitter detection stays viable when the gram TYPE table
+    itself is too large to shuffle (the exact-groupBy alternative
+    shuffles every distinct gram)."""
+    from ..io import parallelize_scan
+
+    d = parallelize_scan(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    tk = F.split(F.trim(F.col("text")), " ")
+    M60 = (1 << 60) - 1
+    t1 = d.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.size(tk).alias("_n"),
+        F.transform(
+            tk,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("_th"),
+    )
+    th = F.col("_th")
+
+    def chain(i: Column) -> Column:
+        h = F.element_at(th, i)
+        for off in range(1, HH_NGRAM):
+            h = F.lit(3) * h.bitwiseAND(F.lit(M60)) + F.element_at(
+                th, i + F.lit(off)
+            )
+        return h.bitwiseAND(F.lit(M60))
+
+    grams_arr = F.when(
+        F.col("_n") >= HH_NGRAM,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_n") - (HH_NGRAM - 1)),
+            lambda i: chain(i),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    g1 = t1.select(F.explode(grams_arr).alias("h"))
+    m = HH_K - 1
+
+    def sketch(batches):
+        import pandas as pd
+
+        counts = pd.Series(dtype="int64")
+        n_p = 0
+        for pdf in batches:
+            n_p += len(pdf)
+            # vectorized mergeable-MG fold: exact batch counts merge
+            # into the running summary at C speed (the per-key python
+            # dict variant measured 25.2 s at ×100; this one 11.2 s)
+            counts = counts.add(pdf["h"].value_counts(), fill_value=0)
+            if len(counts) > 2 * m:
+                vals = counts.to_numpy()
+                vals.sort()
+                dec = vals[-(m + 1)]  # the (m+1)-th largest
+                counts = counts[counts > dec] - dec
+        yield pd.DataFrame(
+            {
+                "h": pd.array(
+                    list(counts.index.astype("int64")) + [None], dtype="Int64"
+                ),
+                "c": pd.array(
+                    list(counts.astype("int64")) + [n_p], dtype="Int64"
+                ),
+            }
+        )
+
+    # bounded relation (<= 2m+1 rows per partition): materialize once,
+    # it feeds both the candidate set and the exact total
+    sk = g1.mapInPandas(sketch, "h long, c long").localCheckpoint(eager=True)
+    cand = sk.filter(F.col("h").isNotNull()).select("h").distinct()
+    n_tot = sk.filter(F.col("h").isNull()).agg(
+        F.sum("c").cast("bigint").alias("n_occ")
+    )
+    g2 = t1.select(
+        "doc_id", "tk", F.posexplode(grams_arr).alias("p", "h")
+    )
+    j = g2.join(F.broadcast(cand), "h").select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice("tk", F.col("p") + F.lit(1), F.lit(HH_NGRAM))
+        ).alias("gram"),
+    )
+    return (
+        j.groupBy("gram")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .filter(F.col("n_occurrences") * HH_K > F.col("n_occ"))
+        .select(
+            "gram",
+            "n_occurrences",
+            "n_docs",
+            F.round(
+                F.lit(1_000_000.0) * F.col("n_occurrences") / F.col("n_occ"),
+                0,
+            )
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )
+
+
 def _sql_stop() -> str:
     """The oracle-side stopword list, interpolated from the SAME
     constant the Spark side uses (``text.STOPWORDS``) — a hardcoded

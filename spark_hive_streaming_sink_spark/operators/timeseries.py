@@ -2504,3 +2504,120 @@ def events_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("llr").cast("bigint").alias("llr_micro_nats"),
         )
     )
+
+
+@register(
+    "events_interval_union_coverage",
+    oracle="""
+    -- interval-union ("covered time") per user: each event opens an
+    -- interval [ts, ts + value seconds); overlapping/touching
+    -- intervals merge (gaps-and-islands over a cumulative max of the
+    -- running end), and the user's coverage is the summed length of
+    -- the merged islands against their first-start->last-end span.
+    -- The utilization statistic behind session stitching, ad
+    -- exposure, and GPU-occupancy accounting.
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(round(value * 1000000, 0) AS BIGINT) AS e
+      FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL AND value > 0),
+    m AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max_e
+      FROM iv),
+    g AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM m),
+    isl AS (
+      SELECT user_id, island, MIN(s) AS i_start, MAX(e) AS i_end
+      FROM g GROUP BY user_id, island)
+    SELECT user_id,
+           CAST((SELECT COUNT(*) FROM g g2 WHERE g2.user_id = isl.user_id)
+                AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us,
+           CAST(MAX(i_end) - MIN(i_start) AS BIGINT) AS span_us,
+           CAST(round(1000000.0 * SUM(i_end - i_start)
+                      / (MAX(i_end) - MIN(i_start)), 0) AS BIGINT)
+             AS coverage_ppm
+    FROM isl GROUP BY user_id
+    """,
+    tags=("events", "window", "interval"),
+)
+def events_interval_union_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merged-interval coverage per user (interval union length): each
+    event opens [ts, ts + value seconds); overlapping or touching
+    intervals merge into islands via the gaps-and-islands cumulative
+    running-max, and the report gives islands, covered time, span, and
+    the covered share. Degenerate inputs (NULL ts/user/value,
+    non-positive durations) are excluded identically in both engines.
+
+    Exactness: all arithmetic is integer microseconds (one round of
+    value*1e6 per event); island detection is order-independent for
+    tied starts (an interval starting at the same instant always
+    merges — its start can't exceed the running end).
+
+    Scale: two windows and one aggregate, all keyed on user_id — one
+    shuffle of the event set, O(n log n) per user for the sort, no
+    joins, no Python. The subquery-free Spark side reuses the island
+    table for the per-user interval count."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") > 0)
+    )
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * 1_000_000, 0).cast("bigint")
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = iv.withColumn("prev_max_e", F.max("e").over(w_prev)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        ).over(w_cum),
+    )
+    isl = g.groupBy("user_id", "island").agg(
+        F.min("s").alias("i_start"),
+        F.max("e").alias("i_end"),
+        F.count("*").alias("n_iv"),
+    )
+    covered = F.sum(F.col("i_end") - F.col("i_start")).cast("bigint")
+    span = (F.max("i_end") - F.min("i_start")).cast("bigint")
+    return isl.groupBy("user_id").agg(
+        F.sum("n_iv").cast("bigint").alias("n_intervals"),
+        F.count("*").cast("bigint").alias("n_islands"),
+        covered.alias("covered_us"),
+        span.alias("span_us"),
+        F.round(F.lit(1_000_000.0) * covered / span, 0)
+        .cast("bigint")
+        .alias("coverage_ppm"),
+    )

@@ -602,3 +602,76 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "win_start", "event_type", "n", F.row_number().over(w).alias("rnk")
     ).filter(F.col("rnk") <= 3)
+
+
+@register(
+    "stream_chained_windowed_aggregates",
+    oracle=f"""
+    -- two CHAINED stateful aggregations in one streaming query (the
+    -- Spark 3.4+ multiple-stateful-operator pipeline): 6h-window
+    -- per-user counts roll up into 12h-window corpus activity. Append
+    -- mode + watermark means only windows the final watermark closed
+    -- are emitted: Spark's watermark is max event time minus the
+    -- delay, in MILLISECOND precision — the wm CTE replicates that
+    -- exactly (floor to ms, subtract 1h), and the 12h windows with
+    -- end <= wm are precisely the rows the no-data final batch
+    -- flushes. The tail window past the watermark is withheld by
+    -- design in BOTH engines.
+    WITH wm AS (
+      SELECT (epoch_us(ts) // 1000) - 3600000 AS wm_ms
+      FROM events WHERE ts IS NOT NULL
+      ORDER BY ts DESC LIMIT 1),
+    l1 AS (
+      SELECT epoch_us(ts) - epoch_us(ts) % 21600000000 AS w6_us,
+             user_id, COUNT(*) AS n
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2),
+    l2 AS (
+      SELECT w6_us - w6_us % 43200000000 AS w12_us,
+             CAST(COUNT(*) AS BIGINT) AS n_user_windows,
+             CAST(SUM(n) AS BIGINT) AS n_events
+      FROM l1 GROUP BY 1)
+    SELECT strftime(make_timestamp(w12_us), '{TS_FMT_DUCK}') AS win_start,
+           n_user_windows, n_events
+    FROM l2 CROSS JOIN wm
+    WHERE (w12_us + 43200000000) // 1000 <= wm.wm_ms
+    """,
+    tags=("streaming", "window", "stateful"),
+)
+def stream_chained_windowed_aggregates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiple stateful operators chained in ONE streaming query
+    (Spark 3.4+): a 6-hour tumbling per-user count feeds a second
+    12-hour tumbling rollup via ``window_time`` — the pattern that
+    previously required two queries with an intermediate sink. Append
+    mode with a 1h watermark: the final no-data micro-batch flushes
+    every 12h window the watermark closed; the tail window stays in
+    state (unemittable until more data arrives), and the oracle
+    withholds it identically via the exact millisecond-precision
+    watermark rule.
+
+    Scale: both aggregations are hash aggregates with partial combine;
+    state is bounded by open windows x active users within the
+    watermark horizon — the watermark is what makes an infinite stream
+    finite-state. One shuffle per level."""
+    ev = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withWatermark("ts", "1 hour")
+    )
+    lvl1 = ev.groupBy(F.window("ts", "6 hours"), "user_id").agg(
+        F.count("*").alias("n")
+    )
+    lvl2 = lvl1.groupBy(
+        F.window(F.window_time("window"), "12 hours")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_user_windows"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    res = run_to_memory(lvl2, mode="append")
+    return res.select(
+        F.date_format(F.col("window.start"), TS_FMT_SPARK).alias("win_start"),
+        "n_user_windows",
+        "n_events",
+    )

@@ -39,6 +39,7 @@ queries()
 _N_EXAMPLES = int(os.environ.get("SHSS_FUZZ_EXAMPLES", "5"))
 
 FUZZED = [
+    "events_interval_union_coverage",
     "events_nelson_aalen_hazard",
     "window_ignore_nulls_ffill",
     "window_ignore_nulls_bfill",
@@ -223,6 +224,8 @@ DOC_FUZZED = [
     "corpus_ngram_duplication_rate",
     "text_kneser_ney_bigram",
     "corpus_quality_calibration_ece",
+    "corpus_token_tail_mass",
+    "corpus_boilerplate_heavy_hitters",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]
@@ -301,6 +304,7 @@ def test_doc_null_fuzz_matches_oracle(spark, name, rows):
 # --------------------------------------------------------------------------
 
 EMB_FUZZED = [
+    "sim_label_knn_disagreement",
     "sim_reciprocal_nearest_neighbors",
     "sim_ivf_multiprobe_topk",
     "embed_binary_quantization_audit",

@@ -1849,3 +1849,70 @@ def test_nelson_aalen_windows_on_day_table_only(spark):
     # Aggregate broadcast
     for sub in broadcast_hint_subtrees(df):
         assert "Aggregate" in sub
+
+
+def test_tail_mass_single_token_explode_and_shuffle(spark):
+    """Rare-token tail mass (r12): tokens explode ONCE into the
+    map-side-combined (w, source) type table (one occurrence-scale
+    shuffle); the corpus-wide type count is a window over the type
+    table; the rollup keys on source. Same pinned shape as
+    corpus_ngram_duplication_rate."""
+    df = _df(spark, "corpus_token_tail_mass")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Generate") == 1
+    assert count_nodes(df, "Scan parquet") == 1
+    assert count_nodes(df, "HashAggregate") == 4
+    assert count_nodes(df, "Window") == 1
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interval_union_windows_no_join_no_python(spark):
+    """Interval-union coverage (r12): the island machinery is
+    user_id-keyed windows over ONE event shuffle — no join, no
+    following frame (the O(n^2) form), no Python."""
+    df = _df(spark, "events_interval_union_coverage")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Window") <= 2
+    assert "unboundedfollowing" not in plan.lower()
+    assert count_nodes(df, "SortMergeJoin") == 0
+    assert count_nodes(df, "BroadcastHashJoin") == 0
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_label_disagreement_cell_local_knn_no_cartesian(spark):
+    """Label kNN disagreement (r12): the only Python stage is the
+    cell-local Arrow kNN gram (FlatMapGroupsInPandas); labels attach
+    by equi-join; votes are hash aggregates; never corpus x corpus."""
+    df = _df(spark, "sim_label_knn_disagreement")
+    plan = formatted_plan(df)
+    # the Arrow kNN gram is materialized ONCE behind the pair-bounded
+    # checkpoint — the final plan contains no Python stage at all
+    assert count_nodes(df, "FlatMapGroupsInPandas") == 0
+    assert plan.count("localCheckpoint") >= 1
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_heavy_hitters_broadcast_rescore_no_gram_shuffle(spark):
+    """Boilerplate heavy hitters (r12): the rescore pass probes the
+    bounded candidate set via BROADCAST join (corpus grams never
+    shuffle on the gram key); the sketch pass is behind the bounded
+    localCheckpoint (no MapInPandas in the final plan); both scalar
+    broadcasts hang off Aggregate subtrees; gram text reconstruction
+    is JVM-side."""
+    df = _df(spark, "corpus_boilerplate_heavy_hitters")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "BroadcastHashJoin") >= 1
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert count_nodes(df, "MapInPandas") == 0  # sketch is checkpointed
+    assert count_nodes(df, "Generate") == 1  # one posexplode rescore pass
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for sub in broadcast_hint_subtrees(df):
+        # both hinted relations derive from the BOUNDED checkpointed
+        # sketch (<= 2m+1 rows/partition): the candidate set is a
+        # Deduplicate over it, the total a 1-row Aggregate
+        assert "Aggregate" in sub or (
+            "Deduplicate" in sub and "LogicalRDD" in sub
+        )

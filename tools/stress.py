@@ -261,6 +261,14 @@ HEADLINE = [
     "text_kneser_ney_bigram",
     "corpus_quality_calibration_ece",
     "sim_reciprocal_nearest_neighbors",
+    # round-12 additions: the MG-sketch heavy hitters (python
+    # bounded-memory pass + broadcast rescore), the type-table-window
+    # tail mass, the checkpointed-kNN label vote, and the island
+    # windows — all should ride their one corpus pass linearly
+    "corpus_token_tail_mass",
+    "corpus_boilerplate_heavy_hitters",
+    "sim_label_knn_disagreement",
+    "events_interval_union_coverage",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
