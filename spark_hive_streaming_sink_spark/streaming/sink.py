@@ -98,6 +98,7 @@ class HiveSinkOptions:
     txn_per_batch: int = 100
     batch_size: int = 10_000
     auto_create_partitions: bool = True
+    schema_evolution: bool = False  # table.schemaEvolution=addColumns
     extra: dict = field(default_factory=dict)
 
     @classmethod
@@ -123,6 +124,14 @@ class HiveSinkOptions:
                 "spark.kerberos.principal/keytab) so every executor holds "
                 "delegation tokens, instead of per-sink credentials"
             )
+        evolution = str(opts.pop("table.schemaEvolution", "none")).lower()
+        if evolution not in ("none", "false", "addcolumns"):
+            raise HiveStreamingSinkError(
+                f"table.schemaEvolution {evolution!r} is not supported: "
+                "use 'addColumns' (new stream columns are added to the "
+                "table; existing rows read as NULL) or omit the option "
+                "for the reference's strict name-set schema check"
+            )
         return cls(
             db=opts.pop("db"),
             table=opts.pop("table"),
@@ -131,6 +140,7 @@ class HiveSinkOptions:
             batch_size=int(opts.pop("batch.size", 10_000)),
             auto_create_partitions=str(opts.pop("auto.create.partitions", "true")).lower()
             == "true",
+            schema_evolution=evolution == "addcolumns",
             extra=opts,
         )
 
@@ -159,7 +169,22 @@ def validate_destination(
             "it must be created before streaming into it"
         )
     dest_cols = [f.name for f in spark.table(options.qualified_name).schema.fields]
-    if set(c.lower() for c in stream_columns) != set(c.lower() for c in dest_cols):
+    stream_set = set(c.lower() for c in stream_columns)
+    dest_set = set(c.lower() for c in dest_cols)
+    if options.schema_evolution:
+        # evolution mode (opt-in; a deliberate extension OVER the
+        # reference's strict name-set check): the stream may carry NEW
+        # columns (added to the table at write time, old rows read as
+        # NULL) but must still cover every existing destination column
+        # — dropping columns silently is a data-loss foot-gun either way
+        if not dest_set <= stream_set:
+            raise HiveStreamingSinkError(
+                "Schema mismatch under table.schemaEvolution=addColumns: "
+                f"stream columns {sorted(stream_columns)} do not cover "
+                f"table columns {sorted(dest_cols)} (evolution may ADD "
+                "columns, never drop them)"
+            )
+    elif stream_set != dest_set:
         # HiveSourceProvider.scala:55-58 — name-set equality, order-insensitive
         raise HiveStreamingSinkError(
             f"Schema mismatch: stream columns {sorted(stream_columns)} != "
@@ -573,6 +598,30 @@ def make_batch_writer(
                     f"auto.create.partitions=false and batch {batch_id} contains "
                     f"unknown partition(s): {sorted(missing)}"
                 )
+        if options.schema_evolution:
+            # addColumns evolution: new stream columns extend the table
+            # BEFORE alignment (one catalog DDL per new column set,
+            # normally once per stream lifetime — not per batch).
+            # Existing data files simply lack the column; every reader
+            # here scans with the explicit catalog schema, under which a
+            # missing parquet column reads as NULL — the same contract
+            # Delta/Iceberg evolution relies on. Partition columns can't
+            # be added this way (routing/layout would change under
+            # committed files).
+            have = {
+                f.name.lower() for f in spark.table(options.qualified_name).schema.fields
+            }
+            new_fields = [
+                f for f in batch_df.schema.fields if f.name.lower() not in have
+            ]
+            if new_fields:
+                ddl = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in new_fields
+                )
+                spark.sql(
+                    f"ALTER TABLE {options.qualified_name} ADD COLUMNS ({ddl})"
+                )
+                spark.catalog.refreshTable(options.qualified_name)
         dest_fields = spark.table(options.qualified_name).schema.fields
         # align by NAME and cast to the destination types (the staged
         # files must be type-identical to the table's own files; the

@@ -353,6 +353,12 @@ def read_txnlog_table(
     from .sink import _table_location
 
     qualified = f"{db}.{table}"
+    # drop this session's cached relation first: schema evolution
+    # (table.schemaEvolution=addColumns) runs ALTER TABLE inside the
+    # foreachBatch CLONE, which cannot invalidate other sessions'
+    # relation caches — without the refresh a reader session keeps
+    # serving the pre-evolution schema
+    spark.catalog.refreshTable(qualified)
     schema = spark.table(qualified).schema
     return TxnLogTable(spark, _table_location(spark, qualified)).snapshot(
         schema, predicate, as_of_version
@@ -465,6 +471,9 @@ def read_txnlog_table_changes(
     from .sink import _table_location
 
     qualified = f"{db}.{table}"
+    # see read_txnlog_table: pick up addColumns evolution done in the
+    # writer's cloned session
+    spark.catalog.refreshTable(qualified)
     schema = spark.table(qualified).schema
     log = TxnLogTable(spark, _table_location(spark, qualified))
     versions = [v for v in log.versions() if v > since_version]

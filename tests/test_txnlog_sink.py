@@ -691,3 +691,76 @@ def test_delta_write_path_when_available(spark, tmp_path):
     assert sorted(f.name for f in got.schema.fields) == [
         "event_id", "event_type", "user_id", "value",
     ]
+
+
+def test_schema_evolution_add_columns_txnlog(spark):
+    """addColumns evolution end-to-end on txnlog: write 2 carries a new
+    column; the table evolves at write time; the snapshot reads old
+    rows as NULL for it and new rows with exact values."""
+    import pyspark.sql.functions as F
+
+    table, loc, base = _mk_table(spark)
+    ev = stream_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    q1 = write_stream_to_table(
+        ev.filter(F.col("event_type") == "click"),
+        checkpoint_dir=f"{base}/ckpt_a",
+        db="default",
+        table=table,
+        **{"table.format": "txnlog"},
+    )
+    q1.awaitTermination()
+    second = ev.filter(
+        F.col("event_type").isNull() | (F.col("event_type") != "click")
+    ).withColumn("origin", F.lit("phase2"))
+    q2 = write_stream_to_table(
+        second,
+        checkpoint_dir=f"{base}/ckpt_b",
+        db="default",
+        table=table,
+        **{"table.format": "txnlog", "table.schemaEvolution": "addColumns"},
+    )
+    q2.awaitTermination()
+    snap = read_txnlog_table(spark, "default", table)
+    assert "origin" in snap.columns
+    batch = _events_batch(spark)
+    n_click = batch.filter(F.col("event_type") == "click").count()
+    n_rest = batch.count() - n_click
+    assert snap.filter(F.col("origin").isNull()).count() == n_click
+    assert snap.filter(F.col("origin") == "phase2").count() == n_rest
+
+
+def test_schema_evolution_rejections(spark, tmp_path):
+    """The strict reference check stays the default (extra stream
+    column rejected without the option); evolution never allows
+    DROPPING columns; unknown option values are refused loudly."""
+    import pyspark.sql.functions as F
+
+    table, loc, base = _mk_table(spark)
+    ev = stream_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    with pytest.raises(HiveStreamingSinkError, match="Schema mismatch"):
+        write_stream_to_table(
+            ev.withColumn("extra", F.lit(1)),
+            checkpoint_dir=str(tmp_path / "c1"),
+            db="default",
+            table=table,
+        )
+    with pytest.raises(HiveStreamingSinkError, match="never drop"):
+        write_stream_to_table(
+            ev.drop("value").withColumn("extra", F.lit(1)),
+            checkpoint_dir=str(tmp_path / "c2"),
+            db="default",
+            table=table,
+            **{"table.schemaEvolution": "addColumns"},
+        )
+    with pytest.raises(HiveStreamingSinkError, match="schemaEvolution"):
+        write_stream_to_table(
+            ev,
+            checkpoint_dir=str(tmp_path / "c3"),
+            db="default",
+            table=table,
+            **{"table.schemaEvolution": "mergeAll"},
+        )
