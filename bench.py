@@ -172,6 +172,8 @@ HEADLINE = [
     "sim_label_knn_disagreement",
     "events_interval_union_coverage",
     "stream_chained_windowed_aggregates",
+    "corpus_source_unigram_kl",
+    "sink_txnlog_schema_evolution",
 ]
 
 WARM_DIR = "/root/testdata/sf0.001"

@@ -2171,6 +2171,114 @@ def corpus_token_tail_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_source_unigram_kl",
+    oracle="""
+    -- data-mixture drift audit: KL(source unigram distribution ||
+    -- corpus distribution) per source, in summed micro-nat terms.
+    -- The number a mixture tuner watches — a source whose token
+    -- distribution diverges hard from the pool dominates or starves
+    -- under temperature sampling. Exactness: one double multiply
+    -- chain + ln per TYPE, rounded once to integer micro-nats, then
+    -- integer-summed (no float accumulation order).
+    WITH t AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS w
+      FROM documents WHERE text IS NOT NULL),
+    g AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_ws
+          FROM t GROUP BY source, w),
+    s AS (SELECT source, CAST(SUM(c_ws) AS BIGINT) AS n_s
+          FROM g GROUP BY source),
+    c AS (SELECT w, CAST(SUM(c_ws) AS BIGINT) AS c_w FROM g GROUP BY w),
+    n AS (SELECT CAST(SUM(c_ws) AS BIGINT) AS n_all FROM g),
+    terms AS (
+      SELECT g.source,
+             CAST(round(1000000.0 * g.c_ws / s.n_s
+                        * ln((CAST(g.c_ws AS DOUBLE) * n.n_all)
+                             / (CAST(s.n_s AS DOUBLE) * c.c_w)), 0)
+                  AS BIGINT) AS term_unats
+      FROM g
+      JOIN s ON s.source IS NOT DISTINCT FROM g.source
+      JOIN c USING (w) CROSS JOIN n)
+    SELECT s.source, s.n_s AS n_tokens,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM g g2
+            WHERE g2.source IS NOT DISTINCT FROM s.source) AS n_types,
+           (SELECT CAST(SUM(term_unats) AS BIGINT) FROM terms tm
+            WHERE tm.source IS NOT DISTINCT FROM s.source)
+             AS kl_micro_nats
+    FROM s
+    """,
+    tags=("llm", "curation", "text", "audit"),
+)
+def corpus_source_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence against the corpus-wide token
+    distribution — the drift statistic behind data-mixture tuning
+    (DoReMi-style reweighting starts from exactly this table): a
+    source with near-zero KL is redundant with the pool; a high-KL
+    source shifts the mixture. Reported as summed integer micro-nat
+    terms with the source's token and type mass.
+
+    Exactness: every term is one double expression (mirrored
+    operation-for-operation in the oracle: (1e6·c_ws/n_s)·ln((c_ws·N)/
+    (n_s·c_w))) rounded ONCE, then integer-summed — no float
+    accumulation order to disagree on.
+
+    Scale: the proven type-table shape — tokens explode ONCE into the
+    map-side-combined (w, source) table; the corpus-wide type count is
+    a sum-window over it (<= |sources| rows per w); per-source totals
+    are a |sources|-row aggregate joined back via broadcast; N is a
+    1-row broadcast scalar."""
+    from ..io import parallelize_scan
+
+    d = parallelize_scan(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    g = (
+        d.select(
+            "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+        )
+        .groupBy("w", "source")
+        .agg(F.count("*").cast("bigint").alias("c_ws"))
+    )
+    j = g.withColumn(
+        "c_w", F.sum("c_ws").over(Window.partitionBy("w")).cast("bigint")
+    )
+    s = g.groupBy("source").agg(F.sum("c_ws").cast("bigint").alias("n_s"))
+    n = g.agg(F.sum("c_ws").cast("bigint").alias("n_all"))
+    # NULL-SAFE join: a NULL source is a legitimate group (the oracle
+    # joins IS NOT DISTINCT FROM); a plain equi-join would (a) drop it
+    # and (b) infer isnotnull(source) into ONE branch of the g diamond,
+    # splitting the shared gram stage (the perplexity-audit lesson)
+    terms = (
+        j.join(
+            F.broadcast(s.withColumnRenamed("source", "_src")),
+            F.col("source").eqNullSafe(F.col("_src")),
+        )
+        .drop("_src")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "c_ws",
+            F.round(
+                F.lit(1_000_000.0)
+                * F.col("c_ws")
+                / F.col("n_s")
+                * F.log(
+                    (F.col("c_ws").cast("double") * F.col("n_all"))
+                    / (F.col("n_s").cast("double") * F.col("c_w"))
+                ),
+                0,
+            )
+            .cast("bigint")
+            .alias("term_unats"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.sum("c_ws").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum("term_unats").cast("bigint").alias("kl_micro_nats"),
+    )
+
+
 HH_NGRAM = int(os.environ.get("SHSS_HH_NGRAM", "3"))
 HH_K = int(os.environ.get("SHSS_HH_K", "5000"))
 

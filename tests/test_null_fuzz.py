@@ -226,6 +226,7 @@ DOC_FUZZED = [
     "corpus_quality_calibration_ece",
     "corpus_token_tail_mass",
     "corpus_boilerplate_heavy_hitters",
+    "corpus_source_unigram_kl",
 ]
 
 _WORDS = ["spark", "hive", "the", "a", "fast", "slow", "table", "merge"]

@@ -1916,3 +1916,28 @@ def test_heavy_hitters_broadcast_rescore_no_gram_shuffle(spark):
         assert "Aggregate" in sub or (
             "Deduplicate" in sub and "LogicalRDD" in sub
         )
+
+
+def test_source_kl_single_explode_broadcast_totals(spark):
+    """Source-KL drift audit (r12): one token explode into the
+    (w, source) type table; the corpus type count is a window over it;
+    the per-source totals and the 1-row N are broadcast Aggregates —
+    no second corpus pass, no cartesian beyond the scalar."""
+    import re
+
+    from spark_hive_streaming_sink_spark.plans import executed_final_plan
+
+    df = _df(spark, "corpus_source_unigram_kl")
+    plan = formatted_plan(df)
+    assert count_nodes(df, "Window") == 1
+    assert count_nodes(df, "CartesianProduct") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for sub in broadcast_hint_subtrees(df):
+        assert "Aggregate" in sub
+    # the three consumers of the (w, source) type table (window, the
+    # per-source totals, the 1-row N) must share ONE materialized token
+    # explode — the type-table aggregate pins the diamond and the
+    # null-safe totals join infers no branch-splitting IsNotNull
+    final = executed_final_plan(df)
+    grams = len(re.findall(r"Generate explode\(split", final))
+    assert grams == 1, f"token explode materialized {grams}x"

@@ -269,6 +269,7 @@ HEADLINE = [
     "corpus_boilerplate_heavy_hitters",
     "sim_label_knn_disagreement",
     "events_interval_union_coverage",
+    "corpus_source_unigram_kl",
 ]
 
 KEY_STRIDE = 1_000_000_000  # far above any fixture key
