@@ -615,8 +615,15 @@ def make_batch_writer(
                 f for f in batch_df.schema.fields if f.name.lower() not in have
             ]
             if new_fields:
+                # Identifiers are backtick-quoted (embedded backticks
+                # doubled) so a stream column named with spaces, a
+                # reserved keyword, or a stray backtick becomes valid —
+                # not injectable — DDL.
                 ddl = ", ".join(
-                    f"{f.name} {f.dataType.simpleString()}" for f in new_fields
+                    "`{}` {}".format(
+                        f.name.replace("`", "``"), f.dataType.simpleString()
+                    )
+                    for f in new_fields
                 )
                 spark.sql(
                     f"ALTER TABLE {options.qualified_name} ADD COLUMNS ({ddl})"

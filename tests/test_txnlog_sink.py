@@ -731,6 +731,37 @@ def test_schema_evolution_add_columns_txnlog(spark):
     assert snap.filter(F.col("origin") == "phase2").count() == n_rest
 
 
+def test_schema_evolution_quoted_identifier(spark):
+    """Evolution DDL backtick-quotes new column names: a reserved-keyword
+    column (`select`) evolves cleanly instead of producing a parse error
+    at batch time (ADVICE r12 item 1)."""
+    import pyspark.sql.functions as F
+
+    table, loc, base = _mk_table(spark)
+    ev = stream_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    q1 = write_stream_to_table(
+        ev.limit(0),
+        checkpoint_dir=f"{base}/ckpt_a",
+        db="default",
+        table=table,
+        **{"table.format": "txnlog"},
+    )
+    q1.awaitTermination()
+    q2 = write_stream_to_table(
+        ev.withColumn("select", F.lit("kw")),
+        checkpoint_dir=f"{base}/ckpt_b",
+        db="default",
+        table=table,
+        **{"table.format": "txnlog", "table.schemaEvolution": "addColumns"},
+    )
+    q2.awaitTermination()
+    snap = read_txnlog_table(spark, "default", table)
+    assert "select" in snap.columns
+    assert snap.filter(F.col("`select`") == "kw").count() == snap.count()
+
+
 def test_schema_evolution_rejections(spark, tmp_path):
     """The strict reference check stays the default (extra stream
     column rejected without the option); evolution never allows
