@@ -20,35 +20,60 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from ..io import load_table, parallelize_scan
+from ..io import load_table, materialize_parquet, parallelize_scan
 from ..registry import register
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+# Frontier rows the driver will pin as a broadcast inside the
+# component loop (exact measured count, not an estimate): (node,
+# component) longs at this bound is ~16 MB serialized — fine for any
+# executor's broadcast budget on a real cluster. Above it the round
+# falls back to the shuffled join (correct at any scale).
+_FRONTIER_BCAST_ROWS = 1_000_000
+
+# Rounds of plain frontier-delta propagation before pointer jumping
+# kicks in (see connected_components): near-dup graphs converge well
+# inside this budget (≤4 rounds measured at ×100), so the common case
+# never pays the shortcut self-join; a long-chain graph switches to
+# O(log n) label doubling instead of crawling one hop per round.
+_SHORTCUT_AFTER = 6
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     """Min-label connected components over an undirected edge list
     (columns ``src``, ``dst``) → (node, component) with component = min
     node id in the component.
 
     Each iteration: label(n) ← min(label(n), min over neighbors'
     labels). Stops when no label changes (checked with one count per
-    round — the only driver-side action). Convergence needs roughly
-    the graph diameter iterations; if ``max_iter`` rounds pass with
-    labels still changing, the result would be silently WRONG (split
-    components → corrupted dedup keep-lists), so that case raises
-    instead of returning.
+    round — the only driver-side action). Plain neighbor propagation
+    needs ~diameter rounds — fine for near-dup graphs (clouds of
+    mutual near-copies), fatal for a pathological long chain. So after
+    ``_SHORTCUT_AFTER`` rounds the loop adds POINTER JUMPING to every
+    round: the label map composes with itself (label(n) ←
+    label(label(n))), halving the remaining chain depth per round —
+    the classic PRAM/Pregel shortcutting trick (cf. Rastogi et al.,
+    "Finding Connected Components in Map-Reduce in Logarithmic
+    Rounds") — so total rounds are O(log n) REGARDLESS of diameter.
+    Sound because labels only decrease and label(x) ≤ x is invariant;
+    the fixpoint (every node ≤ all its neighbors' labels) is the same,
+    so the result is unchanged — only the round count shrinks. If even
+    ``max_iter`` rounds pass with labels still changing, the result
+    would be silently WRONG (split components → corrupted dedup
+    keep-lists), so that case still raises instead of returning.
     """
     both = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        # materialize ONCE: every iteration (and the seed-label distinct)
-        # re-reads this edge list, and without the checkpoint each read
-        # re-executes the whole upstream candidate-pair pipeline
-        # (shingle → minhash → band join for dedup_lsh_components —
-        # measured 21 s → 6 s at sf0.1). The edge list is pair-bounded,
-        # far smaller than the corpus it came from. localCheckpoint is
-        # NOT fault-tolerant (executor loss after it fails the job —
-        # see the note in dedup.py's pipeline query); a production run
-        # would write the edge list to a real table before iterating.
+        # materialize ONCE: every iteration (and the seed-label
+        # distinct) re-reads this edge list, and without the barrier
+        # each read re-executes the whole upstream candidate-pair
+        # pipeline (shingle → minhash → band join for
+        # dedup_lsh_components — measured 21 s → 6 s at sf0.1). The
+        # edge list is pair-bounded, far smaller than the corpus it
+        # came from. localCheckpoint is NOT fault-tolerant (executor
+        # loss after it fails the job); a production run would write
+        # the edge list to a real table before iterating.
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -65,30 +90,80 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # 22.9M-edge list), so the late rounds become frontier-sized
     # instead of edge-list-sized. Exact: a node outside the join
     # keeps its label via the left join, identical to the full pass.
+    #
+    # Per-round join shape (r13, measured ×100 — pre-fix a 6.7k-node
+    # frontier round still cost 5.9 s because the FULL 22.9M-row edge
+    # list re-shuffled every round):
+    # - Round 0 needs no join at all: labels are the identity, so the
+    #   neighbor-min IS min(dst) per src — one groupBy over the edge
+    #   list, the only unavoidable full-edge shuffle in the query.
+    # - Later rounds broadcast the frontier while it stays under
+    #   _FRONTIER_BCAST_ROWS: the driver KNOWS its exact row count
+    #   (last round's count action), so this never broadcasts an
+    #   unbounded relation (100 TB rule) — and the probe join runs
+    #   map-side over the checkpointed edge partitions with no edge
+    #   shuffle; only the matched rows move for the groupBy.
     frontier = labels  # round 1: every node is "changed"
-    n_changed = 0
-    for _ in range(max_iter):
-        neighbor_min = (
-            both.join(frontier, both.dst == frontier.node)
-            .groupBy(F.col("src").alias("node2"))
-            .agg(F.min("component").alias("nbr_min"))
+    n_changed: int | None = None  # unknown until a round has run
+    for it in range(max_iter):
+        # Shortcut rounds probe with the FULL label table: pointer
+        # jumping moves labels without any neighbor changing, so the
+        # frontier-delta invariant no longer holds there.
+        shortcut = it >= _SHORTCUT_AFTER
+        if n_changed is None:
+            neighbor_min = both.groupBy(F.col("src").alias("node2")).agg(
+                F.min("dst").alias("nbr_min")
+            )
+        else:
+            f = (
+                F.broadcast(frontier)
+                if not shortcut and n_changed <= _FRONTIER_BCAST_ROWS
+                else frontier
+            )
+            neighbor_min = (
+                both.join(f, both.dst == f.node)
+                .groupBy(F.col("src").alias("node2"))
+                .agg(F.min("component").alias("nbr_min"))
+            )
+        n1 = labels.join(neighbor_min, labels.node == F.col("node2"), "left").select(
+            "node",
+            F.col("component").alias("_old"),
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("_n1"),
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
-            .select(
-                "node",
+        if shortcut:
+            # pointer jumping: compose the freshly-computed label map
+            # with itself (label(n) ← label(label(n))). Materialize n1
+            # first so the self-join reads it instead of re-running the
+            # neighbor pass on both sides.
+            n1 = n1.localCheckpoint(eager=True)
+            a = n1.alias("a")
+            b = n1.select(
+                F.col("node").alias("_cn"), F.col("_n1").alias("_cc")
+            ).alias("b")
+            n1 = a.join(b, F.col("a._n1") == F.col("b._cn"), "left").select(
+                F.col("a.node").alias("node"),
+                F.col("a._old").alias("_old"),
                 F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-                (F.coalesce("nbr_min", F.col("component")) < F.col("component")).alias(
-                    "changed"
-                ),
+                    F.col("a._n1"), F.coalesce(F.col("b._cc"), F.col("a._n1"))
+                ).alias("_n1"),
+            )
+        updated = (
+            n1.select(
+                "node",
+                F.col("_n1").alias("component"),
+                (F.col("_n1") < F.col("_old")).alias("changed"),
             )
             .localCheckpoint(eager=True)  # truncate the iterative lineage
         )
         n_changed = updated.filter("changed").count()
         labels = updated.select("node", "component")
-        frontier = updated.filter("changed").select("node", "component")
+        frontier = (
+            labels
+            if it + 1 >= _SHORTCUT_AFTER
+            else updated.filter("changed").select("node", "component")
+        )
         if n_changed == 0:
             break
     if n_changed != 0:
@@ -725,17 +800,18 @@ def dedup_lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, and near-dup graphs are short-diameter by construction
     (components are clouds of mutual near-copies, not long chains)."""
     d = load_table(spark, sf_dir, "documents")
-    # Checkpoint the signature table BEFORE the degenerate-doc filter
+    # Materialize the signature table BEFORE the degenerate-doc filter
     # (same pattern as dedup_minhash_pairs): filtering a computed mh0
     # without materializing first lets pushdown substitute the whole
     # minhash fold into the filter. Degenerate docs (NULL minhash) must
     # not band — with no Jaccard-verify stage downstream, the shared
     # md5('') bucket would merge every empty/NULL doc into one phantom
-    # duplicate component.
-    mh = (
-        _minhash_frame(d)
-        .localCheckpoint(eager=True)
-        .filter(F.col("mh0").isNotNull())
+    # duplicate component. File-backed barrier, not localCheckpoint:
+    # the ~6M-row ×100 signature table hit the 25-55 s block-manager
+    # variance class (r12 adjudication); parquet write+read is the
+    # predictable, fault-tolerant persisted-signature-table pattern.
+    mh = materialize_parquet(_minhash_frame(d)).filter(
+        F.col("mh0").isNotNull()
     )
     b0 = mh.select(
         "doc_id",

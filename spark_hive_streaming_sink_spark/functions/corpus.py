@@ -1966,13 +1966,30 @@ def corpus_decontam_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("bigint")
     removed = F.size(cov).cast("bigint")
-    # Per-row surgery is O(n_tokens * |cov|) (array_contains scan per
-    # token) — fine for web-doc lengths and the bounded eval suite
-    # (measured 13.4 s at ×100); if long heavily-contaminated docs ever
-    # appear, cov is sorted, so a merge-style aggregate() walk over
-    # zipped positions restores linearity.
-    kept_toks = F.filter(
-        F.col("tk"), lambda t, i0: ~F.array_contains(cov, i0 + 1)
+    # Linear surgery (r13, closes ADVICE r11 item 3): cov is sorted and
+    # distinct, so the KEPT positions are exactly the gaps between
+    # consecutive covered positions — materialized as one
+    # flatten(transform(...)) over |cov|+1 gap runs (total emitted
+    # length = n_kept), then a positional fetch per kept token:
+    # O(n + |cov|) per row, replacing the array_contains scan per token
+    # (O(n·|cov|)) that a long, heavily-contaminated document would
+    # regress. CASE branches evaluate lazily, so element_at never sees
+    # index 0 or an out-of-bounds index (ANSI-safe); the gap sequence
+    # is guarded lo <= hi because Spark's sequence() DESCENDS when
+    # hi < lo.
+    n_toks = F.size("tk")
+    nc = F.size(cov)
+
+    def _gap(k: Column) -> Column:
+        lo = F.when(k == 0, F.lit(1)).otherwise(F.element_at(cov, k) + 1)
+        hi = F.when(k == nc, n_toks).otherwise(F.element_at(cov, k + 1) - 1)
+        return F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    kept_toks = F.transform(
+        F.flatten(F.transform(F.sequence(F.lit(0), nc), _gap)),
+        lambda p: F.element_at(F.col("tk"), p),
     )
     return j.select(
         "doc_id",

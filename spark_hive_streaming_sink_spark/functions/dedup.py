@@ -20,7 +20,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from ..io import load_table, parallelize_scan
+from ..io import load_table, materialize_parquet, parallelize_scan
 from ..registry import register
 
 N_MINHASH = 8  # 2 bands × 4 rows
@@ -645,25 +645,38 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the original computed shingle+md5 separately for each — a full
     extra corpus pass), and the shingle array rides along through the
     band explode so verification needs no doc_id-keyed re-join with
-    the corpus at all. Both sides of the band self-join exchange the
-    SAME subtree on the same keys, which Spark's ReuseExchange
-    deduplicates — the corpus is shingled/hashed once, plus one
-    column-pruned doc_id scan for the final keep-list
-    (tests/test_plans.py pins the scan count)."""
+    the corpus at all. Both sides of the band self-join read the
+    file-backed feature-table barrier (see in-body note) — the corpus
+    is shingled/hashed once, plus one column-pruned doc_id scan for
+    the final keep-list (tests/test_plans.py pins the scan count)."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
-    feat = _add_minhash(
-        _hx_frame(d).withColumn("shingles", _dig_col())
-    )
-    # NULL band_key for degenerate docs (NULL minhash): concat_ws skips
-    # NULLs, so unguarded they'd all share the md5('') bucket — the
-    # Jaccard verify would drop those phantom pairs anyway, but the
-    # phantom bucket inflates the star join for no benefit. Guarded
-    # HERE (inside the one projection, pre-checkpoint) and filtered
-    # AFTER the checkpoint so the minhash fold is never substituted
-    # into a pushed-down filter.
-    ok = F.col("mh0").isNotNull()
-    b0 = F.when(ok, F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)])))
-    b1 = F.when(ok, F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)])))
+    # The corpus is shingled/minhashed exactly ONCE: the per-doc
+    # feature table (doc_id, shingles, mh0..7) materializes here (the
+    # persisted-signature-table pattern all the band queries share) and
+    # every consumer — the rep window and both join sides — reads the
+    # materialization. Before the rep cap this was achieved by
+    # ReuseExchange over two IDENTICAL join subtrees; the capped side
+    # is no longer identical, so reuse can't apply and the explicit
+    # barrier replaces it (plan-test-pinned: zero parquet text scans in
+    # the final query).
+    #
+    # File-backed barrier (r13): this IS the "persist the signature
+    # table as a real table" pattern the fault-tolerance note in
+    # earlier rounds promised — parquet files survive executor loss,
+    # and the write+read cost is predictable where the block-manager
+    # localCheckpoint of this corpus-sized relation sat in the 25-55 s
+    # ×100 variance class. Materializing PRE-explode keeps exactly one
+    # stored copy of each shingle set (the r12 form checkpointed the
+    # exploded band table — two copies); the 2-md5 band-key projection
+    # re-runs per consumer scan, which is noise next to the shingle
+    # pass it replaces. The degenerate-doc filter (NULL minhash: docs
+    # that can't band) is a pushed-down scan filter on the STORED mh0
+    # column — the fold itself can no longer be substituted into it.
+    feat = materialize_parquet(
+        _add_minhash(_hx_frame(d).withColumn("shingles", _dig_col()))
+    ).filter(F.col("mh0").isNotNull())
+    b0 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4)]))
+    b1 = F.md5(F.concat_ws("_", *[F.col(f"mh{i}") for i in range(4, 8)]))
     bands = feat.select(
         "doc_id",
         "shingles",
@@ -674,50 +687,34 @@ def dedup_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "shingles", "bk.band_no", "bk.band_key")
-    # The corpus is shingled/minhashed exactly ONCE: bands materializes
-    # here (the persisted-signature-table pattern all the band queries
-    # now share) and every consumer — the rep window, both join sides,
-    # and nothing else — reads the materialization. Before the rep cap
-    # this was achieved by ReuseExchange over two IDENTICAL join
-    # subtrees; the capped side is no longer identical, so reuse can't
-    # apply and the explicit checkpoint replaces it (plan-test-pinned:
-    # zero parquet text scans in the final query).
-    #
-    # Fault-tolerance tradeoff (applies to every localCheckpoint in
-    # this package): localCheckpoint truncates lineage WITHOUT a
-    # reliable copy — losing an executor after it fails the job
-    # instead of recomputing. Acceptable here because these are
-    # single-query materializations measured in seconds; a 100 TB
-    # production run would persist the signature table as a real
-    # table (reliable checkpoint / write-out) precisely so stage
-    # retries survive node loss.
-    bands = bands.localCheckpoint(eager=True).filter(
-        F.col("band_key").isNotNull()  # free scan filter post-materialize
-    )
     # merge-join hint, NOT planner choice: bands is corpus-sized (docs ×
     # 2, carrying shingle arrays), so broadcasting one side — what the
     # planner picks at test SFs from its tiny size estimate — would be
     # exactly wrong at 100 TB.
     a, b = _band_reps(bands).alias("a"), bands.hint("shuffle_merge").alias("b")
-    cand = (
+    # Jaccard verification runs MAP-SIDE inside the band join's output
+    # projection: the shingle arrays' last exchange is the band-key
+    # shuffle the join needs anyway, and only slim doc_b longs move
+    # afterwards. The r12 form first deduped pairs with a
+    # groupBy(doc_a, doc_b).agg(any_value(shingles)) — on a dup-heavy
+    # corpus that shuffles TWO arrays per candidate pair (measured ~16M
+    # pairs ≈ 25 GB at ×100, the query's dominant, high-variance
+    # stage). A pair matching in both bands now verifies twice — pure
+    # band-local compute, strictly cheaper than shuffling every pair's
+    # arrays — and the downstream distinct needs only doc_b anyway.
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size("a.shingles") + F.size("b.shingles") - inter
+    verified = (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(
-            F.any_value(F.col("a.shingles")).alias("sa_sh"),
-            F.any_value(F.col("b.shingles")).alias("sb_sh"),
-        )
-    )
-    inter = F.size(F.array_intersect(F.col("sa_sh"), F.col("sb_sh")))
-    union = F.size("sa_sh") + F.size("sb_sh") - inter
-    verified = (
-        cand.filter(2 * inter >= union).select("doc_b").distinct()
+        .select(F.col("b.doc_id").alias("doc_b"), (2 * inter >= union).alias("_dup"))
+        .filter(F.col("_dup"))
+        .select("doc_b")
+        .distinct()
     )
     return d.select("doc_id").join(
         verified.withColumnRenamed("doc_b", "dropped_id"),

@@ -110,3 +110,52 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views (for spark.sql queries)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+_MAT_ROOT: str | None = None
+_MAT_SEQ = 0
+
+
+def materialize_parquet(df: DataFrame) -> DataFrame:
+    """File-backed barrier for CORPUS-SIZED intermediates: write ``df``
+    to a session-scoped temp parquet directory and read it back.
+
+    Why not ``localCheckpoint``: the block manager stores checkpoint
+    blocks executor-locally with serialization + GC interplay whose
+    cost at the ~6M-row signature-table scale measured 25-55 s with
+    1.8× run-to-run spread (the r11/r12 adjudicated variance class),
+    while a columnar parquet write+read of the same relation is
+    snappy-compressed sequential IO with predictable cost. It is also
+    the fault-tolerance story the in-code notes promise: files survive
+    executor loss (stage retries re-read them), exactly like the
+    persisted signature table a 100 TB production run would keep,
+    whereas a lost executor under localCheckpoint fails the job.
+
+    The read-back is a fresh parquet scan, so downstream consumers get
+    real file statistics, column pruning, and scan filters; join
+    strategy for corpus-sized tables must still be pinned by hints at
+    the call site (same rule as before).
+
+    Keep ``localCheckpoint`` for BOUNDED relations (cluster centroids,
+    vocab tables, per-round component labels): for small data the
+    block-manager round-trip is cheaper than file IO, and the variance
+    class above only bites at corpus scale.
+
+    Set ``SHSS_BARRIER=blocks`` to fall back to ``localCheckpoint``
+    (the A/B lever the ×100 adjudication runs use).
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    if os.environ.get("SHSS_BARRIER", "parquet") == "blocks":
+        return df.localCheckpoint(eager=True)
+    global _MAT_ROOT, _MAT_SEQ
+    if _MAT_ROOT is None:
+        _MAT_ROOT = tempfile.mkdtemp(prefix="shss_mat_")
+        atexit.register(shutil.rmtree, _MAT_ROOT, ignore_errors=True)
+    _MAT_SEQ += 1
+    path = f"{_MAT_ROOT}/m{_MAT_SEQ}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

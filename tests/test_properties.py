@@ -92,6 +92,29 @@ def test_connected_components_raises_when_unconverged(spark):
         connected_components(edf, max_iter=2)
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 10k-node path graph (diameter ~10k) must CONVERGE within the
+    default round budget: pointer jumping (label-map self-composition
+    after _SHORTCUT_AFTER plain rounds) makes convergence O(log n) in
+    rounds regardless of diameter — the r12 form, which propagated one
+    hop per round, could only raise on this graph. Oracle: every node's
+    component is 0 (single path component), i.e. exactly what
+    union-find computes."""
+    import pyspark.sql.functions as F
+
+    from spark_hive_streaming_sink_spark.functions.clustering import (
+        connected_components,
+    )
+
+    n = 10_000
+    edf = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    got = connected_components(edf)
+    assert got.filter(F.col("component") != 0).count() == 0
+    assert got.count() == n
+
+
 def _cusum_reference(vals):
     """Pure-Python CUSUM peak for one user over integer values with a
     power-of-two count: mean and deviations are binary-exact, so
