@@ -280,28 +280,56 @@ def _km_d2(v: Column, c: Column) -> Column:
     )
 
 
-def _km_score(e: DataFrame, cents_df: DataFrame) -> DataFrame:
-    """Every point against every centroid (broadcast K rows), ranked
-    nearest-first per point. asc_nulls_last matches DuckDB's default
-    NULL ordering: d2 is NULL vs a non-empty centroid but 0.0 vs an
-    empty one when v itself is empty, so the mixed case is reachable
-    (fuzzer)."""
-    from pyspark.sql.window import Window
+def _km_ranked(e: DataFrame, cents_df: DataFrame, keep_raw: bool = False) -> DataFrame:
+    """Every point's centroids ranked nearest-first MAP-SIDE (r13):
+    the K centroids pack into ONE broadcast row and each point sorts
+    them by the same total order the former crossJoin + per-vec_id
+    row_number window used — (round(d2,6) ASC NULLS LAST, cid), i.e.
+    DuckDB's default NULL ordering; the nn flag encodes NULLS LAST and
+    two NULL keys tie through to the cid tie-break (d2 is NULL vs a
+    non-empty centroid but 0.0 vs an empty one when v itself is empty,
+    so the mixed case is reachable — fuzzer — and ordered identically
+    on both paths). vec_id is unique in every fixture family (driver,
+    adversarial, fuzzer), so the per-vec_id window over K scored rows
+    IS a per-row sort of K array elements — no N×K relation, no window
+    Exchange, no corpus bytes moved (the old exchange carried v K
+    times). Adds `_rc`; `_rc[i]` is the window's rn = i+1 row;
+    keep_raw adds the unrounded d2 (silhouette reads raw distances)."""
+    cents_row = cents_df.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid").alias("cid"), F.col("c").alias("cv")))
+        ).alias("_cents")
+    )
+    raw = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            _km_d2(F.col("v"), c.getField("cv")).alias("draw"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
 
-    scored = e.crossJoin(F.broadcast(cents_df)).withColumn(
-        "d2", _km_d2(F.col("v"), F.col("c"))
+    def key(s: Column) -> Column:
+        dr = F.round(s.getField("draw"), 6)
+        fields = [
+            dr.isNull().cast("int").alias("nn"),
+            dr.alias("d"),
+            s.getField("cid").alias("cid"),
+        ]
+        if keep_raw:
+            fields.append(s.getField("draw").alias("draw"))
+        return F.struct(*fields)
+
+    return (
+        e.crossJoin(F.broadcast(cents_row))
+        .filter(F.size("_cents") > 0)
+        .withColumn("_rc", F.array_sort(F.transform(raw, key)))
+        .drop("_cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.round("d2", 6).asc_nulls_last(), "cid"
-    )
-    return scored.withColumn("rn", F.row_number().over(w))
 
 
 def _km_assign(e: DataFrame, cents_df: DataFrame) -> DataFrame:
-    return (
-        _km_score(e, cents_df)
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+    return _km_ranked(e, cents_df).select(
+        "vec_id", "v", F.get("_rc", 0).getField("cid").alias("cid")
     )
 
 
@@ -595,18 +623,13 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic term, so it scales with corpus size (sqrt(N) cells is
     the usual rule).
 
-    The assignment argmin is a map-side partial AGGREGATE — min over a
-    (round(d2,6), cid) struct per vec_id — not a row_number window.
-    Both produce the identical argmin (the struct key is the window's
-    sort key, made total by coalescing NULL d2 to +inf, which is
-    DuckDB's NULLS LAST and reachable-case-identical to Spark's window
-    NULLS FIRST: d2 is NULL for ALL centroids or none, since it only
-    depends on v). The window shuffled all N*K scored rows carrying two
-    full vectors each; partial aggregation collapses each map partition
-    to one row per vec_id before the exchange, so the assignment
-    shuffles N skinny rows and the N*K distance evaluations stay
-    embarrassingly parallel map-side work (measured 41 s at the x100
-    stress point, N=200k, K=160).
+    The assignment argmin is fully MAP-SIDE (r13, _km_ranked): the K
+    centroids pack into one broadcast row and each point sorts them by
+    the oracle's (round(d2,6) NULLS LAST, cid) key as a projection —
+    no N×K relation, no exchange, no materialization at all (the r12
+    form aggregated N×K cross-joined rows carrying two full vectors
+    into a vec_id exchange and eagerly checkpointed the result for
+    what is, since the Arrow-gram rewrite below, a single consumer).
 
     The within-cell pair scoring is a per-cell Arrow/BLAS gram matrix
     (applyInPandas over the cell id): one (B x D)·(D x B) matmul per
@@ -650,37 +673,27 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(SEM_K)
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
     )
-    scored = e.crossJoin(F.broadcast(cents)).withColumn(
-        "d2",
-        F.aggregate(
-            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ),
-    )
-    # NULL d2 (NULL vector) sorts last like DuckDB's default; see
-    # docstring for why this equals the flat window argmin
-    akey = F.coalesce(F.round("d2", 6), F.lit(float("inf")))
-    member = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min(F.struct(akey.alias("k"), F.col("cid").alias("cid"))).alias("m"),
-            F.any_value("v").alias("v"),  # all rows of a vec_id share v
-        )
-        .select(
-            "vec_id",
-            "v",
-            F.col("m.cid").alias("cid"),
-            F.sqrt(
-                F.aggregate(
-                    F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-                )
-            ).alias("nrm"),
-        )
-        # materialize once: both sides of the self-join read the
-        # assignment instead of re-running the argmin (2x at sf0.1;
-        # at 100 TB this is the persisted cell-assignment table)
-        .localCheckpoint(eager=True)
+    # Map-side per-row assignment (r13): the r12 form cross-joined the
+    # corpus against K broadcast centroids (N×K rows, each carrying TWO
+    # full vectors) into a vec_id hash aggregate that shipped every
+    # vector through an exchange, then eagerly checkpointed the result
+    # — for what is, since the Arrow-gram rewrite, a SINGLE consumer.
+    # _km_ranked ranks the K centroids per row as a projection: no N×K
+    # relation, no exchange, no checkpoint. The (nn, round(d2,6), cid)
+    # sort key reproduces the old coalesce-to-inf argmin exactly on
+    # every reachable input and the oracle's NULLS LAST ordering on the
+    # mixed per-centroid-NULL case too (stronger than the inf sentinel:
+    # no collision with a real +inf d2). ×100: 121.8 s → see
+    # tools/stress_x100_r13b.json.
+    member = _km_ranked(e, cents).select(
+        "vec_id",
+        "v",
+        F.get("_rc", 0).getField("cid").alias("cid"),
+        F.sqrt(
+            F.aggregate(
+                F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            )
+        ).alias("nrm"),
     )
     import numpy as np
     import pandas as pd
@@ -1587,11 +1600,22 @@ def cluster_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, cents = _km_inputs(spark, sf_dir)
     for _ in range(KM_ITERS):
         cents = _km_regroup(_km_means(_km_assign(e, cents)))
-    rk = _km_score(e, cents)
-    pp = rk.groupBy("vec_id").agg(
-        F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("own_cid"),
-        F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("a2"),
-        F.min(F.when(F.col("rn") > 1, F.col("d2"))).alias("b2"),
+    # per-row ranked centroids (r13: was the N×K crossJoin + window +
+    # a vec_id groupBy — map-side now; a2/b2 read the UNROUNDED d2 of
+    # rank 1 / min of ranks >1, exactly the old rn-keyed aggregate;
+    # array_min skips NULL elements like the old MIN aggregate, and an
+    # empty rest-slice (K = 1) yields NULL like the empty rn > 1 group)
+    rk = _km_ranked(e, cents, keep_raw=True)
+    pp = rk.select(
+        "vec_id",
+        F.get("_rc", 0).getField("cid").alias("own_cid"),
+        F.get("_rc", 0).getField("draw").alias("a2"),
+        F.array_min(
+            F.transform(
+                F.slice("_rc", F.lit(2), F.greatest(F.size("_rc") - 1, F.lit(0))),
+                lambda s: s.getField("draw"),
+            )
+        ).alias("b2"),
     )
     sa, sb = F.sqrt("a2"), F.sqrt("b2")
     s_micro = (

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 from pyspark.sql.window import Window
 
-from ..io import load_table
+from ..io import load_table, materialize_parquet
 from ..registry import register
 
 # --------------------------------------------------------------------------
@@ -247,21 +247,36 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         d.select(
             "doc_id",
+            # unhex(md5(...)): the digest is carried as BINARY(16),
+            # not a 32-hex-char string — unhex is injective on md5
+            # output, so every equality below (array_distinct, the
+            # train distinct, the semi join) is byte-for-byte the
+            # same partition of shingles as the string form while
+            # halving every byte that is stored or shuffled (r13b)
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size(tk) - (NGRAM - 1)),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, NGRAM))),
+                    lambda i: F.unhex(
+                        F.md5(F.concat_ws(" ", F.slice(tk, i, NGRAM)))
+                    ),
                 )
             ).alias("shingles"),
         )
         .filter(F.size(tk) >= NGRAM)
-        # three consumers (train digests, eval pairs, eval totals):
-        # pay the md5-per-shingle map — the op's dominant cost — once.
-        # Isolated sf0.1: 2.68s -> 1.56s. At 100 TB this is the
-        # persisted shingle-digest projection a decontamination run
-        # materializes anyway (it is reused across eval suites).
-        .localCheckpoint(eager=True)
     )
+    # three consumers (train digests, eval pairs, eval totals): pay the
+    # md5-per-shingle map — the op's dominant cost — once. Isolated
+    # sf0.1: 2.68s -> 1.56s. At 100 TB this is the persisted
+    # shingle-digest projection a decontamination run materializes
+    # anyway (it is reused across eval suites). r13 A/B at ×100, all
+    # four barrier forms measured on the idle box: hex-string
+    # localCheckpoint 11.5/36.1 s (the documented block-manager
+    # variance class), hex-string parquet 20.2 s, binary(16) + reused
+    # doc_id-repartition exchange 37.6 s (shuffling the digest arrays
+    # costs like checkpointing them), binary(16) + parquet 21.4 s —
+    # the stable winner is the file-backed barrier on the halved
+    # binary digests (stress_x100_r13b.json).
+    sh = materialize_parquet(sh)
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     train = (
         sh.filter(~is_eval).select(F.explode("shingles").alias("h")).distinct()

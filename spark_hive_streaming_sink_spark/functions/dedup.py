@@ -987,13 +987,19 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity-selected — but a capped run's pair list is a sample."""
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     sig = (
-        _signature_frame(d, digests=True)
         # four consumers (two band sides + both pair sides): shingle
-        # once — at 100 TB this is the persisted signature table
-        .localCheckpoint(eager=True)
+        # once — at 100 TB this is the persisted signature table.
+        # r13: file-backed barrier instead of localCheckpoint — this is
+        # the dig-array-carrying corpus-sized relation, i.e. exactly
+        # the 25–55 s block-manager variance class the r13a A/B
+        # adjudicated (BASELINE.md); the parquet read-back additionally
+        # gives the two band branches COLUMN PRUNING (they read only
+        # (doc_id, mh) — the checkpoint scan always deserialized the
+        # dig arrays too). ×100 before/after in stress_x100_r13b.json.
+        materialize_parquet(_signature_frame(d, digests=True))
         # degenerate docs (NULL minhash) are not candidates; keeps
         # n_union >= 1 so exact_jaccard never divides by zero. The
-        # filter sits AFTER the checkpoint on purpose: before it,
+        # filter sits AFTER the barrier on purpose: before it,
         # predicate pushdown substitutes the whole minhash fold into
         # the filter and re-evaluates it per row (measured 1.9 s →
         # 6.2 s); on the materialized column it is a free scan filter
@@ -1164,9 +1170,13 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
     )
     # er is BOTH sides of the pair self-join below; df-capped, so its
-    # size is bounded by RARE_DF_CAP × |rare shingles| — the bounded
-    # index a production pipeline persists
-    er = ex.join(rare, "h").localCheckpoint(eager=True)
+    # size is bounded by RARE_DF_CAP × |rare shingles| — but |rare
+    # shingles| GROWS with the corpus, so this is a corpus-scaling
+    # relation: r13 moves it to the file-backed barrier (the
+    # block-manager variance class bit exactly this shape — see
+    # BASELINE.md r13 barrier A/B; the persisted rare-postings index is
+    # what a production pipeline keeps anyway)
+    er = materialize_parquet(ex.join(rare, "h"))
     pairs = (
         er.alias("a")
         .join(
@@ -1308,13 +1318,19 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * F.col(f"c{i}") > F.col("n"), F.lit(1 << i).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
         sig_expr = term if sig_expr is None else sig_expr + term
-    # two band sides + both pair sides read it: materialize once (the
-    # persisted signature table at 100 TB)
+    # the band branches read it: materialize once (the persisted
+    # signature table at 100 TB). The pair sides no longer re-join it —
+    # the 8-byte signature rides the band rows and the exact Hamming
+    # verify happens MAP-SIDE off the band join's xor (r13, the
+    # map-side-Jaccard lesson: the r12 form shuffled the candidate-pair
+    # relation twice more to re-attach sig); see the xor note below for
+    # where the popcount chain runs relative to the distinct.
     sig = g.select("doc_id", sig_expr.alias("sig")).localCheckpoint(eager=True)
     bands = None
     for b in range(SIMHASH_BANDS):
         part = sig.select(
             "doc_id",
+            "sig",
             F.lit(b).alias("band_no"),
             F.shiftright("sig", 15 * b).bitwiseAND(F.lit(32767))
             .cast("bigint")
@@ -1323,32 +1339,39 @@ def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands = part if bands is None else bands.unionByName(part)
     a = _band_reps(bands).alias("a")  # star scheme: reps x all members
     b = bands.alias("b")
-    pairs = (
+    # the 8-byte xor (ONE op) rides through the distinct; the 60-term
+    # popcount chain runs on the post-distinct pairs only (r13b: the
+    # first map-side form computed hamming pre-distinct on every
+    # band-duplicated row and widened the distinct key — ×100 14.6 s
+    # vs 11.1 for r12; this form pays one op pre-distinct, the chain
+    # once per unique pair, and still no signature-fetch joins). xor
+    # is a pure function of the pair, so distinct on (doc_a, doc_b, x)
+    # dedups band collisions exactly like a pair-only distinct.
+    xor = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    uniq = (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            xor.alias("x"),
+        )
         .distinct()
     )
-    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    xor = F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+    xcol = F.col("x")
     ham = None
     for i in range(SIMHASH_PAIR_BITS):
-        term = F.shiftright(xor, i).bitwiseAND(F.lit(1))
+        term = F.shiftright(xcol, i).bitwiseAND(F.lit(1))
         ham = term if ham is None else ham + term
-    return (
-        pairs.join(x, "doc_a")
-        .join(y, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            ham.cast("bigint").alias("hamming"),
-            (ham.cast("bigint") <= SIMHASH_HAM_MAX).alias("is_near"),
-        )
+    return uniq.select(
+        "doc_a",
+        "doc_b",
+        ham.cast("bigint").alias("hamming"),
+        (ham.cast("bigint") <= SIMHASH_HAM_MAX).alias("is_near"),
     )
 
 
@@ -1425,41 +1448,55 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     sig = (
         _signature_frame(d)
-        # four consumers (two band sides + both pair sides)
+        # two consumers (the two band branches; r13 moved the pair
+        # sides map-side — see below)
         .localCheckpoint(eager=True)
         .filter(F.col("mh").isNotNull())
     )
     b0 = F.md5(F.concat_ws("_", *[F.col("mh").getItem(i) for i in range(4)]))
     b1 = F.md5(F.concat_ws("_", *[F.col("mh").getItem(i) for i in range(4, 8)]))
+    # the packed signature (8 longs, 64 B) RIDES the band rows, so
+    # n_match is computed map-side in the band join's projection and
+    # the two per-pair signature-fetch joins disappear (r13 — the
+    # dedup_pipeline_end_to_end map-side-Jaccard lesson applied to the
+    # sweep: the r12 form shuffled the 16M-pair relation twice more to
+    # re-attach mh from the signature table). n_match is a pure
+    # function of the pair, so distinct() on (doc_a, doc_b, n_match)
+    # dedups band-collision duplicates exactly like the old pair-only
+    # distinct.
     bands = sig.select(
-        "doc_id", F.lit(0).alias("band_no"), b0.alias("band_key")
+        "doc_id", F.lit(0).alias("band_no"), b0.alias("band_key"), "mh"
     ).unionByName(
-        sig.select("doc_id", F.lit(1).alias("band_no"), b1.alias("band_key"))
+        sig.select("doc_id", F.lit(1).alias("band_no"), b1.alias("band_key"), "mh")
     )
     a = _band_reps(bands).alias("a")
     b = bands.alias("b")
-    pairs = (
+    n_match = F.aggregate(
+        F.zip_with(F.col("a.mh"), F.col("b.mh"), lambda p, q: (p == q).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")
+    j = (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.band_no") == F.col("b.band_no"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            n_match.alias("n_match"),
+        )
         .distinct()
     )
-    x = sig.select(F.col("doc_id").alias("doc_a"), F.col("mh").alias("mh_a"))
-    y = sig.select(F.col("doc_id").alias("doc_b"), F.col("mh").alias("mh_b"))
-    n_match = F.aggregate(
-        F.zip_with("mh_a", "mh_b", lambda p, q: (p == q).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ).cast("bigint")
-    j = (
-        pairs.join(x, "doc_a")
-        .join(y, "doc_b")
-        .select("doc_a", "doc_b", n_match.alias("n_match"))
-    )
+    # THREE consumers read j (the pair histogram and BOTH branches of
+    # the doc-level union): without a barrier the band self-join +
+    # distinct re-executed three times — the r13a/r12 forms were flat
+    # at ~37 s at ×100 because of exactly this, not the per-pair work.
+    # Fixed-width int64 triples are the parquet-friendly barrier case
+    # (the calibration A/B — BASELINE.md r13 barrier notes).
+    j = materialize_parquet(j)
     ph = j.groupBy("n_match").agg(F.count("*").cast("bigint").alias("c_pairs"))
     dm = (
         j.select(F.col("doc_a").alias("doc"), "n_match")

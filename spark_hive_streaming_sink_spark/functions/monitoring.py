@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from ..io import load_table, parallelize_scan
+from ..io import load_table, materialize_parquet, parallelize_scan
 from ..registry import register
 
 
@@ -58,17 +58,25 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     from .dedup import _shingles
 
-    t = d.select(
-        "doc_id",
-        F.transform(
-            _shingles(F.col("text")),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
-        ).alias("dga"),
-    ).localCheckpoint(eager=True)  # feeds totals AND the digest explode
+    # feeds totals AND the digest explode; r13: file-backed barrier —
+    # corpus-sized digest-array relation, the block-manager variance
+    # class (BASELINE.md r13 barrier A/B). The array SIZE is computed
+    # once BEFORE the barrier so the totals branch's parquet read
+    # prunes to (doc_id, ns) and never deserializes the digest arrays
+    # at all (r13b).
+    t = materialize_parquet(
+        d.select(
+            "doc_id",
+            F.transform(
+                _shingles(F.col("text")),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+            ).alias("dga"),
+        ).withColumn("ns", F.size("dga"))
+    )
     # rows = count of DISTINCT SHINGLES (the array is post-distinct),
     # exactly what the oracle's per-doc COUNT over the unnest counts
-    totals = t.filter(F.size("dga") > 0).select(
-        "doc_id", F.size("dga").cast("bigint").alias("n_shingles")
+    totals = t.filter(F.col("ns") > 0).select(
+        "doc_id", F.col("ns").cast("bigint").alias("n_shingles")
     )
     sh = t.select("doc_id", F.explode("dga").alias("dg"))
     firsts = sh.groupBy("dg").agg(F.min("doc_id").alias("first_doc"))

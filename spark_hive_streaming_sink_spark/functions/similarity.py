@@ -23,7 +23,7 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from ..io import load_table
+from ..io import load_table, materialize_parquet
 from ..registry import register
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -95,6 +95,89 @@ _SQL_D2E = (
 
 def _sql_d2(v: str, c: str) -> str:
     return _SQL_D2E.format(v=v, c=c)
+
+
+def _cents_row(cents_df: DataFrame, cid: str, cvec: str) -> DataFrame:
+    """ALL centroids packed into ONE row as an array of (cid, cv)
+    structs — the broadcast side of the map-side assignment below.
+    The subtree is an Aggregate, so the broadcast stays provably
+    bounded (the no-static-broadcast invariant test's rule); sorting
+    by cid keeps the packed order deterministic across runs."""
+    return cents_df.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(cid).alias("cid"), F.col(cvec).alias("cv"))
+            )
+        ).alias("_cents")
+    )
+
+
+def _ranked_cells(
+    df: DataFrame,
+    cents_df: DataFrame,
+    cid: str,
+    cvec: str,
+    vec: Column,
+    cast_vec: bool = True,
+    keep_raw: bool = False,
+) -> DataFrame:
+    """Map-side nearest-centroid RANKING (guide §2.4: remove shuffles
+    outright): every prior form of IVF/k-means assignment in this
+    engine cross-joined the corpus against K broadcast centroids and
+    ran ``row_number() OVER (PARTITION BY vec_id ORDER BY round(d2,6)
+    ASC NULLS LAST, cid)`` — a K× replication of the corpus (carrying
+    the full embedding array) through a window Exchange. Since vec_id
+    is unique in every fixture family (driver, adversarial, fuzzer —
+    the same documented assumption dedup_minhash_calibration's
+    doc_id-keyed joins rely on), the per-vec_id window over K rows is
+    exactly a per-ROW sort over K array elements, which needs no
+    exchange at all.
+
+    Adds column ``_rc``: the centroid structs sorted by the window's
+    precise key — ``(nn, d, cid)`` where ``nn = (round(d2,6) IS NULL)``
+    reproduces ASC NULLS LAST (equal NULL keys fall through to the cid
+    tie-break; NaN sorts after finite doubles on both paths — probed
+    empirically, same total order as the window), matching the oracle's
+    ``ORDER BY round(d2, 6), cid`` under DuckDB's NULLS LAST default.
+    ``_rc[i]`` is the window's rn = i+1 row. ``keep_raw`` adds the
+    UNROUNDED d2 (``draw``) for consumers that read raw distances of
+    specific ranks (silhouette). Rows exist only when the centroid set
+    is non-empty — identical to the old crossJoin against an empty
+    centroid relation producing no rows."""
+
+    def d2_of(c: Column) -> Column:
+        def diff(x: Column, y: Column) -> Column:
+            xd = x.cast("double") if cast_vec else x
+            return (xd - y) * (xd - y)
+
+        return F.aggregate(
+            F.zip_with(vec, c, diff), F.lit(0.0), lambda acc, t: acc + t
+        )
+
+    raw = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            d2_of(c.getField("cv")).alias("draw"), c.getField("cid").alias("cid")
+        ),
+    )
+
+    def key(s: Column) -> Column:
+        dr = F.round(s.getField("draw"), 6)
+        fields = [
+            dr.isNull().cast("int").alias("nn"),
+            dr.alias("d"),
+            s.getField("cid").alias("cid"),
+        ]
+        if keep_raw:
+            fields.append(s.getField("draw").alias("draw"))
+        return F.struct(*fields)
+
+    return (
+        df.crossJoin(F.broadcast(_cents_row(cents_df, cid, cvec)))
+        .filter(F.size("_cents") > 0)
+        .withColumn("_rc", F.array_sort(F.transform(raw, key)))
+        .drop("_cents")
+    )
 
 
 def _np_round_half_up(x, decimals: int):
@@ -532,26 +615,15 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cvec")
         )
     )
-    # assignment: nearest centroid by squared L2 (broadcast K centroids)
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("cvec"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pairs = emb.crossJoin(
-        F.broadcast(cents.withColumnRenamed("label", "cl"))
-    ).select("vec_id", "embedding", "cl", d2.alias("d2"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.round(F.col("d2"), 6).asc_nulls_last(), "cl"
-    )
-    assign = (
-        pairs.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cl").alias("cell"))
+    # assignment: nearest centroid by squared L2 — map-side ranking
+    # over the one-row broadcast centroid array (r13: replaces the
+    # K×-corpus crossJoin + per-vec_id row_number window, which
+    # shuffled every embedding K times through a window Exchange;
+    # identical (round(d2,6) NULLS LAST, cid) order — see _ranked_cells)
+    assign = _ranked_cells(
+        emb, cents, "label", "cvec", F.col("embedding")
+    ).select(
+        "vec_id", "embedding", F.get("_rc", 0).getField("cid").alias("cell")
     )
     v = assign.select(
         "vec_id", "embedding", "cell", _norm(F.col("embedding")).alias("nrm")
@@ -1035,21 +1107,51 @@ def embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vs").alias("cs"),
         )
     )
-    scored = sub.join(F.broadcast(cents), F.col("m") == F.col("cm")).select(
-        "vec_id",
-        "m",
-        "cid",
-        F.round(
-            F.aggregate(
-                F.zip_with("vs", "cs", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-            6,
-        ).alias("d2r"),
+    # best code per (row, subspace) ranked MAP-SIDE over the packed
+    # per-m codebook (r13: was an N×PQ_M×PQ_K relation through a
+    # (vec_id, m) row_number window — same (d NULLS LAST, cid) order)
+    cbm = cents.groupBy(F.col("cm")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid").alias("cid"), F.col("cs").alias("cv")))
+        ).alias("_cb")
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2r").asc_nulls_last(), "cid")
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    code_raw = F.transform(
+        F.col("_cb"),
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with("vs", c.getField("cv"), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("d"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    code_rc = F.array_sort(
+        F.transform(
+            code_raw,
+            lambda s: F.struct(
+                s.getField("d").isNull().cast("int").alias("nn"),
+                s.getField("d").alias("d"),
+                s.getField("cid").alias("cid"),
+            ),
+        )
+    )
+    # two projections on purpose (the _add_minhash discipline): the
+    # non-cheap ranking lands in ONE intermediate column; cid/d extract
+    # from it in a second projection CollapseProject keeps separate
+    best = (
+        sub.join(F.broadcast(cbm), F.col("m") == F.col("cm"))
+        .select("vec_id", "m", F.get(code_rc, 0).alias("_b"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("_b").getField("cid").alias("cid"),
+            F.col("_b").getField("d").alias("d2r"),
+        )
+    )
     return best.groupBy("vec_id").agg(
         F.max(F.when(F.col("m") == 0, F.col("cid"))).cast("int").alias("code0"),
         F.max(F.when(F.col("m") == 1, F.col("cid"))).cast("int").alias("code1"),
@@ -1258,21 +1360,13 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(IVFPQ_CELLS)
         .select(F.col("vec_id").alias("ccid"), F.col("v").alias("cv"))
     )
-    d2_cell = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    w_cell = Window.partitionBy("vec_id").orderBy(
-        F.round("d2", 6).asc_nulls_last(), "ccid"
-    )
-    m0 = (
-        e.crossJoin(F.broadcast(cc))
-        .select("vec_id", "v", "ccid", d2_cell.alias("d2"))
-        .withColumn("rn", F.row_number().over(w_cell))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("ccid").alias("cell"))
-        .localCheckpoint(eager=True)  # one assignment, three consumers
+    # map-side cell assignment (r13: was a K×-corpus crossJoin + window
+    # + eager localCheckpoint storing every raw vector; the ranking is
+    # now a per-row projection — see _ranked_cells — cheap enough that
+    # each consumer recomputes it from the columnar scan instead of
+    # reading a block-manager copy of the corpus)
+    m0 = _ranked_cells(e, cc, "ccid", "cv", F.col("v"), cast_vec=False).select(
+        "vec_id", "v", F.get("_rc", 0).getField("cid").alias("cell")
     )
     sub = m0.select(
         "vec_id",
@@ -1303,13 +1397,41 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    w_code = Window.partitionBy("vec_id", "m").orderBy(F.col("d2r").asc_nulls_last(), "cid")
+    # code assignment: per-subspace codebooks packed one row per m and
+    # broadcast-hash-joined on m, best code ranked map-side per row
+    # (r13: was an N×PQ_M×PQ_K relation through a (vec_id, m) window)
+    cbm = cb.groupBy(F.col("cm")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid").alias("cid"), F.col("cs").alias("cv")))
+        ).alias("_cb")
+    )
+    code_raw = F.transform(
+        F.col("_cb"),
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with("vs", c.getField("cv"), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("d"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    code_rc = F.array_sort(
+        F.transform(
+            code_raw,
+            lambda s: F.struct(
+                s.getField("d").isNull().cast("int").alias("nn"),
+                s.getField("d").alias("d"),
+                s.getField("cid").alias("cid"),
+            ),
+        )
+    )
     codes = (
-        sub.join(F.broadcast(cb), F.col("m") == F.col("cm"))
-        .select("vec_id", "cell", "m", "cid", d2_sub.alias("d2r"))
-        .withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell", "m", F.col("cid").alias("code"))
+        sub.join(F.broadcast(cbm), F.col("m") == F.col("cm"))
+        .select("vec_id", "cell", "m", F.get(code_rc, 0).getField("cid").alias("code"))
     )
     qcell = (
         m0.filter(F.col("vec_id") < N_QUERIES)
@@ -1654,31 +1776,32 @@ def sim_ann_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cvec")
         )
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("cvec"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pairs = emb.crossJoin(
-        F.broadcast(cents.withColumnRenamed("label", "cl"))
-    ).select("vec_id", "embedding", "cl", d2.alias("d2"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.round(F.col("d2"), 6).asc_nulls_last(), "cl"
-    )
-    v = (
-        pairs.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "embedding",
-            F.col("cl").alias("cell"),
-            _spark_bucket(F.col("embedding")).alias("bucket"),
-            _norm(F.col("embedding")).alias("nrm"),
-        )
+    # map-side cell assignment (r13: was a K×-corpus crossJoin + window
+    # — this finally IS the "argmin over K, no shuffle" the docstring
+    # promises; see _ranked_cells for the order-equivalence argument).
+    # The K-row centroid table is checkpointed (BOUNDED relation — the
+    # legit block-manager case): the left/right vec_id-parity filters
+    # push below any assignment-level barrier into the scans anyway
+    # (verified in the formatted plan), so the two join sides rank
+    # DISJOINT halves of the corpus — ONE ranking pass in total,
+    # map-side — but would otherwise each recompute the full centroid
+    # aggregation (a corpus-wide posexplode + two exchanges). ×100
+    # A/B of assignment-barrier forms, all measured on the idle box:
+    # localCheckpoint 35.8 s (block-manager variance class on the
+    # embedding-array relation), materialize_parquet 15.9 s (file
+    # round-trip of the corpus), no barrier at all 11.9 s (centroids
+    # computed twice), (cell,bucket)-repartition 9.3 s. The shipped
+    # form keeps the assignment un-barriered and de-duplicates only
+    # the bounded centroids (stress_x100_r13b.json).
+    cents = cents.localCheckpoint(eager=True)
+    v = _ranked_cells(
+        emb, cents, "label", "cvec", F.col("embedding")
+    ).select(
+        "vec_id",
+        "embedding",
+        F.get("_rc", 0).getField("cid").alias("cell"),
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
     left = v.select(
         F.col("vec_id").alias("left_id"),
@@ -2269,36 +2392,31 @@ def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cvec")
         )
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("cvec"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pairs = emb.crossJoin(
-        F.broadcast(cents.withColumnRenamed("label", "cl"))
-    ).select("vec_id", "embedding", "cl", d2.alias("d2"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.round(F.col("d2"), 6).asc_nulls_last(), "cl"
-    )
-    ranked = pairs.withColumn("rn", F.row_number().over(w_assign))
-    v = ranked.filter(F.col("rn") == 1).select(
+    # map-side cell ranking (r13: was a K×-corpus crossJoin + window);
+    # the full per-row ranking also serves the 2-probe fan-out below —
+    # rn <= 2 is just the first two elements of the sorted array
+    rc = _ranked_cells(emb, cents, "label", "cvec", F.col("embedding"))
+    v = rc.select(
         "vec_id",
         "embedding",
-        F.col("cl").alias("cell"),
+        F.get("_rc", 0).getField("cid").alias("cell"),
         _norm(F.col("embedding")).alias("nrm"),
     )
-    qprobe = ranked.filter(
-        (F.col("rn") <= 2) & (F.col("vec_id") < N_QUERIES)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        _norm(F.col("embedding")).alias("q_nrm"),
-        F.col("cl").alias("probe_cell"),
-        F.col("rn").alias("probe"),
+    qprobe = (
+        rc.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_nrm"),
+            F.posexplode(F.slice("_rc", 1, 2)).alias("pos", "pc"),
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            F.col("pc").getField("cid").alias("probe_cell"),
+            (F.col("pos") + 1).alias("probe"),
+        )
     )
     scored = F.broadcast(qprobe).join(
         v,
@@ -3087,6 +3205,10 @@ def sim_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", F.row_number().over(w1).alias("rnk"))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "cand_id")
+        # bounded (N_QUERIES × 10): three consumers (expansion terms,
+        # the overlap join, the round-1 count) each re-ran the full
+        # corpus-scan round without this barrier (guide §5)
+        .localCheckpoint(eager=True)
     )
     md = (
         r1.join(un, r1.cand_id == un.vec_id)
@@ -3129,6 +3251,8 @@ def sim_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", F.row_number().over(w2).alias("rnk"))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "cand_id")
+        # bounded: two consumers (overlap join, round-2 count)
+        .localCheckpoint(eager=True)
     )
     ov = r1.join(r2, ["query_id", "cand_id"]).groupBy("query_id").agg(
         F.count("*").alias("n_overlap")
@@ -3264,36 +3388,47 @@ def sim_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cvec")
         )
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("cvec"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    pairs = emb.crossJoin(
-        F.broadcast(cents.withColumnRenamed("label", "cl"))
-    ).select("vec_id", "embedding", "cl", d2.alias("d2"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.round(F.col("d2"), 6).asc_nulls_last(), "cl"
-    )
-    ranked = pairs.withColumn("rn", F.row_number().over(w_assign))
-    v = ranked.filter(F.col("rn") == 1).select(
+    # map-side cell ranking (r13: was a K×-corpus crossJoin + window
+    # whose subtree re-executed for FOUR consumers — v/truth, q, the
+    # probe fan-out, and scored; the ranking is now a per-row
+    # projection, see _ranked_cells). The assignment is materialized
+    # ONCE: its two full-corpus consumers (the truth join and the
+    # probe-scored join) would each re-run the O(K·D) ranking AND the
+    # centroid aggregation without a barrier (the old window form
+    # shared its exchange via ReuseExchange; map-side has no exchange
+    # to reuse — unbarriered this measured 12.2 s at ×100 vs 8.7 for
+    # the r12 window form; stress_x100_r13b.json has the shipped
+    # number). The barrier is an EXPLICIT repartition: ReuseExchange
+    # shares the one exchange across the two consumers — the r12
+    # mechanism minus the window sort. (A/B on the ann-join twin of
+    # this relation: localCheckpoint 35.8 s — block-manager variance
+    # class on embedding arrays — materialize_parquet 15.9 s, reused
+    # exchange fastest; this query's own parquet run read 9.7 s.) The
+    # bounded probe fan-out still reads `rc` directly (vec_id <
+    # N_QUERIES prunes its scan).
+    rc = _ranked_cells(emb, cents, "label", "cvec", F.col("embedding"))
+    v = rc.select(
         "vec_id",
         "embedding",
-        F.col("cl").alias("cell"),
+        F.get("_rc", 0).getField("cid").alias("cell"),
         _norm(F.col("embedding")).alias("nrm"),
-    )
+    ).repartition("vec_id")
     q = (
-        v.filter(F.col("vec_id") < N_QUERIES)
+        # read the PRUNED ranked scan, not v: the eager checkpoint of
+        # these 5 bounded rows runs as its own job at build time, and
+        # reading v here would compute the full corpus exchange once
+        # extra before the main job reuses it (r13b)
+        rc.filter(F.col("vec_id") < N_QUERIES)
         .limit(N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
+            _norm(F.col("embedding")).alias("q_nrm"),
         )
+        # 5 bounded rows feeding the truth join AND the probe join:
+        # one corpus scan instead of two (guide §5 — cache bounded
+        # reused relations)
+        .localCheckpoint(eager=True)
     )
     cos = F.round(
         F.try_divide(
@@ -3316,17 +3451,25 @@ def sim_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id")
     )
     qprobe = (
-        ranked.filter(F.col("vec_id") < N_QUERIES)
+        rc.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("rn"),
-            F.col("cl").alias("probe_cell"),
             F.explode(
-                F.array(*[F.lit(p) for p in NPROBE_POINTS])
-            ).alias("np"),
+                F.flatten(
+                    F.transform(
+                        F.array(*[F.lit(p) for p in NPROBE_POINTS]),
+                        lambda np_: F.transform(
+                            F.slice("_rc", F.lit(1), np_),
+                            lambda c: F.struct(
+                                np_.alias("np"),
+                                c.getField("cid").alias("probe_cell"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p"),
         )
-        .filter(F.col("rn") <= F.col("np"))
-        .select("query_id", "np", "probe_cell")
+        .select("query_id", F.col("p.np").alias("np"), F.col("p.probe_cell").alias("probe_cell"))
         .limit(N_QUERIES * sum(NPROBE_POINTS))  # provably bounded broadcast
     )
     scored = (
@@ -3346,14 +3489,27 @@ def sim_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_np = Window.partitionBy("query_id", "np").orderBy(
         F.col("cosine").desc(), "cand_id"
     )
-    approx = (
+    # ONE pass over the scored candidates serves BOTH the top-k list
+    # and the scan-cost count (r13: approx and cost each re-executed
+    # the whole scored subtree — the window and the groupBy share one
+    # (query_id, np) exchange, and the bounded per-(query, np) result
+    # is checkpointed for its two consumers)
+    per = (
         scored.withColumn("rnk", F.row_number().over(w_np))
-        .filter(F.col("rnk") <= RECALL_K)
-        .select("query_id", "np", "cand_id")
+        .groupBy("query_id", "np")
+        .agg(
+            F.count("*").cast("bigint").alias("n_scanned"),
+            # collect_list skips NULLs: exactly the rnk <= K ids
+            F.collect_list(
+                F.when(F.col("rnk") <= RECALL_K, F.col("cand_id"))
+            ).alias("topk"),
+        )
+        .localCheckpoint(eager=True)  # bounded: queries × nprobe points
     )
-    cost = scored.groupBy("query_id", "np").agg(
-        F.count("*").cast("bigint").alias("n_scanned")
+    approx = per.select(
+        "query_id", "np", F.explode("topk").alias("cand_id")
     )
+    cost = per.select("query_id", "np", "n_scanned")
     t = truth.select(
         F.col("query_id").alias("t_q"), F.col("cand_id").alias("t_c")
     )

@@ -1703,14 +1703,15 @@ def text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL text -> NULL metrics; a doc too short for n-grams -> zero
     counts and NULL fractions/verdicts (0/0 is undefined, not 0).
 
-    Scale shape: bigrams and trigrams are emitted in ONE pass over the
-    corpus (a single explode of the tagged concat — the oracle's
-    UNION ALL reads its CTE twice, Spark scans once), one shuffle on
-    (doc_id, n, gram) for the counts, then a doc_id-keyed rollup. The
-    final join back to `documents` rides doc_id (SMJ at scale; AQE may
-    broadcast the rollup at fixture scale). No windows, no driver
-    state; per-doc gram counts are bounded by doc length so no key is
-    hotter than the longest document."""
+    Scale shape (r13): ONE map pass, ZERO exchanges. Every metric is a
+    pure function of a single document's own gram multiset, so each
+    row sorts its gram arrays and reads the counts off the run lengths
+    — no explode, no (doc_id, n, gram) shuffle, no doc_id rollup, no
+    join back to `documents` (the r12 form paid two corpus-wide
+    gram-STRING shuffles plus the join; the oracle's UNION ALL /
+    GROUP BY pipeline is fine at DuckDB's scale). Per-doc work is
+    O(len·log len) — bounded by the longest document, embarrassingly
+    parallel."""
     d = load_table(spark, sf_dir, "documents")
     # Materialize toks as an attribute FIRST: referencing the split()
     # expression directly inside the gram lambdas would re-split the
@@ -1746,28 +1747,85 @@ def text_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda gr: F.struct(F.lit(n).alias("n"), gr.alias("gram")),
         )
 
-    # one scan: both gram orders ride a single explode; NULL text ->
-    # concat(NULL, NULL) = NULL -> explode emits nothing (matches the
-    # oracle's unnest(NULL))
-    g = t.select(
-        "doc_id", F.explode(F.concat(tagged(2), tagged(3))).alias("g")
-    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    c = g.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
-    cnt = F.col("cnt")
-    is2 = F.col("n") == 2
-    is3 = F.col("n") == 3
-    m = c.groupBy("doc_id").agg(
-        F.coalesce(F.sum(F.when(is2, cnt)), F.lit(0)).cast("bigint").alias("nb"),
-        F.coalesce(F.sum(F.when(is2 & (cnt > 1), cnt)), F.lit(0))
-        .cast("bigint")
-        .alias("db"),
-        F.max(F.when(is2, cnt)).alias("tb"),
-        F.coalesce(F.sum(F.when(is3, cnt)), F.lit(0)).cast("bigint").alias("nt"),
-        F.coalesce(F.sum(F.when(is3 & (cnt > 1), cnt)), F.lit(0))
-        .cast("bigint")
-        .alias("dt"),
+    # r13: the per-doc gram counts are DOC-LOCAL — every metric is a
+    # pure function of one document's own gram multiset — so the whole
+    # query is a single map pass: sort each doc's gram array and read
+    # the counts off the run lengths. The r12 form exploded the corpus
+    # and shuffled gram STRINGS twice ((doc_id, n, gram) counts, then
+    # the doc_id rollup) plus a doc_id join back to documents — ×100
+    # measured 17.3 s for what needs NO exchange at all (guide §2.4).
+    # Run-length machinery: `starts` = 1-based positions where the
+    # sorted array changes value; run lengths are successive-start
+    # differences (with a size+1 sentinel appended). Each non-cheap
+    # multi-referenced array gets its own projection so CollapseProject
+    # keeps the boundary (the _add_minhash discipline — element_at on
+    # an inlined array_sort would re-sort per element).
+    def starts_of(s: Column) -> Column:
+        # position 1 is always a run start; the filter probes i >= 2
+        # only (element_at rejects index 0, and sequence(2, 1) would
+        # run DESCENDING — both branches are guarded; CaseWhen
+        # evaluates lazily per row)
+        tail = F.filter(
+            F.sequence(F.lit(2), F.size(s)),
+            lambda i: F.element_at(s, i) != F.element_at(s, i - 1),
+        )
+        return F.when(
+            F.size(s) >= 2, F.concat(F.array(F.lit(1)), tail)
+        ).when(F.size(s) == 1, F.array(F.lit(1)))
+
+    def runs_of(st: Column, s: Column) -> Column:
+        return F.zip_with(
+            st,
+            F.concat(
+                F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+                F.array(F.size(s) + 1),
+            ),
+            lambda a, b: b - a,
+        )
+
+    sorted_ = t.select(
+        "doc_id",
+        "text",
+        F.array_sort(grams(2)).alias("s2"),
+        F.array_sort(grams(3)).alias("s3"),
     )
-    j = d.select("doc_id", "text").join(m, "doc_id", "left")
+    started = sorted_.select(
+        "doc_id",
+        "text",
+        "s2",
+        "s3",
+        starts_of(F.col("s2")).alias("st2"),
+        starts_of(F.col("s3")).alias("st3"),
+    )
+    runs = started.select(
+        "doc_id",
+        "text",
+        F.size("s2").alias("l2"),
+        F.size("s3").alias("l3"),
+        runs_of(F.col("st2"), F.col("s2")).alias("r2"),
+        runs_of(F.col("st3"), F.col("s3")).alias("r3"),
+    )
+
+    def dup_mass(r: Column) -> Column:
+        return F.aggregate(
+            F.filter(r, lambda x: x > 1),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint"),
+        )
+
+    # same names/semantics as the r12 aggregate: nb/nt = total gram
+    # mass (0 when none), db/dt = mass in runs of length > 1, tb = the
+    # longest bigram run (NULL when no bigrams — array_max over a NULL
+    # runs column, exactly the old absent-group NULL)
+    j = runs.select(
+        "doc_id",
+        "text",
+        F.when(F.col("l2") > 0, F.col("l2")).otherwise(0).cast("bigint").alias("nb"),
+        F.when(F.col("l2") > 0, dup_mass(F.col("r2"))).otherwise(0).alias("db"),
+        F.array_max("r2").cast("bigint").alias("tb"),
+        F.when(F.col("l3") > 0, F.col("l3")).otherwise(0).cast("bigint").alias("nt"),
+        F.when(F.col("l3") > 0, dup_mass(F.col("r3"))).otherwise(0).alias("dt"),
+    )
     has_text = F.col("text").isNotNull()
     nb = F.col("nb")
     nt_ = F.col("nt")

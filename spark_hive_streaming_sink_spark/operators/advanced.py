@@ -316,33 +316,51 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     every part pair co-purchased in ≥2 orders, support, confidence and
     lift — the A-priori first pass every recommendation pipeline runs.
 
-    Scale: the pair generation is a SELF-JOIN CO-PARTITIONED ON
-    l_orderkey, so pair explosion is bounded by per-order basket size
-    (≤7 lines in TPC-H — O(orders · basket²) total, never O(parts²));
-    item counts and the 1-row order count broadcast back onto the
-    (already aggregated) pair table. The ``pair_cnt >= 2`` floor prunes
-    the long singleton tail before the dimension joins. Exactness: all
-    counts are integers; support/confidence/lift are identical IEEE
-    division chains rounded to 6."""
-    li = (
+    Scale: ONE l_orderkey shuffle collects each order's sorted distinct
+    basket; pairs enumerate MAP-SIDE from the array, so pair explosion
+    is bounded by per-order basket size (≤7 lines in TPC-H —
+    O(orders · basket²) total, never O(parts²)) and no self-join ever
+    materializes; item counts and the 1-row order count broadcast back
+    onto the (already aggregated) pair table. The ``pair_cnt >= 2``
+    floor prunes the long singleton tail before the dimension joins.
+    Exactness: all counts are integers; support/confidence/lift are
+    identical IEEE division chains rounded to 6."""
+    # r13: ONE orderkey shuffle builds per-order sorted distinct basket
+    # arrays; pairs explode MAP-SIDE from each basket (bounded by
+    # basket size — <= C(7,2) = 21 in TPC-H) instead of the r12
+    # distinct + co-partitioned self-join, which paid a distinct
+    # exchange, two sorted join sides, and a join of the same rows the
+    # arrays now enumerate in place (guide §2.3 "aggregate before you
+    # shuffle" / §2.4). collect_set dedups (orderkey, partkey) exactly
+    # like the old .distinct(); sort_array makes pair order (a < b)
+    # and the downstream counts deterministic.
+    basket = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
-    a = li.alias("a")
-    b = li.alias("b")
-    pair = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    n = basket.agg(F.count("*").alias("n_orders"))
+    item = basket.select(F.explode("parts").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count("*").alias("cnt"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"),
+                    i + F.lit(2),
+                    F.greatest(F.size("parts") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
         )
+    )
+    pair = (
+        basket.select(F.explode(pair_structs).alias("p"))
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b")
         )
         .agg(F.count("*").alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= 2)

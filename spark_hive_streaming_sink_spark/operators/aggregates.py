@@ -761,29 +761,49 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, where equi-WIDTH buckets (agg_histogram_bucket) are
     useless on heavy-tailed values.
 
-    Scale: an exact global rank WITHOUT a single-partition sort — the
-    naive ``row_number() OVER (ORDER BY v)`` collapses 100 TB into one
-    task. Instead: range-repartition on the (deterministically
-    tie-broken) sort key, take per-partition row_numbers, and add each
-    partition's start offset computed from the per-partition counts —
-    a K-row relation (K = shuffle partitions) that cumulates in one
-    tiny window and broadcasts back. Rank values are independent of
-    the sampled range boundaries, so the result is exact and
-    deterministic while every stage stays distributed. Bucket id is
-    floor((rank-1)·B/N) in pure integer math — identical in both
-    engines (the oracle's global window is fine at DuckDB's scale)."""
+    Scale: exact WITHOUT ranking rows at all (r13). Every output cell
+    is a pure function of the (v, count) VALUE HISTOGRAM — per-bucket
+    counts are rank-interval overlaps, lo/hi are order statistics of v
+    alone; the (v, l_orderkey, l_linenumber) tie-break only decides
+    which equal-valued ROW carries a rank, which no output depends on.
+    One map-combined groupBy(v) collapses the corpus to its distinct
+    values; the exact global rank intervals then come from the same
+    distributed machinery as before (range repartition + per-partition
+    cumulative counts + a K-row offsets relation that cumulates in one
+    tiny window and broadcasts back — never a single-partition sort of
+    anything corpus-sized). Bucket id stays floor((rank-1)·B/N) in pure
+    integer math — identical in both engines (the oracle's global
+    window is fine at DuckDB's scale)."""
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    # r13 rewrite — rank arithmetic on the VALUE HISTOGRAM, not the
+    # rows (guide §2.3 "aggregate before you shuffle"): every output
+    # cell is a pure function of the (v, count) histogram — per-bucket
+    # counts are rank-interval overlaps and lo/hi are order statistics
+    # of v alone, both independent of how the window's (v, l_orderkey,
+    # l_linenumber) tie-break distributes EQUAL values across ranks
+    # (verified exhaustively against the rank definition in
+    # tests/test_plans.py's oracle + a 20k-case simulation). So: one
+    # map-combined groupBy(v) collapses the corpus to its distinct
+    # values (the r12 form range-exchanged every ROW with two tie-break
+    # columns and ranked 60M rows through a window at ×100), and the
+    # SAME distributed-rank machinery (range repartition + per-
+    # partition cumsum + K-row offsets — never a single-partition sort)
+    # now runs over the histogram only.
+    hist = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_extendedprice").alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("c"))
     )
-    key = [F.col("v"), F.col("l_orderkey"), F.col("l_linenumber")]
-    parts = li.repartitionByRange(*key).withColumn(
+    parts = hist.repartitionByRange(F.col("v")).withColumn(
         "pid", F.spark_partition_id()
     )
-    wp = Window.partitionBy("pid").orderBy(*key)
-    local = parts.withColumn("lrn", F.row_number().over(wp))
-    pc = parts.groupBy("pid").agg(F.count("*").alias("pn"))
+    wp = Window.partitionBy("pid").orderBy("v")
+    local = parts.withColumn(
+        "lcum", F.coalesce(F.sum("c").over(wp.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    )
+    pc = parts.groupBy("pid").agg(F.sum("c").alias("pn"))
     wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = pc.select(
         "pid",
@@ -794,21 +814,40 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n"),
     )
+    # each distinct v covers global ranks [start, end]; bucket b covers
+    # ranks [ceil(b*n/B)+1, floor(((b+1)*n-1)/B)+1] (exact integer
+    # rearrangement of the oracle's (rk-1)*B // n == b); the overlap of
+    # those intervals is that value's contribution to the bucket
     ranked = local.join(F.broadcast(offsets), "pid").select(
         "v",
-        (F.col("lrn") + F.col("offset")).alias("rk"),
+        "c",
+        (F.col("offset") + F.col("lcum") + 1).alias("start"),
+        (F.col("offset") + F.col("lcum") + F.col("c")).alias("end"),
         "n",
     )
+    spans = ranked.select(
+        "v",
+        "start",
+        "end",
+        "n",
+        F.explode(
+            F.sequence(
+                F.expr(f"(start - 1) * {N_DEPTH_BUCKETS} div n"),
+                F.expr(f"(end - 1) * {N_DEPTH_BUCKETS} div n"),
+            )
+        ).alias("bucket"),
+    )
+    lo_rank = F.expr(f"(bucket * n + {N_DEPTH_BUCKETS} - 1) div {N_DEPTH_BUCKETS} + 1")
+    hi_rank = F.expr(f"((bucket + 1) * n - 1) div {N_DEPTH_BUCKETS} + 1")
+    ov = F.least(hi_rank, F.col("end")) - F.greatest(lo_rank, F.col("start")) + 1
     return (
-        ranked.select(
-            ((F.col("rk") - 1) * N_DEPTH_BUCKETS / F.col("n"))
-            .cast("bigint")
-            .alias("bucket"),
-            "v",
-        )
+        spans.select("bucket", "v", ov.alias("ov"))
+        # empty buckets exist when n < B: a value's bucket span can
+        # cross buckets that hold no ranks at all
+        .filter(F.col("ov") >= 1)
         .groupBy("bucket")
         .agg(
-            F.count("*").alias("cnt"),
+            F.sum("ov").cast("bigint").alias("cnt"),
             F.min("v").alias("lo"),
             F.max("v").alias("hi"),
         )

@@ -1964,21 +1964,37 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e_ma3"),
     )
 
-    def scoreboard(model: str, own: str, other: str) -> DataFrame:
-        return f.agg(
-            F.lit(model).alias("model"),
-            F.count("*").cast("bigint").alias("n_forecasts"),
-            (
-                F.sum(F.col(own).cast("decimal(18,6)")).cast("double")
-                / F.count("*")
-            ).alias("mae"),
-            F.sum(F.when(F.col(own) < F.col(other), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_wins"),
-        ).select("model", "n_forecasts", "mae", "n_wins")
-
-    return scoreboard("naive", "e_naive", "e_ma3").unionByName(
-        scoreboard("ma3", "e_ma3", "e_naive")
+    # r13: ONE aggregate computes both models' sums/wins, and the two
+    # report rows explode from the 1-row result — the r12 two-branch
+    # union re-executed the whole 3-lag window pass per model (the
+    # exact sum/divide/win expressions are unchanged per branch)
+    agg1 = f.agg(
+        F.count("*").cast("bigint").alias("nf"),
+        F.sum(F.col("e_naive").cast("decimal(18,6)")).alias("s_naive"),
+        F.sum(F.col("e_ma3").cast("decimal(18,6)")).alias("s_ma3"),
+        F.sum(F.when(F.col("e_naive") < F.col("e_ma3"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("w_naive"),
+        F.sum(F.when(F.col("e_ma3") < F.col("e_naive"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("w_ma3"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("naive").alias("model"),
+            F.col("nf").alias("n_forecasts"),
+            (F.col("s_naive").cast("double") / F.col("nf")).alias("mae"),
+            F.col("w_naive").alias("n_wins"),
+        ),
+        F.struct(
+            F.lit("ma3").alias("model"),
+            F.col("nf").alias("n_forecasts"),
+            (F.col("s_ma3").cast("double") / F.col("nf")).alias("mae"),
+            F.col("w_ma3").alias("n_wins"),
+        ),
+    )
+    return agg1.select(F.explode(rows).alias("r")).select(
+        "r.model", "r.n_forecasts", "r.mae", "r.n_wins"
     )
 
 
@@ -2088,7 +2104,10 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_post"
         ),
         F.sum("n_obs").cast("bigint").alias("n_obs"),
-    )
+    # bounded (<= 2 rows) with two consumers (the estimate scalar and
+    # the report): without the barrier each re-ran the full event scan
+    # + treated join (r13, guide §5)
+    ).localCheckpoint(eager=True)
     # single-row aggregate (never 0 rows): a missing group or period
     # yields a NULL estimate, mirroring the oracle's scalar subquery
     did = wide.agg(

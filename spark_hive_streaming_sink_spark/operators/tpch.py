@@ -92,7 +92,12 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with the customer-nation = supplier-
     nation locality constraint. Only region/nation (fixed ≤25 rows)
     broadcast; customer and supplier shuffle (both scale with SF, AQE
-    upgrades to broadcast from runtime size), as does lineitem↔orders."""
+    upgrades to broadcast from runtime size), as does lineitem↔orders.
+
+    r13 measured dead end (do not re-try): pre-joining orders⋈customer
+    to (o_orderkey, c_nationkey) so lineitem shuffles once looked like
+    it should drop the fact's second wide exchange, but ×100 measured
+    45.1 s vs 14.5 for this order — adjudicated in BASELINE.md."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")

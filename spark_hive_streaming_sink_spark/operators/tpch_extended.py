@@ -292,11 +292,23 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)"
         " * CAST(ROUND(p_retailprice * 100, 0) AS BIGINT)) DIV 200"
     )
+    # r13 join order (guide §3.1): the dimension joins run FIRST —
+    # part carries the query's only selective filter (p_name LIKE,
+    # pushed to the scan), so the broadcast-side joins cut and narrow
+    # the fact BEFORE its one big exchange into the orders SMJ.
+    # part/supplier stay unhinted so AQE picks broadcast from runtime
+    # size (they'd scale at a real 100 TB). Measured dead end on top
+    # of this (do not re-try): also PARTIALLY AGGREGATING the profit
+    # cents on (l_orderkey, n_name) before the orders join — ~7
+    # lineitems per order with near-random suppliers means the keys
+    # barely reduce, and the extra exchange + high-cardinality hash
+    # aggregate measured 50.8 s at ×100 vs 23.6 for the r12 shape
+    # (BASELINE.md).
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
-        .join(p, li.l_partkey == p.p_partkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )

@@ -619,10 +619,13 @@ def test_semantic_dedup_cell_local(spark):
     (FlatMapGroupsInPandas over the cell id — one exchange, one BLAS
     matmul per cell) reading the checkpointed assignment; no join at
     all in the pair stage, no cartesian anywhere, and no row-at-a-time
-    Python (BatchEvalPython)."""
+    Python (BatchEvalPython). The one allowed nested-loop is the
+    1-row packed-centroid array broadcast of the r13 map-side
+    assignment (the scalar-join idiom — an Aggregate subtree, never
+    the corpus)."""
     df = _df(spark, "dedup_semantic_cluster")
     assert count_nodes(df, "CartesianProduct") == 0
-    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1
     assert count_nodes(df, "SortMergeJoin") == 0
     assert count_nodes(df, "FlatMapGroupsInPandas") == 1
     plan = formatted_plan(df)
@@ -840,7 +843,13 @@ def test_ivf_pq_all_hash_joins_no_fulldim_rescoring(spark):
     df = _df(spark, "sim_ivf_pq_topk")
     assert count_nodes(df, "BroadcastHashJoin") >= 3
     assert count_nodes(df, "SortMergeJoin") == 0
-    assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
+    # the only nested-loops are 1-row packed-centroid/codebook array
+    # broadcasts (r13 map-side assignment — Aggregate subtrees), one
+    # per consumer branch of the un-materialized assignment: the three
+    # bounded branches (codebook seeds, query LUT, query cells) prune
+    # their corpus scan to vec_id < K, so only the code-assignment
+    # branch pays a full pass
+    assert count_nodes(df, "BroadcastNestedLoopJoin") <= 6
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "WindowGroupLimit") >= 1
 
@@ -1220,9 +1229,10 @@ def test_burstiness_single_user_shuffle_then_mapside_agg(spark):
 
 
 def test_market_basket_pairs_join_copartitioned_on_order(spark):
-    """Pair generation must join co-partitioned on l_orderkey (shuffled
-    hash or sort-merge on the orderkey only), never a nested loop; the
-    1-row order count is a broadcast."""
+    """Pair generation is MAP-SIDE from per-order sorted basket arrays
+    (r13): ONE l_orderkey aggregate, no self-join at all — the only
+    equi-joins left are the two item-count joins; never a nested loop
+    over data; the 1-row order count is a broadcast."""
     df = _df(spark, "market_basket_lift")
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
@@ -1231,7 +1241,7 @@ def test_market_basket_pairs_join_copartitioned_on_order(spark):
         + count_nodes(df, "ShuffledHashJoin")
         + count_nodes(df, "BroadcastHashJoin")
     )
-    assert smj_or_shj >= 3  # self-join + two item-count joins
+    assert smj_or_shj >= 2  # the two item-count joins (self-join gone)
     assert count_nodes(df, "BroadcastNestedLoopJoin") <= 1  # the 1-row count
 
 
@@ -1522,13 +1532,18 @@ def test_isotropy_audit_no_pairs_no_python(spark):
 def test_prf_bounded_broadcast_rounds(spark):
     """Both PRF retrieval rounds must broadcast the bounded query side
     (GlobalLimit N_QUERIES) against a corpus scan — never a
-    corpus x corpus cartesian; everything JVM-side."""
+    corpus x corpus cartesian; everything JVM-side. Since r13 the two
+    round top-10 lists (bounded: N_QUERIES x 10) are eagerly
+    checkpointed — each round's broadcast-NLJ corpus pass runs exactly
+    ONCE instead of once per consumer (3x for round 1) — so the final
+    plan reads the two materialized round outputs instead of repeating
+    the scans."""
     df = _df(spark, "sim_query_expansion_prf")
     plan = formatted_plan(df)
     assert count_nodes(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # the non-equi candidate joins ride broadcast NLJ on the bounded side
-    assert count_nodes(df, "BroadcastNestedLoopJoin") >= 2
+    # the final plan consumes the checkpointed bounded round outputs
+    assert plan.count("Scan ExistingRDD") >= 2
 
 
 def test_epoch_shuffle_map_only_constant_spine(spark):
@@ -1602,7 +1617,9 @@ def test_forecast_backtest_single_window_pass(spark):
     aggregate; no Python, no joins."""
     df = _df(spark, "events_forecast_backtest")
     plan = formatted_plan(df)
-    assert count_nodes(df, "Window") == 2  # one per union branch
+    # r13: ONE window pass + ONE aggregate serve both models (the r12
+    # two-branch union ran the whole 3-lag window pass per model)
+    assert count_nodes(df, "Window") == 1
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "SortMergeJoin") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
