@@ -503,11 +503,16 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- a CONSTANT series has zero variance: the correlation is
     -- undefined (0/0 -> NaN in Spark, engine-dependent in DuckDB), so
     -- both engines return NULL explicitly
+    -- + 0 normalizes IEEE -0.0 to +0.0: DuckDB's round keeps the sign
+    -- of a tiny negative correlation (-1e-12 -> -0.0) while Spark's
+    -- BigDecimal HALF_UP round has no signed zero (-> 0.0); x + 0 = x
+    -- for every other double and NULL stays NULL, so only the
+    -- zero-correlation sign bit is touched (null-fuzz finding, r13)
     SELECT user_id, n,
            CASE WHEN (sxx - sx*sx/n) > 0 AND (syy - sy*sy/n) > 0
                 THEN round(((sxy - sx*sy/n)/n)
                            / (sqrt((sxx - sx*sx/n)/n)
-                              * sqrt((syy - sy*sy/n)/n)), 6)
+                              * sqrt((syy - sy*sy/n)/n)), 6) + 0
            END AS autocorr_lag1
     FROM m WHERE n >= 3
     """,

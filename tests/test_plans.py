@@ -940,16 +940,17 @@ def test_temperature_mix_weights_invariants(spark):
 
 
 def test_ngram_repetition_single_scan_no_window(spark):
-    """Gopher n-gram repetition: bigrams AND trigrams must ride ONE
-    scan of documents (the tagged-concat explode), aggregate without
-    windows, and keep the split() out of the per-element lambdas (a
-    collapsed projection re-splits the text per gram — the O(len^2)
-    trap). The rollup->documents join rides doc_id."""
+    """Gopher n-gram repetition, r13 run-length form: every metric is a
+    pure function of one document's own gram multiset, so the whole
+    query must be ONE map pass over ONE scan — no explode, no
+    exchange, no window, no join, and the split() kept out of the
+    per-element lambdas (a collapsed projection re-splits the text per
+    gram — the O(len^2) trap)."""
     df = _df(spark, "text_ngram_repetition")
     plan = formatted_plan(df)
-    # exactly one Generate (explode) and one split in the whole plan
-    assert count_nodes(df, "Generate") == 1
+    assert count_nodes(df, "Generate") == 0
     assert plan.count("split(") == 1
+    assert count_nodes(df, "Exchange") == 0
     assert count_nodes(df, "Window") == 0
     assert count_nodes(df, "CartesianProduct") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
