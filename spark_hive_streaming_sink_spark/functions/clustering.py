@@ -1041,12 +1041,17 @@ def sim_label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_knn_graph_lsh (cosine rounded to 6 places, vec_id tie-break);
     votes are exact counts; the one divide rounds once to ppm.
 
-    Scale: identical to the kNN-graph ops — one bucket shuffle, Arrow
-    gram per cell, only N*k edges leave; labels join onto the edge
-    list by key (two equi-joins of an N*k list with an N-row label
-    table); the vote is one groupBy over edges. NULL embeddings can't
-    bucket and NULL labels can't vote or be audited: both excluded in
-    both engines."""
+    Scale (r13): identical kNN construction — one bucket shuffle,
+    Arrow gram per cell, only N*k edges leave — but BOTH endpoint
+    labels now ride out of the cell with the edge (guide §2.4: both
+    endpoints live in the same cell, so the two r12 equi-joins of the
+    N*k edge list against the N-row label table were pure shuffle
+    waste; vec_id is unique, so cell-local passthrough IS the join).
+    One (node, nbr-label) count aggregate feeds BOTH the disagreement
+    rollup and the majority vote — bounded at min(k, |labels|) rows
+    per node and barriered so the Arrow gram runs once. NULL
+    embeddings can't bucket and NULL labels can't vote or be audited:
+    both excluded in both engines."""
     from pyspark.sql import Window as W
 
     from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
@@ -1059,34 +1064,27 @@ def sim_label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         _norm(F.col("embedding")).alias("nrm"),
         _spark_bucket(F.col("embedding")).alias("bucket"),
+        "label",
     )
-    # pair-bounded N*k edge list, TWO consumers (the disagreement
-    # rollup and the majority vote) — materialize once or the Arrow
-    # cell gram re-runs per consumer (the reciprocal-kNN precedent)
-    knn = (
-        _knn_cell_topk(v, K_NN_GRAPH)
-        .select("node_id", "neighbor_id")
+    e = _knn_cell_topk(v, K_NN_GRAPH, extra=("label",)).select(
+        "node_id",
+        F.col("node_label").alias("own"),
+        F.col("neighbor_label").alias("nbr"),
+    )
+    # one vote-count pass over the edges; (node, own, nbr) keys own <=
+    # min(k, |labels|) rows per node (own is functionally dependent on
+    # node_id). TWO consumers (rollup + majority) — materialize or the
+    # Arrow cell gram re-runs per consumer (the reciprocal-kNN
+    # precedent); this table is k-bounded per node, NOT corpus-signature
+    # class, so localCheckpoint is the right barrier
+    g = (
+        e.groupBy("node_id", "own", "nbr")
+        .agg(F.count("*").cast("bigint").alias("votes"))
         .localCheckpoint(eager=True)
     )
-    lab = emb.select("vec_id", "label")
-    e = (
-        knn.join(
-            lab.select(
-                F.col("vec_id").alias("node_id"), F.col("label").alias("own")
-            ),
-            "node_id",
-        )
-        .join(
-            lab.select(
-                F.col("vec_id").alias("neighbor_id"),
-                F.col("label").alias("nbr"),
-            ),
-            "neighbor_id",
-        )
-    )
-    per = e.groupBy("node_id", "own").agg(
-        F.count("*").cast("bigint").alias("n_nbrs"),
-        F.sum(F.when(F.col("nbr") != F.col("own"), 1).otherwise(0))
+    per = g.groupBy("node_id", "own").agg(
+        F.sum("votes").cast("bigint").alias("n_nbrs"),
+        F.sum(F.when(F.col("nbr") != F.col("own"), F.col("votes")).otherwise(0))
         .cast("bigint")
         .alias("n_disagree"),
     )
@@ -1094,9 +1092,7 @@ def sim_label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("votes").desc(), F.col("nbr")
     )
     mj = (
-        e.groupBy("node_id", "nbr")
-        .agg(F.count("*").alias("votes"))
-        .withColumn("rn", F.row_number().over(w_mj))
+        g.withColumn("rn", F.row_number().over(w_mj))
         .filter(F.col("rn") == 1)
         .select("node_id", F.col("nbr").alias("majority_label"))
     )
@@ -1171,10 +1167,14 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical cross-engine) and sums exactly — the unrolled DuckDB
     oracle reproduces every rank bit-for-bit.
 
-    Scale: each iteration is one join of the edge list with the rank
-    vector (shuffle on node id — the standard distributed PageRank
-    shape) + a bounded-degree aggregate; edges are kNN-bounded (N*k,
-    never N^2) and cell-local by construction."""
+    Scale (r13): each iteration is ONE join of the edge list with the
+    rank vector (shuffle on node id — the standard distributed
+    PageRank shape) + a bounded-degree aggregate; edges are
+    kNN-bounded (N*k, never N^2), cell-local by construction, and
+    carry the node's out-degree straight out of the cell (it is the
+    cell-local kept-edge count), so the r12 per-iteration deg join —
+    a second shuffle of the N*k edge list per iteration — is gone
+    (guide §2.4)."""
     from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1185,15 +1185,26 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spark_bucket(F.col("embedding")).alias("bucket"),
     )
     # same per-bucket Arrow gram as sim_knn_graph_lsh — only the N*k
-    # kept edges leave the cells, never the full pair list
-    edges = (
-        _knn_cell_topk(v, K_NN_GRAPH)
-        .select(F.col("node_id").alias("src"), F.col("neighbor_id").alias("dst"))
-        .localCheckpoint(eager=True)  # edges feed deg + 2 iterations
+    # kept edges leave the cells, never the full pair list; n_nbrs is
+    # each src's kept-edge count == the oracle's COUNT(*) deg
+    # file-backed barrier (r13): corpus-scaling fixed-width int64
+    # triples with four consumers (deg, 2 iterations, in_deg) — the
+    # block-manager checkpoint showed its variance class here (×100
+    # isolates 6.7-16.5 s on identical code); parquet is the
+    # predictable barrier for this shape
+    edges = materialize_parquet(
+        _knn_cell_topk(v, K_NN_GRAPH, deg=True).select(
+            F.col("node_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            F.col("n_nbrs").alias("deg"),
+        )
     )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").cast("bigint").alias("deg")
-    )
+    # NOT barriered (measured dead end, do not re-try): checkpointing
+    # this distinct measured 20.1/22.7 s at ×100 vs 6.7 s without —
+    # the severed lineage demoted the downstream rank joins' planning
+    # while the re-derived distinct rides the already-checkpointed
+    # edge table cheaply
+    deg = edges.select(F.col("src").alias("node"), "deg").distinct()
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     r = deg.crossJoin(F.broadcast(n_nodes)).select(
         "node",
@@ -1205,7 +1216,6 @@ def graph_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(2):
         contrib = (
             edges.join(r.withColumnRenamed("node", "src"), "src")
-            .join(deg.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.round(PR_DAMP * F.col("r_u") / F.col("deg"), 0)
@@ -1295,13 +1305,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smallest label; a node with no labeled neighbors keeps NULL
     new_label and a NULL changed verdict).
 
-    Scale shape: edges come from the same per-cell Arrow gram as
-    sim_knn_graph_lsh (only N*k edges leave the LSH cells); the vote
-    is one neighbor_id-keyed join against the label column plus a
-    (node, label) count whose per-node row count is bounded by k; the
-    winner is a WindowGroupLimit top-1 over those <= k rows. Repeated
-    rounds = re-running this operator on the updated label column —
-    each round is the same bounded join, no state accumulates."""
+    Scale shape (r13): edges come from the same per-cell Arrow gram as
+    sim_knn_graph_lsh (only N*k edges leave the LSH cells), and each
+    edge carries its neighbor's CURRENT label out of the cell (guide
+    §2.4 — the r12 neighbor_id-keyed join against the label column
+    re-shuffled the N*k edge list for a value already sitting in the
+    cell; vec_id is unique, so the passthrough IS the join); the vote
+    is a (node, label) count whose per-node row count is bounded by k;
+    the winner is a WindowGroupLimit top-1 over those <= k rows.
+    Repeated rounds = re-running this operator on the updated label
+    column — each round is the same bounded pass, no state
+    accumulates."""
     from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
     from pyspark.sql import Window
 
@@ -1313,16 +1327,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("embedding")).alias("nrm"),
         _spark_bucket(F.col("embedding")).alias("bucket"),
     )
-    edges = _knn_cell_topk(
-        v.select("vec_id", "embedding", "nrm", "bucket"), K_NN_GRAPH
-    ).select("node_id", "neighbor_id")
     votes = (
-        edges.join(
-            emb.select(
-                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("cand")
-            ),
-            "neighbor_id",
+        _knn_cell_topk(
+            v.select("vec_id", "embedding", "nrm", "bucket", "label"),
+            K_NN_GRAPH,
+            extra=("label",),
         )
+        .select("node_id", F.col("neighbor_label").alias("cand"))
         .filter(F.col("cand").isNotNull())
         .groupBy("node_id", "cand")
         .agg(F.count("*").cast("bigint").alias("n_votes"))
@@ -1454,14 +1465,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("embedding")).alias("nrm"),
         _spark_bucket(F.col("embedding")).alias("bucket"),
     )
-    und = (
+    # file-backed barrier, not localCheckpoint (r13): the undirected
+    # edge list is a corpus-scaling fixed-width int64 pair table with
+    # FOUR consumers (degree, both orientation sides, closing join) —
+    # back-to-back ×100 isolates measured the block-manager checkpoint
+    # at 6.9/18.3 s on identical code (the adjudicated variance class)
+    # where the parquet barrier is predictable sequential IO
+    und = materialize_parquet(
         _knn_cell_topk(v, K_NN_GRAPH)
         .select(
             F.least("node_id", "neighbor_id").alias("a"),
             F.greatest("node_id", "neighbor_id").alias("b"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("a").alias("node"))

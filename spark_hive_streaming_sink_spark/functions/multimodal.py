@@ -943,6 +943,53 @@ def fingerprint_band_loudness(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(kernel, FP_SCHEMA)
 
 
+def audio_fingerprints(payloads: DataFrame) -> DataFrame:
+    """mapInPandas kernel: real WAV decode → ONE (doc_id, fingerprint)
+    row per clip. The whole chromaprint construction is doc-local —
+    band loudness cells, sign-of-delta bits between consecutive
+    frames, bit packing — so computing it inside the kernel (exact
+    int64 NumPy: |PCM| ≤ 2^15, 28 bits, nothing overflows) removes the
+    32-rows-per-doc Arrow stream, the (doc_id, band) lag-window
+    exchange, and the per-doc rollup the r12 form paid (guide §2.4;
+    the same loudness sums and comparisons, assembled in one place).
+    A clip with < 2 frames emits nothing — identical to the r12
+    frame_idx >= 1 filter leaving the doc's group empty."""
+    import numpy as np
+    import pandas as pd
+
+    # bit positions: (frame_idx - 1) * FP_BANDS + band, frame_idx >= 1
+    def kernel(batches):
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, n, s = decode_wav(bytes(p))
+                nf = n // FP_FRAME
+                if nf < 2:
+                    continue
+                loud = (
+                    np.abs(
+                        np.asarray(s[: nf * FP_FRAME], dtype=np.int64)
+                    )
+                    .reshape(nf, FP_BANDS, FP_BAND_W)
+                    .sum(axis=2)
+                )
+                bits = (loud[1:] > loud[:-1]).astype(np.int64)
+                shifts = (
+                    np.arange(nf - 1, dtype=np.int64)[:, None] * FP_BANDS
+                    + np.arange(FP_BANDS, dtype=np.int64)[None, :]
+                )
+                ids.append(doc_id)
+                fps.append(int((bits << shifts).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "fingerprint": np.asarray(fps, dtype=np.int64),
+                }
+            )
+
+    return payloads.mapInPandas(kernel, "doc_id long, fingerprint long")
+
+
 @register(
     "multimodal_audio_fingerprint",
     oracle=f"""
@@ -995,42 +1042,23 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     PCM's generating formula; bits are integer comparisons; the hash
     is an exact bit-OR sum. No float anywhere.
 
-    Scale: one Python map stage (decode + 32 integer sums per clip,
-    Arrow-batched), a (doc_id, band) lag window, one aggregate per
-    doc, and one fingerprint-keyed count join — all linear; the
-    fingerprint join key is 28 bits so collision groups stay bounded
-    like LSH buckets."""
-    from pyspark.sql import Window
-
+    Scale (r13): ONE Python map stage emitting ONE row per clip — the
+    whole bit construction is doc-local, so the fingerprint assembles
+    inside the Arrow kernel (audio_fingerprints) and the r12
+    32-rows-per-doc cell stream, its (doc_id, band) lag-window
+    exchange, and the per-doc rollup are gone (guide §2.4). The
+    fingerprint table is barriered (two consumers: the collision count
+    and the output join — without it the decode kernel runs twice);
+    the fingerprint-keyed count join is the only shuffle, its key is
+    28 bits so collision groups stay bounded like LSH buckets."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
         .select("doc_id")
     )
-    cells = fingerprint_band_loudness(wav_payloads(d))
-    w = Window.partitionBy("doc_id", "band").orderBy("frame_idx")
-    bits = cells.select(
-        "doc_id",
-        "frame_idx",
-        "band",
-        F.when(F.col("loud") > F.lag("loud").over(w), 1).otherwise(0).alias(
-            "bit"
-        ),
-    )
-    fp = (
-        bits.filter(F.col("frame_idx") >= 1)
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr(
-                    "shiftleft(CAST(bit AS BIGINT),"
-                    f" (frame_idx - 1) * {FP_BANDS} + band)"
-                )
-            )
-            .cast("bigint")
-            .alias("fingerprint")
-        )
-    )
+    # (doc_id, fingerprint) int64 pairs: bounded-width, |docs|-sized —
+    # localCheckpoint is the right barrier class
+    fp = audio_fingerprints(wav_payloads(d)).localCheckpoint(eager=True)
     coll = fp.groupBy("fingerprint").agg(
         F.count("*").cast("bigint").alias("n_matches")
     )

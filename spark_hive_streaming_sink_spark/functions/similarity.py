@@ -27,6 +27,15 @@ from ..io import load_table, materialize_parquet
 from ..registry import register
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+# Two-level top-k fan-out for the PRF retrieval rounds (guide §2.5):
+# level 1 ranks within (query_id, pmod(xxhash64(cand_id), CELLS))
+# cells, spreading the scored corpus over CELLS*N_QUERIES reduce
+# partitions instead of hot-keying it into N_QUERIES; level 2 ranks
+# the <= CELLS*10 per-query survivors. 0 disables (single window —
+# the pre-r13 shape, for A/B runs). Production: size CELLS so one
+# cell's rows fit a task comfortably (~corpus/CELLS per query).
+PRF_SALT_CELLS = int(os.environ.get("SHSS_PRF_SALT_CELLS", "64"))
 TOP_K = 5
 DIM = 64
 # Bucket-count knob: cells must scale with corpus size (K ~ sqrt(N)),
@@ -885,7 +894,9 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 K_NN_GRAPH = 3  # neighbors kept per node
 
 
-def _knn_cell_topk(v: DataFrame, k: int) -> DataFrame:
+def _knn_cell_topk(
+    v: DataFrame, k: int, extra: tuple = (), deg: bool = False
+) -> DataFrame:
     """Per-cell k-NN: one Arrow/BLAS gram matrix per LSH bucket
     (applyInPandas over the bucket key) with the top-k selection done
     INSIDE the group — replaces the bucket self-join + per-pair
@@ -908,23 +919,55 @@ def _knn_cell_topk(v: DataFrame, k: int) -> DataFrame:
     of scope for this Arrow path (NaN would rank first JVM-side but
     becomes NULL through Arrow); no fixture or fuzzer produces NaN.
 
-    Input: (vec_id, embedding, nrm, bucket). Output: (node_id,
-    neighbor_id, bucket, cosine, rnk) with rnk <= k."""
+    Top-k selection (r13): ONE stable argsort of the full (n, n) key
+    matrix per cell instead of a Python loop of n per-row lexsorts
+    (identical order, C-batched). Rows arrive sorted by vec_id, so a
+    STABLE sort on descending key alone reproduces the (cosine DESC,
+    neighbor_id ASC) tie-break; sentinel keys put NaN cosines below
+    every real cosine (>= -1) and self below NaN, exactly the old
+    exclude-self + DESC NULLS LAST order. Every row keeps
+    min(k, n-1) neighbors — the same count the loop produced.
+
+    ``extra`` names additional input columns (e.g. ``label``) to carry
+    through CELL-LOCALLY for both endpoints: the output then also has
+    ``node_<c>`` / ``neighbor_<c>`` per extra column ``<c>``, plus
+    ``n_nbrs`` (the node's kept-edge count == its kNN out-degree).
+    Equivalent to joining the edge list back against the input on
+    node_id / neighbor_id (vec_id is unique — the engine-wide fixture
+    assumption) — but with zero joins and zero extra shuffles: both
+    endpoints of every edge live in the same cell by construction
+    (guide §2.4).
+
+    Input: (vec_id, embedding, nrm, bucket [, *extra]). Output:
+    (node_id, neighbor_id, bucket, cosine, rnk [, n_nbrs,
+    node_*/neighbor_* extras]) with rnk <= k."""
     import numpy as np
     import pandas as pd
+
+    in_fields = dict(zip(v.columns, v.schema))
+    with_deg = deg or bool(extra)
+    extra_schema = (", n_nbrs long" if with_deg else "") + "".join(
+        f", node_{c} {in_fields[c].dataType.simpleString()}"
+        f", neighbor_{c} {in_fields[c].dataType.simpleString()}"
+        for c in extra
+    )
 
     def cell_topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame(
-                {
-                    "node_id": np.array([], dtype=np.int64),
-                    "neighbor_id": np.array([], dtype=np.int64),
-                    "bucket": np.array([], dtype=object),
-                    "cosine": np.array([], dtype=np.float64),
-                    "rnk": np.array([], dtype=np.int64),
-                }
-            )
+            out = {
+                "node_id": np.array([], dtype=np.int64),
+                "neighbor_id": np.array([], dtype=np.int64),
+                "bucket": np.array([], dtype=object),
+                "cosine": np.array([], dtype=np.float64),
+                "rnk": np.array([], dtype=np.int64),
+            }
+            if with_deg:
+                out["n_nbrs"] = np.array([], dtype=np.int64)
+            for c in extra:
+                out[f"node_{c}"] = np.array([], dtype=object)
+                out[f"neighbor_{c}"] = np.array([], dtype=object)
+            return pd.DataFrame(out)
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         vecs = pdf["embedding"].to_numpy()
@@ -941,31 +984,40 @@ def _knn_cell_topk(v: DataFrame, k: int) -> DataFrame:
         cos[lens[:, None] != lens[None, :]] = np.nan  # ragged pair -> NULL
         cos[denom == 0] = np.nan  # zero norm -> NULL (try_divide)
         cos = _np_round_half_up(cos, 6)
-        # NULL cosines rank last (DESC NULLS LAST in both engines)
-        key = np.where(np.isnan(cos), -np.inf, cos)
-        node, neigh, cval, rnk = [], [], [], []
-        all_idx = np.arange(n)
-        for i in range(n):
-            cand = all_idx[all_idx != i]
-            order = np.lexsort((ids[cand], -key[i, cand]))
-            take = cand[order[:k]]
-            node.append(np.full(len(take), ids[i]))
-            neigh.append(ids[take])
-            cval.append(cos[i, take])
-            rnk.append(np.arange(1, len(take) + 1))
-        return pd.DataFrame(
-            {
-                "node_id": np.concatenate(node),
-                "neighbor_id": np.concatenate(neigh),
-                "bucket": pdf["bucket"].iloc[0],
-                "cosine": np.concatenate(cval),
-                "rnk": np.concatenate(rnk),
-            }
-        )
+        # sentinels: real cosines are >= -1, so NaN (NULL, ranks last)
+        # maps below them and self below NaN — the old loop excluded
+        # self and appended NULLs last; ids ascending + stable sort
+        # gives the neighbor_id tie-break for free
+        key = np.where(np.isnan(cos), -2.0, cos)
+        np.fill_diagonal(key, -3.0)
+        kk = min(k, n - 1)
+        order = np.argsort(-key, axis=1, kind="stable")[:, :kk]
+        out = {
+            "node_id": np.repeat(ids, kk),
+            "neighbor_id": ids[order].ravel(),
+            "bucket": pdf["bucket"].iloc[0],
+            "cosine": np.take_along_axis(cos, order, axis=1).ravel(),
+            "rnk": np.tile(np.arange(1, kk + 1, dtype=np.int64), n),
+        }
+        if with_deg:
+            out["n_nbrs"] = np.full(n * kk, kk, dtype=np.int64)
+        for c in extra:
+            # NULLs arrive as NaN in a float64 series (Arrow ->
+            # pandas); route through object-dtype None so the
+            # declared integer output type round-trips them as SQL
+            # NULL instead of tripping an integer-NA cast
+            s = pdf[c].reset_index(drop=True)
+            vals = s.astype(object).where(s.notna(), None).to_numpy(
+                dtype=object
+            )
+            out[f"node_{c}"] = np.repeat(vals, kk)
+            out[f"neighbor_{c}"] = vals[order].ravel()
+        return pd.DataFrame(out)
 
     return v.groupBy("bucket").applyInPandas(
         cell_topk,
-        "node_id long, neighbor_id long, bucket string, cosine double, rnk long",
+        "node_id long, neighbor_id long, bucket string, cosine double,"
+        " rnk long" + extra_schema,
     )
 
 
@@ -3158,10 +3210,21 @@ def sim_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact counts; NULL cosines (ragged/NULL vectors) are filtered in
     both engines.
 
-    Scale: both rounds broadcast a bounded query side (GlobalLimit
-    N_QUERIES after the vec_id pushdown / the per-query aggregation)
-    against one corpus scan each — candidate rows never shuffle on a
-    corpus-sized key; the expansion aggregate is O(10 * dims) rows per
+    Scale (r13): both rounds broadcast a bounded query side
+    (GlobalLimit N_QUERIES after the vec_id pushdown / the per-query
+    aggregation) against one corpus scan each — candidate rows never
+    shuffle on a corpus-sized key. Each round's top-10 is TWO-LEVEL
+    (guide §2.5): a deterministic 64-way salt (pmod(xxhash64(cand_id)))
+    first ranks within (query_id, salt) cells — spreading the scored
+    rows over 64*N_QUERIES partitions instead of hot-keying them into
+    N_QUERIES=5 — then the true window ranks the <= 64*10 per-query
+    survivors. Provably identical: any global top-10 row has < 10 rows
+    above it globally, hence < 10 above it in its own salt cell, so it
+    survives the cell prune and the outer window sees every row that
+    outranks it. The bounded r1/r2 lists BROADCAST into the expansion
+    and overlap joins (r13 — localCheckpoint erases size stats, so the
+    planner was sort-merge-joining the corpus-sized unit-vector table
+    against 50 rows). The expansion aggregate is O(10 * dims) rows per
     query."""
     from pyspark.sql import Window
 
@@ -3194,24 +3257,50 @@ def sim_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    w1 = Window.partitionBy("query_id").orderBy(F.col("cos1").desc(), "cand_id")
-    r1 = (
+    def _topk10(scored: DataFrame, cos_col: str) -> DataFrame:
+        """Per-query top-10 by (cosine DESC, cand_id): two-level when
+        PRF_SALT_CELLS > 0 (any global top-10 row has < 10 rows above
+        it globally, hence < 10 above it in its own deterministic salt
+        cell, so it survives level 1 and level 2 sees every row that
+        outranks it — identical output), single window otherwise."""
+        out = scored.filter(F.col(cos_col).isNotNull())
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(cos_col).desc(), "cand_id"
+        )
+        if PRF_SALT_CELLS:
+            wa = Window.partitionBy("query_id", "salt").orderBy(
+                F.col(cos_col).desc(), "cand_id"
+            )
+            out = (
+                out.withColumn(
+                    "salt",
+                    F.pmod(F.xxhash64("cand_id"), F.lit(PRF_SALT_CELLS)),
+                )
+                .withColumn("crn", F.row_number().over(wa))
+                .filter(F.col("crn") <= 10)
+                .select("query_id", "cand_id", cos_col)
+            )
+        return (
+            out.select(
+                "query_id", "cand_id", F.row_number().over(w).alias("rnk")
+            )
+            .filter(F.col("rnk") <= 10)
+            .select("query_id", "cand_id")
+        )
+
+    r1 = _topk10(
         F.broadcast(q)
         .join(v, F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", F.col("vec_id").alias("cand_id"), cos1.alias("cos1")
-        )
-        .filter(F.col("cos1").isNotNull())
-        .select("query_id", "cand_id", F.row_number().over(w1).alias("rnk"))
-        .filter(F.col("rnk") <= 10)
-        .select("query_id", "cand_id")
+        ),
+        "cos1",
         # bounded (N_QUERIES × 10): three consumers (expansion terms,
         # the overlap join, the round-1 count) each re-ran the full
         # corpus-scan round without this barrier (guide §5)
-        .localCheckpoint(eager=True)
-    )
+    ).localCheckpoint(eager=True)
     md = (
-        r1.join(un, r1.cand_id == un.vec_id)
+        un.join(F.broadcast(r1), r1.cand_id == un.vec_id)
         .select("query_id", F.posexplode("uc").alias("pos", "x"))
         .select("query_id", (F.col("pos") + 1).alias("dim"), "x")
     )
@@ -3240,23 +3329,18 @@ def sim_query_expansion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("cos2").desc(), "cand_id")
-    r2 = (
+    r2 = _topk10(
         F.broadcast(en)
         .join(un, F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", F.col("vec_id").alias("cand_id"), cos2.alias("cos2")
-        )
-        .filter(F.col("cos2").isNotNull())
-        .select("query_id", "cand_id", F.row_number().over(w2).alias("rnk"))
-        .filter(F.col("rnk") <= 10)
-        .select("query_id", "cand_id")
+        ),
+        "cos2",
         # bounded: two consumers (overlap join, round-2 count)
-        .localCheckpoint(eager=True)
-    )
-    ov = r1.join(r2, ["query_id", "cand_id"]).groupBy("query_id").agg(
-        F.count("*").alias("n_overlap")
-    )
+    ).localCheckpoint(eager=True)
+    ov = r1.join(F.broadcast(r2), ["query_id", "cand_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").alias("n_overlap"))
     c1 = r1.groupBy("query_id").agg(F.count("*").alias("n1"))
     c2 = r2.groupBy("query_id").agg(F.count("*").alias("n2"))
     return (

@@ -2035,13 +2035,20 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(CASE WHEN period = 'post' THEN mean_value END) AS m_post,
              CAST(SUM(n_obs) AS BIGINT) AS n_obs
       FROM agg GROUP BY grp)
+    -- round(x*1e6, 0)/1e6 instead of round(x, 6): a 5e-7 tie is not
+    -- binary-representable, and DuckDB rounds the BINARY double while
+    -- Spark rounds its SHORTEST DECIMAL STRING — on a double whose
+    -- shortest representation lands exactly on the tie they disagree
+    -- (null-fuzz finding, r13). Scaling first makes the tie a .5,
+    -- which IS representable, so both engines see the same side.
     SELECT grp, n_obs,
-           round(m_pre, 6) AS mean_pre,
-           round(m_post, 6) AS mean_post,
-           round(m_post - m_pre, 6) AS delta,
+           round(m_pre * 1000000.0, 0) / 1000000.0 AS mean_pre,
+           round(m_post * 1000000.0, 0) / 1000000.0 AS mean_post,
+           round((m_post - m_pre) * 1000000.0, 0) / 1000000.0 AS delta,
            round((SELECT (tw.m_post - tw.m_pre) - (cw.m_post - cw.m_pre)
                   FROM wide tw, wide cw
-                  WHERE tw.grp = 'treated' AND cw.grp = 'control'), 6)
+                  WHERE tw.grp = 'treated' AND cw.grp = 'control')
+                 * 1000000.0, 0) / 1000000.0
              AS did_estimate
     FROM wide
     WHERE m_pre IS NOT NULL AND m_post IS NOT NULL
@@ -2115,8 +2122,17 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     # single-row aggregate (never 0 rows): a missing group or period
     # yields a NULL estimate, mirroring the oracle's scalar subquery
+    # round(x*1e6, 0)/1e6, not round(x, 6): a 5e-7 tie is not
+    # binary-representable — Spark rounds the double's SHORTEST DECIMAL
+    # STRING (BigDecimal.valueOf) while DuckDB rounds the BINARY value,
+    # so a shortest-representation tie diverges (null-fuzz finding,
+    # r13); after the 1e6 scale the tie is a representable .5 and both
+    # engines agree. Same expression in the oracle.
+    def round6(c: Column) -> Column:
+        return F.round(c * 1000000.0, 0) / 1000000.0
+
     did = wide.agg(
-        F.round(
+        round6(
             F.max(
                 F.when(
                     F.col("grp") == "treated", F.col("m_post") - F.col("m_pre")
@@ -2126,8 +2142,7 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     F.col("grp") == "control", F.col("m_post") - F.col("m_pre")
                 )
-            ),
-            6,
+            )
         ).alias("did_estimate")
     )
     return (
@@ -2136,9 +2151,9 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "grp",
             "n_obs",
-            F.round("m_pre", 6).alias("mean_pre"),
-            F.round("m_post", 6).alias("mean_post"),
-            F.round(F.col("m_post") - F.col("m_pre"), 6).alias("delta"),
+            round6(F.col("m_pre")).alias("mean_pre"),
+            round6(F.col("m_post")).alias("mean_post"),
+            round6(F.col("m_post") - F.col("m_pre")).alias("delta"),
             "did_estimate",
         )
     )
@@ -2290,10 +2305,17 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions on identical inputs, rounded in both engines; the
     period split compares integer microseconds.
 
-    Scale: one scan feeds the per-user aggregate (map-side combine on
-    user_id), the 1-row moment table broadcasts, the adjustment is a
-    map over users, and the group rollup is 2 rows. The treated set
-    joins on user_id. Nothing super-linear."""
+    Scale (r13): ONE events scan feeds everything. The per-user
+    aggregate (map-side combine on user_id) carries the treated flag
+    as max(event_type = 'error') — the r12 form re-scanned events for
+    a separate treated-users distinct and, worse, re-executed the
+    whole scan + per-user aggregate subtree once per consumer (theta
+    moments, the adjusted-variance pass, and the final rollup: ~4
+    scans in the executed plan). The user-level table is
+    |users|-sized — NOT the corpus-signature class — so a
+    localCheckpoint is the right barrier (guide §5); the 1-row moment
+    tables broadcast, the adjustment is a map over users, and the
+    group rollup is 2 rows. Nothing super-linear."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull()
         & F.col("user_id").isNotNull()
@@ -2318,13 +2340,23 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(is_post, dec("v"))).cast("double")
                 / F.count(F.when(is_post, F.lit(1)))
             ).alias("y"),
+            # same verdict as the r12 treated-set semi-join: a user is
+            # treated iff ANY of their (ts/user_id/value non-null)
+            # events is an 'error' — computed in the same pass
+            F.coalesce(
+                F.max(F.col("event_type") == "error"), F.lit(False)
+            ).alias("is_treated"),
         )
     )
-    u = per_user.filter(
-        F.col("x").isNotNull() & F.col("y").isNotNull()
-    ).select("user_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
-    treated = (
-        e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    u = (
+        per_user.filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .select(
+            "user_id",
+            F.round("x", 6).alias("x"),
+            F.round("y", 6).alias("y"),
+            "is_treated",
+        )
+        .localCheckpoint(eager=True)
     )
     stats = u.agg(
         F.count("*").cast("bigint").alias("n"),
@@ -2359,6 +2391,7 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y")
             - F.col("theta") * (F.col("x") - F.col("sx") / F.col("n"))
         ).alias("y_adj"),
+        "is_treated",
     )
     ya = F.round("y_adj", 6).cast("decimal(18,6)")
     vadj = adj.agg(
@@ -2393,10 +2426,7 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        adj.join(
-            treated.withColumn("is_treated", F.lit(True)), "user_id", "left"
-        )
-        .crossJoin(F.broadcast(vr))
+        adj.crossJoin(F.broadcast(vr))
         .groupBy(
             F.when(F.col("is_treated"), "treated")
             .otherwise("control")

@@ -1070,15 +1070,18 @@ def test_triangle_count_oriented_no_cartesian(spark):
     """Triangle counting: edges ride the per-cell Arrow gram, the
     orientation/wedge/closing joins are all hash joins on node or edge
     keys (no cartesian, no nested-loop), and post-edge stages read the
-    checkpointed edge list, not the parquet source."""
+    materialized edge barrier, not the embeddings source (r13: the
+    barrier is a file-backed parquet — the variance-class adjudication
+    — so parquet scans of the BARRIER are expected; a scan of the
+    source table would mean the kNN gram re-runs per consumer)."""
     df = _df(spark, "graph_triangle_count")
     plan = formatted_plan(df)
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
     assert "BatchEvalPython" not in plan
-    # the kNN gram + distinct happen before the localCheckpoint: the
-    # final plan must join checkpointed scans only
-    assert "Scan parquet" not in plan
+    # the kNN gram + distinct happen before the barrier: the final
+    # plan must join barrier scans only, never the source table
+    assert "embeddings.parquet" not in plan
 
 
 def test_priority_sample_single_shuffle_partial_topk(spark):
@@ -1371,13 +1374,18 @@ def test_shot_boundaries_single_doc_shuffle(spark):
 
 
 def test_char_entropy_two_shuffles_no_python(spark):
-    """Char entropy: explode → (doc, char) agg → doc_id window → doc
-    agg; everything JVM-side, shuffles only on doc-keyed exchanges."""
+    """Char entropy, r13 run-length form: a pure function of each
+    document's own char multiset must be ONE map pass — zero
+    exchanges, zero explodes, zero windows, everything JVM-side (the
+    r12 form exploded the corpus per character into two doc-keyed
+    exchanges)."""
     df = _df(spark, "text_char_entropy")
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert count_nodes(df, "CartesianProduct") == 0
-    assert count_nodes(df, "Generate") == 1  # one explode only
+    assert count_nodes(df, "Generate") == 0
+    assert count_nodes(df, "Exchange") == 0
+    assert count_nodes(df, "Window") == 0
 
 
 def test_pii_signal_counts_map_only(spark):

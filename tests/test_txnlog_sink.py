@@ -509,7 +509,10 @@ def test_txnlog_merge_rewrites_only_touched_files(spark):
     pub.publish(lo, 0)
     pub.publish(hi, 1)
     files_before = {a["path"] for a in log.snapshot_adds()}
-    lo_files = {p for p in files_before if "b0-" in p}
+    # match the batch DIRECTORY component ("data/b0-<hex>/"), not a bare
+    # "b0-" substring: Spark part filenames embed hyphenated UUIDs, and
+    # ~1.6% of draws contain "b0-" (flaked the full suite)
+    lo_files = {p for p in files_before if "/b0-" in f"/{p}"}
     hi_files = files_before - lo_files
     updates = (
         ev.filter(F.col("event_id") >= 500)
