@@ -1933,14 +1933,16 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _knn_cell_topk(v, K_NN_GRAPH).select(
         F.col("node_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
-    # undirected, deduped; checkpointed once — it feeds the degree
-    # table, both sides of the distance-2 expansion, and the anti-join
-    und = (
+    # undirected, deduped; materialized once — it feeds the degree
+    # table, both sides of the distance-2 expansion, and the anti-join.
+    # File-backed barrier (r13): corpus-scaling int64 pair table with
+    # FOUR consumers — the localCheckpoint form measured 6.2/6.3/18.9 s
+    # across ×100 isolates (the adjudicated block-manager variance
+    # class); parquet is the predictable barrier for this shape
+    und = materialize_parquet(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        ).distinct()
     )
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("deg")

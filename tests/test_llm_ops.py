@@ -556,6 +556,88 @@ def test_bigram_surprisal_covers_multi_token_docs(spark):
         assert out[k]["avg_surprisal"] > 0
 
 
+def test_knn_cell_topk_vectorized_matches_reference(spark):
+    """The r13 vectorized top-k (one stable full-matrix argsort with
+    -2/-3 sentinels) must reproduce the loop form's exact output on a
+    hand-built cell exercising every branch: cosine ties broken by
+    neighbor id, a NULL-component vector (NaN cosine, ranks last), a
+    ragged vector (NULL cosine against everyone), cell size above and
+    below k, and self-exclusion. Also pins the r13 extra/deg
+    passthrough: node_/neighbor_ attributes must equal a join against
+    the input on the ids, n_nbrs must equal the per-node edge count,
+    and NULL labels must survive the Arrow round-trip as NULLs."""
+    import math
+
+    from pyspark.sql import Row
+
+    from spark_hive_streaming_sink_spark.functions.similarity import (
+        _knn_cell_topk,
+    )
+
+    # bucket A: 5 vectors — ids 1/2 identical (cosine tie), 3 opposite,
+    # 4 has a NULL component, 5 is ragged; bucket B: a 2-vector cell
+    # (size below k); bucket C: a singleton (emits nothing)
+    data = [
+        (1, [1.0, 0.0], "A", 10),
+        (2, [1.0, 0.0], "A", None),
+        (3, [-1.0, 0.0], "A", 30),
+        (4, [1.0, None], "A", 40),
+        (5, [1.0, 0.0, 0.0], "A", 50),
+        (6, [0.0, 1.0], "B", 60),
+        (7, [1.0, 1.0], "B", 70),
+        (8, [1.0, 0.0], "C", 80),
+    ]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=e, bucket=b, label=lb) for i, e, b, lb in data]
+    ).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("nrm"),
+        "bucket",
+        "label",
+    )
+    out = {
+        (r["node_id"], r["rnk"]): r
+        for r in _knn_cell_topk(df, 3, extra=("label",)).collect()
+    }
+    labels = {i: lb for i, e, b, lb in data}
+
+    def nbrs(node):
+        seq = []
+        rnk = 1
+        while (node, rnk) in out:
+            seq.append(out[(node, rnk)])
+            rnk += 1
+        return seq
+
+    # node 1: tie on cosine 1.0 vs ids 2 (identical) — id tie-break;
+    # then 3 (cos -1), then NULLs (4: NaN component, 5: ragged) rank
+    # last by id: k=3 keeps [2, 3, 4-with-NULL-cosine]
+    got = [(r["neighbor_id"], r["cosine"]) for r in nbrs(1)]
+    assert [g[0] for g in got] == [2, 3, 4]
+    assert got[0][1] == 1.0 and got[1][1] == -1.0 and got[2][1] is None
+    # node 4 (NULL component): every cosine NULL -> neighbors by id
+    assert [r["neighbor_id"] for r in nbrs(4)] == [1, 2, 3]
+    assert all(r["cosine"] is None for r in nbrs(4))
+    # small cell: exactly min(k, n-1) = 1 neighbor each, real cosine
+    assert [r["neighbor_id"] for r in nbrs(6)] == [7]
+    assert math.isclose(nbrs(6)[0]["cosine"], 0.707107, abs_tol=1e-9)
+    # singleton cell emits nothing
+    assert not nbrs(8)
+    # extra/deg passthrough: attributes equal the input lookup (NULL
+    # label included), n_nbrs equals the node's kept-edge count
+    for r in out.values():
+        assert r["node_label"] == labels[r["node_id"]]
+        assert r["neighbor_label"] == labels[r["neighbor_id"]]
+        assert r["n_nbrs"] == len(nbrs(r["node_id"]))
+
+
 def test_knn_graph_every_node_ranked_within_bucket(spark):
     """Each node gets at most K neighbors, ranks are 1..k dense, and a
     node never lists itself."""
