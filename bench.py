@@ -344,27 +344,42 @@ def main() -> None:
             json.dump(record, f, indent=1)
     except OSError:
         full_path = None
+    print(_stdout_line(record, budget=None), flush=True)
+
+
+def _stdout_line(record: dict, budget: int | None = None) -> str:
+    """The ONE JSON line for the driver, trimmed to a byte budget.
+
+    When the full record is too long, keep per-query timings
+    slowest-first until the byte budget (the slow tail carries the perf
+    signal) and point at the on-disk record for the rest — the line
+    always parses whole no matter how many queries the suite grows to.
+    """
+    if budget is None:
+        budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1800"))
     line = json.dumps(record, separators=(",", ":"))
-    budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1800"))
-    if len(line) > budget:
-        # keep per-query timings slowest-first until the byte budget
-        # (the slow tail carries the perf signal), point at the on-disk
-        # record for the rest — the line always parses whole no matter
-        # how many queries the suite grows to
-        small = dict(record)
-        small["queries"] = {}
-        small["queries_omitted"] = 0
-        small["full_record"] = "tools/bench_latest.json"
-        by_cost = sorted(timings, key=lambda n: -(clean[n] or 0.0))
-        for name in by_cost:
-            trial = dict(small)
-            trial["queries"] = {**small["queries"], name: clean[name]}
-            if len(json.dumps(trial, separators=(",", ":"))) > budget:
-                small["queries_omitted"] = len(timings) - len(small["queries"])
-                break
-            small["queries"] = trial["queries"]
-        line = json.dumps(small, separators=(",", ":"))
-    print(line, flush=True)
+    if len(line) <= budget:
+        return line
+    clean = record["queries"]
+    small = dict(record)
+    # r13 postmortem: keeping the full per-query "loads" dict here
+    # (~4 KB for 128 keys) blew the budget by itself, so the refill
+    # loop below inserted zero queries and the driver lost two rounds
+    # of per-query comparison. Keep only load_1m_max on the line; the
+    # full loads live in tools/bench_latest.json.
+    small.pop("loads", None)
+    small["queries"] = {}
+    small["queries_omitted"] = 0
+    small["full_record"] = "tools/bench_latest.json"
+    by_cost = sorted(clean, key=lambda n: -(clean[n] or 0.0))
+    for name in by_cost:
+        trial = dict(small)
+        trial["queries"] = {**small["queries"], name: clean[name]}
+        if len(json.dumps(trial, separators=(",", ":"))) > budget:
+            small["queries_omitted"] = len(clean) - len(small["queries"])
+            break
+        small["queries"] = trial["queries"]
+    return json.dumps(small, separators=(",", ":"))
 
 
 if __name__ == "__main__":
