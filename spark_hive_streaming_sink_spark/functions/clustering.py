@@ -62,19 +62,22 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     would be silently WRONG (split components → corrupted dedup
     keep-lists), so that case still raises instead of returning.
     """
-    both = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    both = materialize_parquet(
+        edges.select("src", "dst").unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
         # materialize ONCE: every iteration (and the seed-label
         # distinct) re-reads this edge list, and without the barrier
         # each read re-executes the whole upstream candidate-pair
         # pipeline (shingle → minhash → band join for
-        # dedup_lsh_components — measured 21 s → 6 s at sf0.1). The
-        # edge list is pair-bounded, far smaller than the corpus it
-        # came from. localCheckpoint is NOT fault-tolerant (executor
-        # loss after it fails the job); a production run would write
-        # the edge list to a real table before iterating.
-        .localCheckpoint(eager=True)
+        # dedup_lsh_components — measured 21 s → 6 s at sf0.1).
+        # File-backed barrier, not localCheckpoint (r14): this is a
+        # multi-consumer, CORPUS-SCALING int64 pair table — the exact
+        # relation shape the r13 adjudication moved to
+        # materialize_parquet for triangle/pagerank after 6.9→18.3 s
+        # same-code block-manager swings. The bounded per-round
+        # relations below (updated/n1, component labels) stay on
+        # localCheckpoint per the barrier policy in io.py.
     )
     labels = (
         both.select(F.col("src").alias("node"))

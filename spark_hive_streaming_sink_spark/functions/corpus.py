@@ -276,14 +276,17 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # costs like checkpointing them), binary(16) + parquet 21.4 s —
     # the stable winner is the file-backed barrier on the halved
     # binary digests (stress_x100_r13b.json).
-    sh = materialize_parquet(sh)
+    # array SIZE precomputed BEFORE the barrier (r14 — the novelty `ns`
+    # trick, guide §6): the totals branch's parquet read then prunes to
+    # (doc_id, n_sh) and never deserializes the digest arrays at all
+    sh = materialize_parquet(sh.withColumn("n_sh", F.size("shingles")))
     is_eval = F.col("doc_id") % EVAL_MOD == 0
     train = (
         sh.filter(~is_eval).select(F.explode("shingles").alias("h")).distinct()
     )
     ev = sh.filter(is_eval).select("doc_id", F.explode("shingles").alias("h"))
     totals = sh.filter(is_eval).select(
-        "doc_id", F.size("shingles").cast("bigint").alias("n_shingles")
+        "doc_id", F.col("n_sh").cast("bigint").alias("n_shingles")
     )
     hits = (
         ev.join(train, "h", "left_semi")
@@ -2553,8 +2556,13 @@ def corpus_quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFram
 
     Scale: one map-side score projection (no explode — the stopword
     filter is a per-row array op) and ONE 10-group aggregation; the
-    corpus total joins back as a broadcast scalar. Scan-bound at any
-    size."""
+    corpus total is the SUM of the per-bin counts, recovered with a
+    window over the <= 10 aggregated rows (r14 — the previous form
+    cross-joined a broadcast COUNT(*) scalar, which cost a SECOND full
+    tokenize-and-score pass over the corpus just to build the
+    broadcast; guide §1/§5: the bench isolate measured the op at
+    2× scan cost for a 10-row output). Scan-bound at any size, now
+    with exactly one scan."""
     from ..functions.text import STOPWORDS
 
     d = load_table(spark, sf_dir, "documents").filter(
@@ -2572,7 +2580,6 @@ def corpus_quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFram
         score.alias("score_ppm"),
         F.coalesce(F.col("lang") == "en", F.lit(False)).alias("label"),
     ).filter(F.col("score_ppm").isNotNull())
-    n_all = sc.agg(F.count("*").cast("bigint").alias("n"))
     b = sc.select(
         F.least(F.col("score_ppm") / F.lit(100_000), F.lit(9))
         .cast("bigint")
@@ -2580,30 +2587,34 @@ def corpus_quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFram
         "score_ppm",
         "label",
     )
-    return (
-        b.crossJoin(F.broadcast(n_all))
-        .groupBy("bin", "n")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.round(F.avg(F.col("score_ppm").cast("double")), 0)
-            .cast("bigint")
-            .alias("conf_ppm"),
-            F.round(
-                F.lit(1_000_000.0)
-                * F.sum(F.when(F.col("label"), 1).otherwise(0))
-                / F.count("*"),
-                0,
-            )
-            .cast("bigint")
-            .alias("acc_ppm"),
-            F.round(
-                F.lit(1_000_000.0) * F.count("*") / F.first("n").cast("double"),
-                0,
-            )
-            .cast("bigint")
-            .alias("weight_ppm"),
+    agg = b.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg(F.col("score_ppm").cast("double")), 0)
+        .cast("bigint")
+        .alias("conf_ppm"),
+        F.round(
+            F.lit(1_000_000.0)
+            * F.sum(F.when(F.col("label"), 1).otherwise(0))
+            / F.count("*"),
+            0,
         )
-        .select("bin", "n_docs", "conf_ppm", "acc_ppm", "weight_ppm")
+        .cast("bigint")
+        .alias("acc_ppm"),
+    )
+    # n = sum over the ten bins of n_docs == COUNT(*) of scored docs:
+    # identical value, zero extra passes (the window sees <= 10 rows).
+    # Same float ops as before: lit(1e6) * BIGINT / DOUBLE, one round.
+    n = F.sum("n_docs").over(Window.partitionBy())
+    return agg.select(
+        "bin",
+        "n_docs",
+        "conf_ppm",
+        "acc_ppm",
+        F.round(
+            F.lit(1_000_000.0) * F.col("n_docs") / n.cast("double"), 0
+        )
+        .cast("bigint")
+        .alias("weight_ppm"),
     )
 
 

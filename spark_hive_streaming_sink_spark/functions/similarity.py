@@ -928,6 +928,21 @@ def _knn_cell_topk(
     exclude-self + DESC NULLS LAST order. Every row keeps
     min(k, n-1) neighbors — the same count the loop produced.
 
+    Hot-cell memory bound (r14, guide §2.5): the gram matrix is
+    computed in ROW BLOCKS of at most SHSS_KNN_GRAM_MB (default 256)
+    megabytes each — a skewed LSH cell (a near-duplicate flood hashing
+    to one bucket, exactly what a dedup corpus produces) previously
+    densified an (n, n) float64 gram in a single Arrow task: O(n^2)
+    bytes, 80 GB at n=100k. Each block is (rows_per_block, n); per-row
+    top-k needs only that row's full cosine row, so blocking changes
+    NOTHING about the selection — when the whole gram fits the budget
+    the block is the whole cell and the computation is the identical
+    single dgemm as before (fixture cells always fit: the oracle path
+    is bit-for-bit untouched). The remaining per-task footprint is the
+    O(n*dim) padded matrix + the Arrow group itself, inherent to
+    applyInPandas (the group always materializes); the quadratic term
+    is gone.
+
     ``extra`` names additional input columns (e.g. ``label``) to carry
     through CELL-LOCALLY for both endpoints: the output then also has
     ``node_<c>`` / ``neighbor_<c>`` per extra column ``<c>``, plus
@@ -944,6 +959,8 @@ def _knn_cell_topk(
     import numpy as np
     import pandas as pd
 
+    # captured driver-side so executors need no env propagation
+    gram_budget = int(os.environ.get("SHSS_KNN_GRAM_MB", "256")) << 20
     in_fields = dict(zip(v.columns, v.schema))
     with_deg = deg or bool(extra)
     extra_schema = (", n_nbrs long" if with_deg else "") + "".join(
@@ -978,25 +995,38 @@ def _knn_cell_topk(
             # np.asarray maps None components to NaN in a float array
             V[i, : lens[i]] = np.asarray(a, dtype=np.float64)
         nrm = pdf["nrm"].to_numpy().astype(np.float64)
-        denom = np.outer(nrm, nrm)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos = (V @ V.T) / denom
-        cos[lens[:, None] != lens[None, :]] = np.nan  # ragged pair -> NULL
-        cos[denom == 0] = np.nan  # zero norm -> NULL (try_divide)
-        cos = _np_round_half_up(cos, 6)
-        # sentinels: real cosines are >= -1, so NaN (NULL, ranks last)
-        # maps below them and self below NaN — the old loop excluded
-        # self and appended NULLs last; ids ascending + stable sort
-        # gives the neighbor_id tie-break for free
-        key = np.where(np.isnan(cos), -2.0, cos)
-        np.fill_diagonal(key, -3.0)
         kk = min(k, n - 1)
-        order = np.argsort(-key, axis=1, kind="stable")[:, :kk]
+        # gram in row blocks (r14): bound per-task memory at
+        # SHSS_KNN_GRAM_MB for the skewed-cell case; one full-cell
+        # block (the identical single dgemm) whenever it fits
+        blk = (
+            n if n * n * 8 <= gram_budget else max(1, gram_budget // (8 * n))
+        )
+        order = np.empty((n, kk), dtype=np.int64)
+        cosk = np.empty((n, kk), dtype=np.float64)
+        for s0 in range(0, n, blk):
+            s1 = min(s0 + blk, n)
+            denom = np.outer(nrm[s0:s1], nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (V[s0:s1] @ V.T) / denom
+            # ragged pair -> NULL; zero norm -> NULL (try_divide)
+            cos[lens[s0:s1, None] != lens[None, :]] = np.nan
+            cos[denom == 0] = np.nan
+            cos = _np_round_half_up(cos, 6)
+            # sentinels: real cosines are >= -1, so NaN (NULL, ranks
+            # last) maps below them and self below NaN — the old loop
+            # excluded self and appended NULLs last; ids ascending +
+            # stable sort gives the neighbor_id tie-break for free
+            key = np.where(np.isnan(cos), -2.0, cos)
+            key[np.arange(s1 - s0), np.arange(s0, s1)] = -3.0  # self
+            o = np.argsort(-key, axis=1, kind="stable")[:, :kk]
+            order[s0:s1] = o
+            cosk[s0:s1] = np.take_along_axis(cos, o, axis=1)
         out = {
             "node_id": np.repeat(ids, kk),
             "neighbor_id": ids[order].ravel(),
             "bucket": pdf["bucket"].iloc[0],
-            "cosine": np.take_along_axis(cos, order, axis=1).ravel(),
+            "cosine": cosk.ravel(),
             "rnk": np.tile(np.arange(1, kk + 1, dtype=np.int64), n),
         }
         if with_deg:

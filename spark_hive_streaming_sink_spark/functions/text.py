@@ -1191,8 +1191,6 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram-TYPE table (map-side combine, vocab^2-bounded, far smaller
     than the corpus); context/continuation/type-total rollups all run
     on that small table; the top-50 compiles to TakeOrdered."""
-    from pyspark.sql import Window as _W
-
     d = parallelize_scan(load_table(spark, sf_dir, "documents"))
     tk = F.split(F.trim(F.col("text")), " ")
     bg_arr = F.when(
@@ -1224,27 +1222,34 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = cnt.groupBy("w2").agg(F.count("*").cast("bigint").alias("ncont"))
     tt = cnt.agg(F.count("*").cast("bigint").alias("t_types"))
+    # top-50 FIRST (r14, guide §2.4): the ranking key (c12 DESC, w1,
+    # w2) is a total order that lives entirely in cnt, and the ctx /
+    # cont / tt joins are 1:1 per (w1) / (w2) / global — so taking the
+    # 50 winners before joining selects exactly the rows the old
+    # row_number-over-the-joined-table form kept, while the global
+    # sort shrinks from |vocab²| joined rows pushed through ONE
+    # unpartitioned Window (a single-partition Exchange + full sort)
+    # to a TakeOrderedAndProject over the type table, and both stat
+    # joins become 50-row broadcast probes instead of vocab²-row
+    # shuffle joins.
+    top = cnt.orderBy(F.col("c12").desc(), "w1", "w2").limit(50)
     j = (
-        cnt.join(ctx, "w1")
+        F.broadcast(top)
+        .join(ctx, "w1")
         .join(cont, "w2")
         .crossJoin(F.broadcast(tt))
     )
-    w_rnk = _W.orderBy(F.col("c12").desc(), "w1", "w2")
     kn = (
         F.greatest(F.col("c12").cast("double") - F.lit(0.75), F.lit(0.0))
         + (F.lit(0.75) * F.col("n1fwd").cast("double"))
         * (F.col("ncont").cast("double") / F.col("t_types").cast("double"))
     ) / F.col("c1").cast("double")
-    return (
-        j.withColumn("rnk", F.row_number().over(w_rnk))
-        .filter(F.col("rnk") <= 50)
-        .select(
-            "w1",
-            "w2",
-            "c12",
-            "c1",
-            F.round(F.lit(1_000_000.0) * kn, 0).cast("bigint").alias("kn_ppm"),
-        )
+    return j.select(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        F.round(F.lit(1_000_000.0) * kn, 0).cast("bigint").alias("kn_ppm"),
     )
 
 

@@ -113,7 +113,8 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 _MAT_ROOT: str | None = None
-_MAT_SEQ = 0
+_MAT_LOCK = __import__("threading").Lock()
+_MAT_SEQ = __import__("itertools").count(1)
 
 
 def materialize_parquet(df: DataFrame) -> DataFrame:
@@ -143,6 +144,15 @@ def materialize_parquet(df: DataFrame) -> DataFrame:
 
     Set ``SHSS_BARRIER=blocks`` to fall back to ``localCheckpoint``
     (the A/B lever the ×100 adjudication runs use).
+
+    Barrier root (r14, per the r13 advisor): ``SHSS_MAT_DIR`` names the
+    root directory when set — on a multi-node cluster point it at
+    SHARED storage (HDFS/object store/NFS), because the default,
+    ``tempfile.mkdtemp()`` on the driver's local disk, only works in
+    local mode where driver and executors share a filesystem. Barrier
+    dirs accumulate for the life of the session (removed at interpreter
+    exit); a long-running service should periodically clear
+    ``SHSS_MAT_DIR`` or recycle sessions.
     """
     import atexit
     import os
@@ -151,11 +161,16 @@ def materialize_parquet(df: DataFrame) -> DataFrame:
 
     if os.environ.get("SHSS_BARRIER", "parquet") == "blocks":
         return df.localCheckpoint(eager=True)
-    global _MAT_ROOT, _MAT_SEQ
-    if _MAT_ROOT is None:
-        _MAT_ROOT = tempfile.mkdtemp(prefix="shss_mat_")
-        atexit.register(shutil.rmtree, _MAT_ROOT, ignore_errors=True)
-    _MAT_SEQ += 1
-    path = f"{_MAT_ROOT}/m{_MAT_SEQ}"
+    global _MAT_ROOT
+    with _MAT_LOCK:
+        if _MAT_ROOT is None:
+            override = os.environ.get("SHSS_MAT_DIR")
+            if override:
+                os.makedirs(override, exist_ok=True)
+                _MAT_ROOT = tempfile.mkdtemp(prefix="shss_mat_", dir=override)
+            else:
+                _MAT_ROOT = tempfile.mkdtemp(prefix="shss_mat_")
+            atexit.register(shutil.rmtree, _MAT_ROOT, ignore_errors=True)
+    path = f"{_MAT_ROOT}/m{next(_MAT_SEQ)}"
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)

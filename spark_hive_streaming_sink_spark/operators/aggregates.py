@@ -13,7 +13,7 @@ correctness requirement for the oracle and a sanity property at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from ..io import load_table
@@ -246,19 +246,53 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx",
-    oracle=None,  # sketch outputs are engine-specific → driver rows-only check
+    # r14 (VERDICT item 7): the raw sketch estimates are engine-specific
+    # and rode through every round on a rows-only check; the emitted
+    # columns are now the DETERMINISTIC error-envelope verdicts (the
+    # agg_approx_error_bounds pattern), which DuckDB pins to TRUE — a
+    # sketch regression breaks the hash instead of passing unchecked.
+    # Tolerances mirror the long-green local pytest
+    # (test_approx_sketches_within_error_bounds): 10% for default-rsd
+    # HLL (rsd=0.05, 2σ), 5% for rsd=0.01, 2% for the 10k-accuracy
+    # median.
+    oracle="""
+    SELECT l_returnflag,
+           TRUE AS parts_within_10pct,
+           TRUE AS supps_within_5pct,
+           TRUE AS median_within_2pct,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("aggregate", "approx"),
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB workhorses: HLL++ count
     distinct and quantile sketches aggregate in O(1) memory per group
-    where exact DISTINCT would shuffle every key."""
+    where exact DISTINCT would shuffle every key. Emitted per group:
+    the exact row count plus the sketch-vs-exact error-envelope
+    verdicts (the exact references are recomputed in the same
+    aggregation), so the driver hash certifies the sketches stay
+    within their configured accuracy."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("approx_supps"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("ap"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("asup"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("amed"),
+        F.countDistinct("l_partkey").alias("ep"),
+        F.countDistinct("l_suppkey").alias("es"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("emed"),
         F.count("*").alias("n"),
+    )
+
+    def within(approx: str, exact: str, tol: float) -> Column:
+        return F.abs(F.col(approx).cast("double") / F.col(exact) - 1.0) < tol
+
+    return g.select(
+        "l_returnflag",
+        within("ap", "ep", 0.10).alias("parts_within_10pct"),
+        within("asup", "es", 0.05).alias("supps_within_5pct"),
+        within("amed", "emed", 0.02).alias("median_within_2pct"),
+        "n",
     )
 
 
@@ -390,8 +424,19 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_mergeable_sketch",
-    oracle=None,  # sketch bytes are engine-specific → driver rows-only check;
-    # tests/test_llm_ops.py asserts the estimates within HLL error bounds
+    # r14 (VERDICT item 7): sketch bytes/estimates are engine-specific,
+    # so the emitted column is the DETERMINISTIC error-envelope verdict
+    # per group AND for the merged (union) sketch — DuckDB pins it to
+    # TRUE; estimate drift past the envelope breaks the hash. 5% is
+    # ~3σ for the default lgConfigK=12 Datasketches HLL (rsd ≈ 1.6%),
+    # the tolerance the long-green local pytest used.
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS customers_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(*) AS BIGINT), TRUE FROM orders
+    """,
     tags=("aggregate", "approx", "sketch"),
 )
 def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,21 +445,43 @@ def agg_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     global estimate — the re-aggregation workflow exact COUNT(DISTINCT)
     cannot do without a full re-shuffle. At 100 TB this is how
     per-partition/per-day cardinalities roll up to monthly/global ones:
-    persist bytes, merge later, never touch raw keys again."""
+    persist bytes, merge later, never touch raw keys again. Emitted:
+    per-group and merged-global row counts plus the sketch-vs-exact
+    error-envelope verdict, so the driver hash certifies both the
+    group sketches and the union merge."""
     o = load_table(spark, sf_dir, "orders")
     per_group = o.groupBy("o_orderstatus").agg(
         F.hll_sketch_agg("o_custkey").alias("sk"),
         F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("exact"),
+    )
+    ok = (
+        F.abs(
+            F.hll_sketch_estimate(F.col("sk")).cast("double")
+            / F.col("exact")
+            - 1.0
+        )
+        < 0.05
     )
     per_group_est = per_group.select(
-        "o_orderstatus",
-        F.hll_sketch_estimate("sk").alias("approx_customers"),
-        "n_rows",
+        "o_orderstatus", "n_rows", ok.alias("customers_within_5pct")
     )
-    merged = per_group.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
-        F.sum("n_rows").alias("n_rows"),
-    ).select(F.lit("ALL").alias("o_orderstatus"), "approx_customers", "n_rows")
+    g_exact = o.agg(F.countDistinct("o_custkey").alias("gexact"))
+    merged = (
+        per_group.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(g_exact))
+        .select(
+            F.lit("ALL").alias("o_orderstatus"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (
+                F.abs(F.col("est").cast("double") / F.col("gexact") - 1.0)
+                < 0.05
+            ).alias("customers_within_5pct"),
+        )
+    )
     return per_group_est.unionByName(merged)
 
 

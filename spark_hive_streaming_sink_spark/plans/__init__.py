@@ -56,6 +56,47 @@ def executed_final_plan(df: DataFrame) -> str:
     return plan.split("== Initial Plan ==")[0]
 
 
+def bnlj_build_subtrees(df: DataFrame) -> list[str]:
+    """The BroadcastExchange child subtree of every
+    BroadcastNestedLoopJoin in the physical plan tree — the relation
+    that actually gets broadcast and nested-loop-probed.
+
+    Used to enforce the 100 TB NLJ policy (r14, per the r13 advisor):
+    counting BNLJ nodes alone cannot distinguish the benign 1-row
+    packed-centroid/codebook broadcasts (an Aggregate feeds the
+    exchange) from a harmful corpus-sized nested loop (a bare scan
+    feeds it), so tests assert on the build side's SHAPE instead."""
+    tree = formatted_plan(df).split("\n\n")[0].splitlines()
+
+    def indent(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-*"))
+
+    subtrees: list[str] = []
+    for i, line in enumerate(tree):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        d = indent(line)
+        sub: list[str] = []
+        for nxt in tree[i + 1 :]:
+            if indent(nxt) <= d:
+                break
+            sub.append(nxt)
+        if not sub:
+            continue
+        child_indent = min(indent(l) for l in sub)
+        for j, l2 in enumerate(sub):
+            if indent(l2) == child_indent and (
+                "BroadcastExchange" in l2 or "BroadcastQueryStage" in l2
+            ):
+                s2 = [l2]
+                for nxt in sub[j + 1 :]:
+                    if indent(nxt) <= child_indent:
+                        break
+                    s2.append(nxt)
+                subtrees.append("\n".join(s2))
+    return subtrees
+
+
 def broadcast_hint_subtrees(df: DataFrame) -> list[str]:
     """Subtree text under each explicit broadcast hint in the ANALYZED
     logical plan (i.e. every ``F.broadcast``/``/*+ BROADCAST */`` the

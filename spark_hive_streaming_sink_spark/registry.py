@@ -100,6 +100,14 @@ SEMANTIC_RECHECK: dict[str, int] = {
     "dedup_chunks_reconstruct": 11,
     "corpus_decontam_span_removal": 11,
     "graph_link_prediction_ra": 11,
+    # r14 closed the no_oracle hole (VERDICT item 7): the three
+    # sketch/wall-clock queries now emit deterministic error-envelope /
+    # invariant verdicts with DuckDB oracles pinning them TRUE — their
+    # outputs changed from raw estimates/counts to those verdicts, so
+    # they must be re-judged against the new oracles.
+    "agg_approx": 14,
+    "agg_hll_mergeable_sketch": 14,
+    "source_rate_stream": 14,
 }
 
 

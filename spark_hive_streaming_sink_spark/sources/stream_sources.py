@@ -105,13 +105,27 @@ def source_socket_csv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "source_rate_stream",
-    oracle=None,  # wall-clock generated rows → rows-only check
+    # r14 (VERDICT item 7): the raw per-bucket counts are wall-clock
+    # dependent, so the emitted columns are the DETERMINISTIC
+    # invariants of the rate source instead — values are the
+    # contiguous range 0..N-1, so each parity bucket is non-empty
+    # (the run waits for >= 2 rows) and the two bucket counts differ
+    # by at most one. DuckDB pins both verdicts to TRUE; a rate-source
+    # or sink regression (dropped/duplicated batch) breaks the hash.
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS bucket, TRUE AS nonempty,
+           TRUE AS balanced
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), TRUE, TRUE
+    """,
     tags=("source", "streaming"),
 )
 def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate source (B2, ``RateStreamingExample.scala:63-66``): generate
     rows at a fixed rate, project ``value`` (B4's ``select("value")``),
-    run briefly, report per-partition counts."""
+    run briefly, report the per-parity-bucket invariants (non-empty,
+    counts within one of each other — exact because the generated
+    values are the contiguous range 0..N-1)."""
     name = "mem_rate_" + uuid.uuid4().hex[:10]
     src = (
         spark.readStream.format("rate")
@@ -130,11 +144,25 @@ def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         deadline = time.time() + 30
-        while time.time() < deadline and spark.table(name).count() == 0:
+        # >= 2 rows guarantees both parity buckets are populated
+        # (values are contiguous from 0)
+        while time.time() < deadline and spark.table(name).count() < 2:
             time.sleep(0.25)
     finally:
         q.stop()
-    return spark.table(name).groupBy("bucket").agg(F.count("*").alias("n"))
+    counts = spark.table(name).groupBy("bucket").agg(
+        F.count("*").alias("n")
+    )
+    from pyspark.sql.window import Window as _W
+
+    # two rows total: min/max over an unpartitioned window of size 2
+    lo = F.min("n").over(_W.partitionBy())
+    hi = F.max("n").over(_W.partitionBy())
+    return counts.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        (F.col("n") >= 1).alias("nonempty"),
+        ((hi - lo) <= 1).alias("balanced"),
+    )
 
 
 @register(

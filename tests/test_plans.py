@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 from spark_hive_streaming_sink_spark.plans import (
+    bnlj_build_subtrees,
     broadcast_hint_subtrees,
     count_nodes,
     formatted_plan,
@@ -850,6 +851,14 @@ def test_ivf_pq_all_hash_joins_no_fulldim_rescoring(spark):
     # their corpus scan to vec_id < K, so only the code-assignment
     # branch pays a full pass
     assert count_nodes(df, "BroadcastNestedLoopJoin") <= 6
+    # r14 (advisor): every NLJ build side must BE one of those packed
+    # single-row aggregates — a corpus-sized nested loop would broadcast
+    # a bare scan and fails here even though the node count is within
+    # budget
+    builds = bnlj_build_subtrees(df)
+    assert len(builds) == count_nodes(df, "BroadcastNestedLoopJoin")
+    for sub in builds:
+        assert "HashAggregate" in sub, f"non-aggregate NLJ build side:\n{sub}"
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "WindowGroupLimit") >= 1
 
@@ -1804,14 +1813,24 @@ def test_dup_rate_single_gram_explode_and_shuffle(spark):
 
 
 def test_kneser_ney_checkpointed_type_table_topk(spark):
-    """Kneser-Ney (r11): the vocab²-bounded bigram-TYPE table is
+    """Kneser-Ney (r14): the vocab²-bounded bigram-TYPE table is
     materialized once (localCheckpoint → the final plan scans the
     checkpoint RDD, never re-running the corpus explode — measured
-    73.0 s → 20.2 s at ×100), its three rollups ride broadcasts, and
-    the top-50 is TakeOrderedAndProject, never a global sort."""
+    73.0 s → 20.2 s at ×100); the top-50 is taken on the TYPE table
+    FIRST (TakeOrderedAndProject — the ranking key (c12, w1, w2) is
+    total and lives entirely in cnt) and BROADCAST into the ctx/cont
+    stat joins, so no vocab²-row relation is ever globally sorted or
+    shuffle-joined, and no unpartitioned Window survives."""
     df = _df(spark, "text_kneser_ney_bigram")
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
+    # the r11 form ranked the fully-joined type table through ONE
+    # unpartitioned row_number window (single-partition Exchange +
+    # full sort); the top-50-first form needs no Window at all
+    assert count_nodes(df, "Window") == 0
+    # the 50 winners broadcast into both stat joins
+    assert count_nodes(df, "BroadcastHashJoin") >= 2
+    assert count_nodes(df, "SortMergeJoin") == 0
     # the corpus explode is behind the checkpoint: no Generate node
     # (and no parquet scan at all) survives into the final plan
     assert count_nodes(df, "Generate") == 0
@@ -1841,20 +1860,24 @@ def test_reciprocal_knn_single_self_join(spark):
 
 
 def test_calibration_ece_single_aggregation_pass(spark):
-    """Calibration ECE (r11): one map-side score projection feeding ONE
-    partial+final 10-group aggregate; the corpus total is a 1-row
-    broadcast scalar (the only other aggregate pair); the stopword
-    density is a per-row array filter — no explode, no Python."""
+    """Calibration ECE (r14): ONE map-side score projection feeding ONE
+    partial+final 10-group aggregate — the corpus total is recovered
+    from the <= 10 aggregated rows by a window, so the corpus is
+    scanned exactly once (the r11 form built a broadcast COUNT(*)
+    scalar with a SECOND full tokenize pass); the stopword density is
+    a per-row array filter — no explode, no Python, no join."""
     df = _df(spark, "corpus_quality_calibration_ece")
     plan = formatted_plan(df)
-    # exactly two aggregate pairs: the bin rollup and the 1-row total
-    assert count_nodes(df, "HashAggregate") == 4
+    # exactly one aggregate pair: the bin rollup; the total is a
+    # window over its output, never a second corpus aggregate
+    assert count_nodes(df, "HashAggregate") == 2
+    assert count_nodes(df, "Window") == 1
     assert count_nodes(df, "Exchange") <= 3
     assert count_nodes(df, "Generate") == 0
     assert count_nodes(df, "CartesianProduct") == 0
+    # one corpus scan, not two
+    assert count_nodes(df, "Scan parquet") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    for sub in broadcast_hint_subtrees(df):
-        assert "Aggregate" in sub
 
 
 def test_nelson_aalen_windows_on_day_table_only(spark):
