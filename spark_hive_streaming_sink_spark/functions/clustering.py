@@ -62,27 +62,22 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     would be silently WRONG (split components → corrupted dedup
     keep-lists), so that case still raises instead of returning.
     """
-    both = materialize_parquet(
-        edges.select("src", "dst").unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        # materialize ONCE: every iteration (and the seed-label
-        # distinct) re-reads this edge list, and without the barrier
-        # each read re-executes the whole upstream candidate-pair
-        # pipeline (shingle → minhash → band join for
-        # dedup_lsh_components — measured 21 s → 6 s at sf0.1).
-        # File-backed barrier, not localCheckpoint (r14): this is a
-        # multi-consumer, CORPUS-SCALING int64 pair table — the exact
-        # relation shape the r13 adjudication moved to
-        # materialize_parquet for triangle/pagerank after 6.9→18.3 s
-        # same-code block-manager swings. The bounded per-round
-        # relations below (updated/n1, component labels) stay on
-        # localCheckpoint per the barrier policy in io.py.
-    )
-    labels = (
-        both.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+    # materialize ONCE: every iteration re-reads this edge list, and
+    # without the barrier each read re-executes the whole upstream
+    # candidate-pair pipeline (shingle → minhash → band join for
+    # dedup_lsh_components — measured 21 s → 6 s at sf0.1).
+    # File-backed barrier, not localCheckpoint (r14): this is a
+    # multi-consumer, CORPUS-SCALING int64 pair table — the exact
+    # relation shape the r13 adjudication moved to materialize_parquet
+    # for triangle/pagerank after 6.9→18.3 s same-code block-manager
+    # swings. The bounded per-round relations below (updated/n1,
+    # component labels) stay on localCheckpoint per the barrier policy
+    # in io.py. r14 (guide §6): the barrier stores each edge ONCE
+    # (half the write volume); the undirected doubling is re-derived
+    # from two read-back scans of the same file below.
+    e1 = materialize_parquet(edges.select("src", "dst"))
+    both = e1.unionByName(
+        e1.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     # Frontier-delta propagation (r12): a node's label can only drop
     # when a NEIGHBOR's label dropped in the previous round, so after
@@ -97,16 +92,25 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     # Per-round join shape (r13, measured ×100 — pre-fix a 6.7k-node
     # frontier round still cost 5.9 s because the FULL 22.9M-row edge
     # list re-shuffled every round):
-    # - Round 0 needs no join at all: labels are the identity, so the
-    #   neighbor-min IS min(dst) per src — one groupBy over the edge
-    #   list, the only unavoidable full-edge shuffle in the query.
+    # - Round 0 needs no join — and no seed pass — at all (r14, guide
+    #   §2.4): labels are the identity, so the neighbor-min IS
+    #   min(dst) per src, and the node universe IS that aggregation's
+    #   key set (both lists every edge reversed, so every node appears
+    #   as src). ONE full-edge groupBy — the only unavoidable
+    #   full-edge shuffle in the query — replaces the r12/r13 trio of
+    #   seed-label distinct (a second full-edge Exchange) + groupBy +
+    #   N-row left join. _nbr is never NULL (every node has >= 1
+    #   neighbor), so least(node, _nbr) is exactly the old
+    #   least(component, coalesce(nbr_min, component)) at identity
+    #   labels.
     # - Later rounds broadcast the frontier while it stays under
     #   _FRONTIER_BCAST_ROWS: the driver KNOWS its exact row count
     #   (last round's count action), so this never broadcasts an
     #   unbounded relation (100 TB rule) — and the probe join runs
     #   map-side over the checkpointed edge partitions with no edge
     #   shuffle; only the matched rows move for the groupBy.
-    frontier = labels  # round 1: every node is "changed"
+    labels: DataFrame | None = None  # set by round 0's fused pass
+    frontier: DataFrame | None = None
     n_changed: int | None = None  # unknown until a round has run
     for it in range(max_iter):
         # Shortcut rounds probe with the FULL label table: pointer
@@ -114,8 +118,14 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         # frontier-delta invariant no longer holds there.
         shortcut = it >= _SHORTCUT_AFTER
         if n_changed is None:
-            neighbor_min = both.groupBy(F.col("src").alias("node2")).agg(
-                F.min("dst").alias("nbr_min")
+            n1 = (
+                both.groupBy(F.col("src").alias("node"))
+                .agg(F.min("dst").alias("_nbr"))
+                .select(
+                    "node",
+                    F.col("node").alias("_old"),
+                    F.least(F.col("node"), F.col("_nbr")).alias("_n1"),
+                )
             )
         else:
             f = (
@@ -128,13 +138,15 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
                 .groupBy(F.col("src").alias("node2"))
                 .agg(F.min("component").alias("nbr_min"))
             )
-        n1 = labels.join(neighbor_min, labels.node == F.col("node2"), "left").select(
-            "node",
-            F.col("component").alias("_old"),
-            F.least(
-                F.col("component"), F.coalesce("nbr_min", F.col("component"))
-            ).alias("_n1"),
-        )
+            n1 = labels.join(
+                neighbor_min, labels.node == F.col("node2"), "left"
+            ).select(
+                "node",
+                F.col("component").alias("_old"),
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("_n1"),
+            )
         if shortcut:
             # pointer jumping: compose the freshly-computed label map
             # with itself (label(n) ← label(label(n))). Materialize n1
@@ -942,11 +954,16 @@ def sim_reciprocal_nearest_neighbors(
     shared by the whole kNN family), ranks carry the (cosine DESC,
     vec_id) tie-break, and the output pair is canonical (src < dst).
 
-    Scale: the kNN lists are cell-local Arrow gram matrices
-    (_knn_cell_topk — only N*k rows leave the cells); mutuality is
-    ONE self-equi-join of that N*k edge list on the reversed key.
-    Never all-pairs."""
-    from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
+    Scale (r14, guide §2.4): both directions of a reciprocal pair
+    live in the SAME LSH cell (a vector hashes to exactly one
+    bucket), so the mutuality test, both ranks and the shared cosine
+    are all cell-local facts — _knn_cell_edges(mutual=True) emits the
+    finished pairs straight out of the Arrow gram. The r11–r13 form
+    checkpointed the N*k edge list and self-joined it on the reversed
+    key: one corpus-sized barrier write plus one corpus-sized shuffle
+    join, both now gone (zero joins, zero checkpoints — only the
+    bucket co-location Exchange remains). Never all-pairs."""
+    from .similarity import K_NN_GRAPH, _knn_cell_edges, _norm, _spark_bucket
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.filter(F.col("embedding").isNotNull()).select(
@@ -955,33 +972,12 @@ def sim_reciprocal_nearest_neighbors(
         _norm(F.col("embedding")).alias("nrm"),
         _spark_bucket(F.col("embedding")).alias("bucket"),
     )
-    knn = _knn_cell_topk(v, K_NN_GRAPH).select(
-        F.col("node_id").alias("src"),
-        F.col("neighbor_id").alias("dst"),
-        "cosine",
-        "rnk",
-    )
-    # one self-join on the reversed edge key — both sides are the same
-    # N*k relation
-    knn = knn.localCheckpoint(eager=True)
-    f = knn.alias("f")
-    r = knn.alias("r")
-    return (
-        f.join(
-            r,
-            (F.col("r.src") == F.col("f.dst"))
-            & (F.col("r.dst") == F.col("f.src")),
-        )
-        .filter(F.col("f.src") < F.col("f.dst"))
-        .select(
-            F.col("f.src").alias("src"),
-            F.col("f.dst").alias("dst"),
-            F.col("f.rnk").cast("bigint").alias("rank_fwd"),
-            F.col("r.rnk").cast("bigint").alias("rank_rev"),
-            F.round(F.col("f.cosine") * 1_000_000, 0)
-            .cast("bigint")
-            .alias("cos_ppm"),
-        )
+    return _knn_cell_edges(v, K_NN_GRAPH, mutual=True).select(
+        "src",
+        "dst",
+        F.col("rank_fwd").cast("bigint").alias("rank_fwd"),
+        F.col("rank_rev").cast("bigint").alias("rank_rev"),
+        F.round(F.col("cosine") * 1_000_000, 0).cast("bigint").alias("cos_ppm"),
     )
 
 
@@ -1044,20 +1040,24 @@ def sim_label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_knn_graph_lsh (cosine rounded to 6 places, vec_id tie-break);
     votes are exact counts; the one divide rounds once to ppm.
 
-    Scale (r13): identical kNN construction — one bucket shuffle,
-    Arrow gram per cell, only N*k edges leave — but BOTH endpoint
-    labels now ride out of the cell with the edge (guide §2.4: both
-    endpoints live in the same cell, so the two r12 equi-joins of the
-    N*k edge list against the N-row label table were pure shuffle
-    waste; vec_id is unique, so cell-local passthrough IS the join).
-    One (node, nbr-label) count aggregate feeds BOTH the disagreement
-    rollup and the majority vote — bounded at min(k, |labels|) rows
-    per node and barriered so the Arrow gram runs once. NULL
+    Scale (r14, guide §2.4): identical kNN construction — one bucket
+    shuffle, Arrow gram per cell — and now the ENTIRE vote pipeline is
+    cell-local too (_knn_cell_label_votes): every node's k neighbors
+    live in its own cell, so the per-node disagreement count and the
+    (votes DESC, label ASC) majority are computed inside the kernel
+    and ONE finished row per node leaves the cell. The r13 form
+    shipped N*k edge rows out, shuffled them through a corpus-wide
+    (node, own, nbr) groupBy, checkpointed the votes, ran a per-node
+    row_number window and re-joined the two rollups — all gone: the
+    only Exchange left is the bucket co-location shuffle. NULL
     embeddings can't bucket and NULL labels can't vote or be audited:
     both excluded in both engines."""
-    from pyspark.sql import Window as W
-
-    from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
+    from .similarity import (
+        K_NN_GRAPH,
+        _knn_cell_label_votes,
+        _norm,
+        _spark_bucket,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & F.col("label").isNotNull()
@@ -1069,46 +1069,22 @@ def sim_label_knn_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spark_bucket(F.col("embedding")).alias("bucket"),
         "label",
     )
-    e = _knn_cell_topk(v, K_NN_GRAPH, extra=("label",)).select(
-        "node_id",
-        F.col("node_label").alias("own"),
-        F.col("neighbor_label").alias("nbr"),
-    )
-    # one vote-count pass over the edges; (node, own, nbr) keys own <=
-    # min(k, |labels|) rows per node (own is functionally dependent on
-    # node_id). TWO consumers (rollup + majority) — materialize or the
-    # Arrow cell gram re-runs per consumer (the reciprocal-kNN
-    # precedent); this table is k-bounded per node, NOT corpus-signature
-    # class, so localCheckpoint is the right barrier
-    g = (
-        e.groupBy("node_id", "own", "nbr")
-        .agg(F.count("*").cast("bigint").alias("votes"))
-        .localCheckpoint(eager=True)
-    )
-    per = g.groupBy("node_id", "own").agg(
-        F.sum("votes").cast("bigint").alias("n_nbrs"),
-        F.sum(F.when(F.col("nbr") != F.col("own"), F.col("votes")).otherwise(0))
-        .cast("bigint")
-        .alias("n_disagree"),
-    )
-    w_mj = W.partitionBy("node_id").orderBy(
-        F.col("votes").desc(), F.col("nbr")
-    )
-    mj = (
-        g.withColumn("rn", F.row_number().over(w_mj))
-        .filter(F.col("rn") == 1)
-        .select("node_id", F.col("nbr").alias("majority_label"))
-    )
-    return per.join(mj, "node_id").select(
+    # every input label is non-NULL here, so n_labeled_nbrs is the
+    # node's full neighbor count (the old SUM(votes)); singleton-cell
+    # nodes have no edges and were absent from the r13 output — the
+    # n_nbrs > 0 filter keeps that contract
+    st = _knn_cell_label_votes(v, K_NN_GRAPH).filter(F.col("n_nbrs") > 0)
+    nn = F.col("n_labeled_nbrs")
+    return st.select(
         F.col("node_id").alias("vec_id"),
-        F.col("own").cast("bigint").alias("label"),
-        "n_nbrs",
+        F.col("own_label").cast("bigint").alias("label"),
+        nn.alias("n_nbrs"),
         "n_disagree",
-        F.round(F.lit(1_000_000.0) * F.col("n_disagree") / F.col("n_nbrs"), 0)
+        F.round(F.lit(1_000_000.0) * F.col("n_disagree") / nn, 0)
         .cast("bigint")
         .alias("disagree_ppm"),
         F.col("majority_label").cast("bigint").alias("majority_label"),
-        (F.lit(2) * F.col("n_disagree") > F.col("n_nbrs")).alias("is_suspect"),
+        (F.lit(2) * F.col("n_disagree") > nn).alias("is_suspect"),
     )
 
 
@@ -1308,19 +1284,16 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smallest label; a node with no labeled neighbors keeps NULL
     new_label and a NULL changed verdict).
 
-    Scale shape (r13): edges come from the same per-cell Arrow gram as
-    sim_knn_graph_lsh (only N*k edges leave the LSH cells), and each
-    edge carries its neighbor's CURRENT label out of the cell (guide
-    §2.4 — the r12 neighbor_id-keyed join against the label column
-    re-shuffled the N*k edge list for a value already sitting in the
-    cell; vec_id is unique, so the passthrough IS the join); the vote
-    is a (node, label) count whose per-node row count is bounded by k;
-    the winner is a WindowGroupLimit top-1 over those <= k rows.
+    Scale shape (r14, guide §2.4): the same per-cell Arrow gram as
+    sim_knn_graph_lsh, with the vote count, the (votes DESC, label
+    ASC) winner AND the per-node output row all computed inside the
+    cell (_knn_cell_label_votes) — one finished row per node leaves
+    the kernel, so the r13 corpus-wide (node, cand) groupBy, the
+    per-node top-1 window and the node-keyed left join are gone.
     Repeated rounds = re-running this operator on the updated label
     column — each round is the same bounded pass, no state
     accumulates."""
-    from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
-    from pyspark.sql import Window
+    from .similarity import K_NN_GRAPH, _knn_cell_label_votes, _norm, _spark_bucket
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.filter(F.col("embedding").isNotNull()).select(
@@ -1330,33 +1303,23 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("embedding")).alias("nrm"),
         _spark_bucket(F.col("embedding")).alias("bucket"),
     )
-    votes = (
-        _knn_cell_topk(
-            v.select("vec_id", "embedding", "nrm", "bucket", "label"),
-            K_NN_GRAPH,
-            extra=("label",),
-        )
-        .select("node_id", F.col("neighbor_label").alias("cand"))
-        .filter(F.col("cand").isNotNull())
-        .groupBy("node_id", "cand")
-        .agg(F.count("*").cast("bigint").alias("n_votes"))
+    # r14 (guide §2.4): the whole vote → majority → rejoin pipeline is
+    # cell-local (_knn_cell_label_votes): the kernel emits one row per
+    # node — including singleton-cell nodes, which the r13 left join
+    # used to re-attach with NULL votes — with the (votes DESC, label
+    # ASC) winner already picked. The corpus-wide (node, cand) groupBy
+    # Exchange, the per-node row_number window and the node-keyed left
+    # join are gone; the only Exchange left is the bucket shuffle.
+    st = _knn_cell_label_votes(
+        v.select("vec_id", "embedding", "nrm", "bucket", "label"), K_NN_GRAPH
     )
-    w = Window.partitionBy("node_id").orderBy(F.col("n_votes").desc(), "cand")
-    win = (
-        votes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("node_id", F.col("cand").alias("new_label"), "n_votes")
-    )
-    nodes = v.select(
-        F.col("vec_id").alias("node_id"), F.col("label").alias("old_label")
-    )
-    nl = F.col("new_label")
-    return nodes.join(win, "node_id", "left").select(
+    nl = F.col("majority_label")
+    return st.select(
         "node_id",
-        "old_label",
-        "new_label",
-        "n_votes",
-        F.when(nl.isNotNull(), ~nl.eqNullSafe(F.col("old_label"))).alias("changed"),
+        F.col("own_label").alias("old_label"),
+        nl.alias("new_label"),
+        F.col("majority_votes").cast("bigint").alias("n_votes"),
+        F.when(nl.isNotNull(), ~nl.eqNullSafe(F.col("own_label"))).alias("changed"),
     )
 
 
@@ -1459,7 +1422,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: counts are exact BIGINTs; the coefficient is one
     round(2e6*t/(d*(d-1)), 0) per node (NULL when degree < 2 —
     undefined, not zero). Output covers every node with >= 1 edge."""
-    from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
+    from .similarity import K_NN_GRAPH, _knn_cell_edges, _norm, _spark_bucket
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.filter(F.col("embedding").isNotNull()).select(
@@ -1473,15 +1436,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FOUR consumers (degree, both orientation sides, closing join) —
     # back-to-back ×100 isolates measured the block-manager checkpoint
     # at 6.9/18.3 s on identical code (the adjudicated variance class)
-    # where the parquet barrier is predictable sequential IO
-    und = materialize_parquet(
-        _knn_cell_topk(v, K_NN_GRAPH)
-        .select(
-            F.least("node_id", "neighbor_id").alias("a"),
-            F.greatest("node_id", "neighbor_id").alias("b"),
-        )
-        .distinct()
-    )
+    # where the parquet barrier is predictable sequential IO.
+    # r14 (guide §2.4): the undirected dedup happens INSIDE the LSH
+    # cell (_knn_cell_edges — an unordered pair exists in exactly one
+    # cell), so the corpus-wide least/greatest Exchange + distinct that
+    # used to sit between the gram and this barrier is gone: deduped
+    # pairs flow straight from the Arrow kernel into the parquet write.
+    und = materialize_parquet(_knn_cell_edges(v, K_NN_GRAPH))
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
@@ -1759,7 +1720,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(max peel depth) rounds, which on kNN graphs (bounded degree) is
     small; production runs checkpoint every few rounds (see the
     fault-tolerance note in dedup.py)."""
-    from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
+    from .similarity import K_NN_GRAPH, _knn_cell_edges, _norm, _spark_bucket
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.filter(F.col("embedding").isNotNull()).select(
@@ -1768,14 +1729,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("embedding")).alias("nrm"),
         _spark_bucket(F.col("embedding")).alias("bucket"),
     )
-    knn = _knn_cell_topk(v, K_NN_GRAPH).select("node_id", "neighbor_id")
-    rev = knn.select(
-        F.col("neighbor_id").alias("node_id"), F.col("node_id").alias("neighbor_id")
-    )
+    # r14 (guide §2.4): mutuality is a cell-local fact (both directions
+    # of a reciprocal edge live in the one cell both endpoints hash
+    # to), so _knn_cell_edges(mutual=True) replaces the reversed-key
+    # self-join of the N*k edge list — the canonical (src < dst) mutual
+    # pairs flow straight from the Arrow gram into the checkpoint
     und = (
-        knn.join(rev, ["node_id", "neighbor_id"])
-        .filter(F.col("node_id") < F.col("neighbor_id"))
-        .select(F.col("node_id").alias("a"), F.col("neighbor_id").alias("b"))
+        _knn_cell_edges(v, K_NN_GRAPH, mutual=True)
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .localCheckpoint(eager=True)
     )
     surv = (
@@ -1924,7 +1885,7 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered."""
     from pyspark.sql import Window
 
-    from .similarity import K_NN_GRAPH, _knn_cell_topk, _norm, _spark_bucket
+    from .similarity import K_NN_GRAPH, _knn_cell_edges, _norm, _spark_bucket
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.filter(F.col("embedding").isNotNull()).select(
@@ -1933,20 +1894,21 @@ def graph_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("embedding")).alias("nrm"),
         _spark_bucket(F.col("embedding")).alias("bucket"),
     )
-    edges = _knn_cell_topk(v, K_NN_GRAPH).select(
-        F.col("node_id").alias("src"), F.col("neighbor_id").alias("dst")
-    )
     # undirected, deduped; materialized once — it feeds the degree
     # table, both sides of the distance-2 expansion, and the anti-join.
     # File-backed barrier (r13): corpus-scaling int64 pair table with
     # FOUR consumers — the localCheckpoint form measured 6.2/6.3/18.9 s
     # across ×100 isolates (the adjudicated block-manager variance
-    # class); parquet is the predictable barrier for this shape
-    und = materialize_parquet(
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
-    )
+    # class); parquet is the predictable barrier for this shape.
+    # r14 (guide §2.4 + §6): the undirected dedup is cell-local
+    # (_knn_cell_edges — an unordered pair lives in exactly one LSH
+    # cell), so the union+distinct Exchange ahead of the barrier is
+    # gone and the barrier stores each edge ONCE (half the write);
+    # both directions are re-derived from the read-back scan below.
+    pairs = materialize_parquet(_knn_cell_edges(v, K_NN_GRAPH))
+    und = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("deg")
     )

@@ -1449,7 +1449,13 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = (
         _signature_frame(d)
         # two consumers (the two band branches; r13 moved the pair
-        # sides map-side — see below)
+        # sides map-side — see below). localCheckpoint measured and
+        # KEPT (r14 A/B at ×100: materialize_parquet regressed this
+        # barrier 11.3 → 19.3 s — the packed mh ARRAY column pays
+        # parquet encode/decode on write+2 reads, where the sibling
+        # signature barriers that moved to parquet in r13 carry flat
+        # int64 columns; the barrier policy is shape-specific, not
+        # blanket)
         .localCheckpoint(eager=True)
         .filter(F.col("mh").isNotNull())
     )

@@ -894,6 +894,59 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 K_NN_GRAPH = 3  # neighbors kept per node
 
 
+def _cell_gram_topk(pdf, k: int, gram_budget: int):
+    """Shared per-cell gram + top-k machinery of the kNN kernels
+    (extracted verbatim from _knn_cell_topk in r14 so the edge kernels
+    below reuse the identical — oracle-pinned — computation).
+
+    Requires len(pdf) >= 2. Returns (pdf_sorted, ids, order, cosk, kk):
+    pdf sorted by vec_id, the int64 id vector, the (n, kk) top-k
+    neighbor POSITION matrix (cosine DESC, vec_id ASC tie-break, NaN
+    cosines last, self excluded) and the matching rounded-cosine
+    matrix (NaN where the pair's cosine is SQL NULL)."""
+    import numpy as np
+
+    n = len(pdf)
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    vecs = pdf["embedding"].to_numpy()
+    lens = np.fromiter((len(a) for a in vecs), dtype=np.int64, count=n)
+    width = max(int(lens.max()), 1)
+    V = np.zeros((n, width), dtype=np.float64)
+    for i, a in enumerate(vecs):
+        # np.asarray maps None components to NaN in a float array
+        V[i, : lens[i]] = np.asarray(a, dtype=np.float64)
+    nrm = pdf["nrm"].to_numpy().astype(np.float64)
+    kk = min(k, n - 1)
+    # gram in row blocks (r14): bound per-task memory at
+    # SHSS_KNN_GRAM_MB for the skewed-cell case; one full-cell
+    # block (the identical single dgemm) whenever it fits
+    blk = (
+        n if n * n * 8 <= gram_budget else max(1, gram_budget // (8 * n))
+    )
+    order = np.empty((n, kk), dtype=np.int64)
+    cosk = np.empty((n, kk), dtype=np.float64)
+    for s0 in range(0, n, blk):
+        s1 = min(s0 + blk, n)
+        denom = np.outer(nrm[s0:s1], nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (V[s0:s1] @ V.T) / denom
+        # ragged pair -> NULL; zero norm -> NULL (try_divide)
+        cos[lens[s0:s1, None] != lens[None, :]] = np.nan
+        cos[denom == 0] = np.nan
+        cos = _np_round_half_up(cos, 6)
+        # sentinels: real cosines are >= -1, so NaN (NULL, ranks
+        # last) maps below them and self below NaN — the old loop
+        # excluded self and appended NULLs last; ids ascending +
+        # stable sort gives the neighbor_id tie-break for free
+        key = np.where(np.isnan(cos), -2.0, cos)
+        key[np.arange(s1 - s0), np.arange(s0, s1)] = -3.0  # self
+        o = np.argsort(-key, axis=1, kind="stable")[:, :kk]
+        order[s0:s1] = o
+        cosk[s0:s1] = np.take_along_axis(cos, o, axis=1)
+    return pdf, ids, order, cosk, kk
+
+
 def _knn_cell_topk(
     v: DataFrame, k: int, extra: tuple = (), deg: bool = False
 ) -> DataFrame:
@@ -985,43 +1038,7 @@ def _knn_cell_topk(
                 out[f"node_{c}"] = np.array([], dtype=object)
                 out[f"neighbor_{c}"] = np.array([], dtype=object)
             return pd.DataFrame(out)
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        vecs = pdf["embedding"].to_numpy()
-        lens = np.fromiter((len(a) for a in vecs), dtype=np.int64, count=n)
-        width = max(int(lens.max()), 1)
-        V = np.zeros((n, width), dtype=np.float64)
-        for i, a in enumerate(vecs):
-            # np.asarray maps None components to NaN in a float array
-            V[i, : lens[i]] = np.asarray(a, dtype=np.float64)
-        nrm = pdf["nrm"].to_numpy().astype(np.float64)
-        kk = min(k, n - 1)
-        # gram in row blocks (r14): bound per-task memory at
-        # SHSS_KNN_GRAM_MB for the skewed-cell case; one full-cell
-        # block (the identical single dgemm) whenever it fits
-        blk = (
-            n if n * n * 8 <= gram_budget else max(1, gram_budget // (8 * n))
-        )
-        order = np.empty((n, kk), dtype=np.int64)
-        cosk = np.empty((n, kk), dtype=np.float64)
-        for s0 in range(0, n, blk):
-            s1 = min(s0 + blk, n)
-            denom = np.outer(nrm[s0:s1], nrm)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = (V[s0:s1] @ V.T) / denom
-            # ragged pair -> NULL; zero norm -> NULL (try_divide)
-            cos[lens[s0:s1, None] != lens[None, :]] = np.nan
-            cos[denom == 0] = np.nan
-            cos = _np_round_half_up(cos, 6)
-            # sentinels: real cosines are >= -1, so NaN (NULL, ranks
-            # last) maps below them and self below NaN — the old loop
-            # excluded self and appended NULLs last; ids ascending +
-            # stable sort gives the neighbor_id tie-break for free
-            key = np.where(np.isnan(cos), -2.0, cos)
-            key[np.arange(s1 - s0), np.arange(s0, s1)] = -3.0  # self
-            o = np.argsort(-key, axis=1, kind="stable")[:, :kk]
-            order[s0:s1] = o
-            cosk[s0:s1] = np.take_along_axis(cos, o, axis=1)
+        pdf, ids, order, cosk, kk = _cell_gram_topk(pdf, k, gram_budget)
         out = {
             "node_id": np.repeat(ids, kk),
             "neighbor_id": ids[order].ravel(),
@@ -1048,6 +1065,186 @@ def _knn_cell_topk(
         cell_topk,
         "node_id long, neighbor_id long, bucket string, cosine double,"
         " rnk long" + extra_schema,
+    )
+
+
+def _knn_cell_edges(v: DataFrame, k: int, mutual: bool = False) -> DataFrame:
+    """Cell-local UNDIRECTED kNN edge list (r14, guide §2.4): the same
+    per-cell gram + top-k as _knn_cell_topk, but the undirected
+    dedup — and, with ``mutual=True``, the reciprocity test — run
+    INSIDE the cell instead of as a corpus-wide shuffle afterwards.
+
+    Every vector hashes to exactly ONE bucket, so an unordered pair
+    can only ever co-occur in the single cell both endpoints share:
+    the cell-local np.unique over canonical (min, max) id pairs IS the
+    corpus-wide ``select(least, greatest).distinct()`` (triangle
+    count's former full-edge Exchange), and the cell-local
+    both-directions membership test IS the reversed-key self-join
+    (kcore's mutual filter, reciprocal-kNN's only join). Only the
+    deduped pairs leave the cell.
+
+    mutual=False → (a, b) with a < b: each unordered kNN edge exactly
+    once. mutual=True → (src, dst, rank_fwd, rank_rev, cosine) with
+    src < dst: pairs where BOTH endpoints rank each other in their
+    top-k, with both ranks and the forward pair cosine (NaN → SQL
+    NULL, same as _knn_cell_topk's cosine column).
+
+    Memory: O(n·k) on top of the shared blocked gram — no quadratic
+    term (the reciprocity lookup is sort + searchsorted over the n·k
+    edge keys, not an (n, n) adjacency)."""
+    import numpy as np
+    import pandas as pd
+
+    gram_budget = int(os.environ.get("SHSS_KNN_GRAM_MB", "256")) << 20
+
+    def cell_edges(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            if mutual:
+                return pd.DataFrame(
+                    {
+                        "src": np.array([], dtype=np.int64),
+                        "dst": np.array([], dtype=np.int64),
+                        "rank_fwd": np.array([], dtype=np.int64),
+                        "rank_rev": np.array([], dtype=np.int64),
+                        "cosine": np.array([], dtype=np.float64),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "a": np.array([], dtype=np.int64),
+                    "b": np.array([], dtype=np.int64),
+                }
+            )
+        pdf, ids, order, cosk, kk = _cell_gram_topk(pdf, k, gram_budget)
+        src_i = np.repeat(np.arange(n, dtype=np.int64), kk)
+        dst_i = order.ravel()
+        if not mutual:
+            lo = np.minimum(src_i, dst_i)
+            hi = np.maximum(src_i, dst_i)
+            uk = np.unique(lo * n + hi)  # n*n fits int64 for any real n
+            return pd.DataFrame({"a": ids[uk // n], "b": ids[uk % n]})
+        # reciprocity: an edge key (u, v) is mutual iff (v, u) is also
+        # an edge key. Keys are unique (per-row top-k indices are
+        # distinct), so sorted-key searchsorted is an exact lookup and
+        # also yields the reverse edge's row — its rank_rev.
+        key = src_i * n + dst_i
+        rkey = dst_i * n + src_i
+        sorter = np.argsort(key)
+        skey = key[sorter]
+        pos = np.searchsorted(skey, rkey)
+        pos_c = np.minimum(pos, len(skey) - 1)
+        found = skey[pos_c] == rkey
+        keep = found & (src_i < dst_i)  # canonical: each pair once
+        rnk = np.tile(np.arange(1, kk + 1, dtype=np.int64), n)
+        rev_row = sorter[pos_c[keep]]
+        return pd.DataFrame(
+            {
+                "src": ids[src_i[keep]],
+                "dst": ids[dst_i[keep]],
+                "rank_fwd": rnk[keep],
+                "rank_rev": rnk[rev_row],
+                "cosine": cosk.ravel()[keep],
+            }
+        )
+
+    schema = (
+        "src long, dst long, rank_fwd long, rank_rev long, cosine double"
+        if mutual
+        else "a long, b long"
+    )
+    return v.groupBy("bucket").applyInPandas(cell_edges, schema)
+
+
+def _knn_cell_label_votes(v: DataFrame, k: int) -> DataFrame:
+    """Cell-local per-node neighbor-label vote summary (r14, guide
+    §2.4): the same per-cell gram + top-k as _knn_cell_topk, with the
+    WHOLE vote pipeline — neighbor-label counts, the (votes DESC,
+    label ASC) majority pick and the disagreement count — folded
+    inside the cell. A node's k nearest neighbors all live in its own
+    LSH cell, so the corpus-wide groupBy(node, label) Exchange, the
+    per-node row_number window and the node-keyed joins these votes
+    used to feed (sim_label_knn_disagreement, graph_label_propagation)
+    are cell-local facts.
+
+    Output: one row PER INPUT NODE — including nodes in singleton
+    cells, which have zero neighbors and NULL majority (callers that
+    only want edge-bearing nodes filter ``n_nbrs > 0``):
+      (node_id, own_label, n_nbrs, n_labeled_nbrs, n_disagree,
+       majority_label, majority_votes)
+    n_nbrs is the kept-edge count (min(k, n-1)); votes count only
+    non-NULL neighbor labels; n_disagree counts labeled neighbors
+    whose label differs from own (NULL own → every labeled neighbor
+    disagrees); majority is the most-voted neighbor label, ties to the
+    SMALLEST label, NULL (with NULL votes) when no neighbor is
+    labeled. Label values round-trip exactly like _knn_cell_topk's
+    ``extra`` passthrough (object dtype, None for SQL NULL).
+    Memory: O(n·k) past the blocked gram (the vote table is an
+    np.unique over the n·k edge keys, never an (n, n) or
+    (n, |labels|) densification)."""
+    import numpy as np
+    import pandas as pd
+
+    gram_budget = int(os.environ.get("SHSS_KNN_GRAM_MB", "256")) << 20
+    lbl_t = dict(zip(v.columns, v.schema))["label"].dataType.simpleString()
+
+    def cell_votes(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            s = pdf["label"]
+            own = s.astype(object).where(s.notna(), None).to_numpy(dtype=object)
+            z = np.zeros(n, dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "node_id": pdf["vec_id"].to_numpy(),
+                    "own_label": own,
+                    "n_nbrs": z,
+                    "n_labeled_nbrs": z,
+                    "n_disagree": z,
+                    "majority_label": np.full(n, None, dtype=object),
+                    "majority_votes": np.full(n, None, dtype=object),
+                }
+            )
+        pdf, ids, order, _cosk, kk = _cell_gram_topk(pdf, k, gram_budget)
+        s = pdf["label"].reset_index(drop=True)
+        own_vals = s.astype(object).where(s.notna(), None).to_numpy(dtype=object)
+        codes, uniques = pd.factorize(s, sort=True)  # -1 == NULL label
+        uniq_vals = pd.Series(uniques).astype(object).to_numpy(dtype=object)
+        U = max(len(uniques), 1)
+        rows = np.repeat(np.arange(n, dtype=np.int64), kk)
+        c = codes[order.ravel()]
+        valid = c >= 0
+        n_lab = np.bincount(rows[valid], minlength=n)
+        n_dis = np.bincount(rows[valid & (c != codes[rows])], minlength=n)
+        maj = np.full(n, None, dtype=object)
+        mv = np.full(n, None, dtype=object)
+        if valid.any():
+            uk, cnt = np.unique(rows[valid] * U + c[valid], return_counts=True)
+            r_, l_ = uk // U, uk % U
+            # winner per node: votes DESC, label ASC (factorize sorted
+            # the uniques, so code order IS label order)
+            o2 = np.lexsort((l_, -cnt, r_))
+            rr = r_[o2]
+            first = np.ones(rr.size, dtype=bool)
+            first[1:] = rr[1:] != rr[:-1]
+            maj[rr[first]] = uniq_vals[l_[o2][first]]
+            mv[rr[first]] = cnt[o2][first].astype(np.int64)
+        return pd.DataFrame(
+            {
+                "node_id": ids,
+                "own_label": own_vals,
+                "n_nbrs": np.full(n, kk, dtype=np.int64),
+                "n_labeled_nbrs": n_lab.astype(np.int64),
+                "n_disagree": n_dis.astype(np.int64),
+                "majority_label": maj,
+                "majority_votes": mv,
+            }
+        )
+
+    return v.groupBy("bucket").applyInPandas(
+        cell_votes,
+        f"node_id long, own_label {lbl_t}, n_nbrs long, n_labeled_nbrs long,"
+        f" n_disagree long, majority_label {lbl_t}, majority_votes long",
     )
 
 

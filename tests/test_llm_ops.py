@@ -687,6 +687,116 @@ def test_knn_cell_topk_blocked_gram_matches_single_block(spark, monkeypatch):
     assert len(full) == 120 * 3
 
 
+def test_knn_cell_edges_matches_join_formulation(spark, monkeypatch):
+    """_knn_cell_edges (r14) must equal the corpus-wide JVM
+    formulations it replaces, row for row: mutual=False == the
+    least/greatest + distinct over _knn_cell_topk's edge list
+    (triangle count / link prediction's former Exchange), and
+    mutual=True == the reversed-key self-join with both ranks and the
+    forward cosine (kcore / reciprocal-kNN's former join). Fixture
+    mixes a 120-vector hot cell (ties, NULL component, ragged vector),
+    a 2-vector cell and a singleton; a second pass under
+    SHSS_KNN_GRAM_MB=0 pins the blocked-gram path too."""
+    from pyspark.sql import Row
+
+    from spark_hive_streaming_sink_spark.functions.similarity import (
+        _knn_cell_edges,
+        _knn_cell_topk,
+    )
+
+    rng = __import__("random").Random(11)
+    rows = []
+    for i in range(120):
+        if i % 17 == 0 and i > 0:
+            emb = list(rows[i - 1][1])  # duplicate -> cosine tie
+        elif i == 41:
+            emb = [1.0, None, 0.5, 0.25]  # NULL component -> NaN cosine
+        elif i == 83:
+            emb = [1.0, 0.5]  # ragged -> NULL vs everyone
+        else:
+            emb = [rng.uniform(-1, 1) for _ in range(4)]
+        rows.append((i + 1, emb, "HOT"))
+    rows += [(201, [0.0, 1.0], "B"), (202, [1.0, 1.0], "B"), (203, [1.0, 0.0], "C")]
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=e, bucket=b) for i, e, b in rows]
+    ).select(
+        "vec_id",
+        "embedding",
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("nrm"),
+        "bucket",
+    )
+
+    def reference():
+        knn = _knn_cell_topk(df, 3).localCheckpoint(eager=True)
+        und = sorted(
+            (r["a"], r["b"])
+            for r in knn.select(
+                F.least("node_id", "neighbor_id").alias("a"),
+                F.greatest("node_id", "neighbor_id").alias("b"),
+            )
+            .distinct()
+            .collect()
+        )
+        f, r_ = knn.alias("f"), knn.alias("r")
+        mut = sorted(
+            (
+                x["src"],
+                x["dst"],
+                x["rank_fwd"],
+                x["rank_rev"],
+                x["cosine"],
+            )
+            for x in f.join(
+                r_,
+                (F.col("r.node_id") == F.col("f.neighbor_id"))
+                & (F.col("r.neighbor_id") == F.col("f.node_id")),
+            )
+            .filter(F.col("f.node_id") < F.col("f.neighbor_id"))
+            .select(
+                F.col("f.node_id").alias("src"),
+                F.col("f.neighbor_id").alias("dst"),
+                F.col("f.rnk").alias("rank_fwd"),
+                F.col("r.rnk").alias("rank_rev"),
+                F.col("f.cosine").alias("cosine"),
+            )
+            .collect()
+        )
+        return und, (
+            [(s, d, a, b, None if c is None else round(c, 9)) for s, d, a, b, c in mut]
+        )
+
+    def kernel():
+        und = sorted(
+            (r["a"], r["b"]) for r in _knn_cell_edges(df, 3).collect()
+        )
+        mut = sorted(
+            (
+                r["src"],
+                r["dst"],
+                r["rank_fwd"],
+                r["rank_rev"],
+                None if r["cosine"] is None else round(r["cosine"], 9),
+            )
+            for r in _knn_cell_edges(df, 3, mutual=True).collect()
+        )
+        return und, mut
+
+    ref_und, ref_mut = reference()
+    monkeypatch.delenv("SHSS_KNN_GRAM_MB", raising=False)
+    got_und, got_mut = kernel()
+    assert got_und == ref_und and len(ref_und) > 100
+    assert got_mut == ref_mut and len(ref_mut) > 20
+    monkeypatch.setenv("SHSS_KNN_GRAM_MB", "0")  # one-row blocks
+    blk_und, blk_mut = kernel()
+    assert blk_und == ref_und and blk_mut == ref_mut
+
+
 def test_knn_graph_every_node_ranked_within_bucket(spark):
     """Each node gets at most K neighbors, ranks are 1..k dense, and a
     node never lists itself."""

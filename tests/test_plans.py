@@ -987,16 +987,18 @@ def test_dsir_broadcast_weights_no_global_sort(spark):
 
 
 def test_label_propagation_cell_local_bounded_votes(spark):
-    """Label propagation: edges ride the per-cell Arrow gram (one
-    FlatMapGroupsInPandas), the vote join is neighbor_id-keyed (hash
-    family, never nested-loop), and the winner is a WindowGroupLimit
-    over <= k vote rows per node."""
+    """Label propagation (r14): the vote count, the (votes DESC, label
+    ASC) winner and the per-node output row are ALL cell-local
+    (_knn_cell_label_votes — one FlatMapGroupsInPandas), so the plan
+    has zero joins, zero windows and a single Exchange (the bucket
+    co-location shuffle)."""
     df = _df(spark, "graph_label_propagation")
     assert count_nodes(df, "FlatMapGroupsInPandas") == 1
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "BroadcastNestedLoopJoin") == 0
-    assert count_nodes(df, "WindowGroupLimit") >= 1
+    assert count_nodes(df, "Exchange") == 1
     plan = formatted_plan(df)
+    assert "Join" not in plan and "Window" not in plan
     assert "BatchEvalPython" not in plan
 
 
@@ -1840,11 +1842,14 @@ def test_kneser_ney_checkpointed_type_table_topk(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_reciprocal_knn_single_self_join(spark):
-    """Reciprocal kNN (r11): mutuality is ONE self-equi-join of the
-    checkpointed N*k edge list on the reversed (dst, src) key — no
-    second join, no Generate, and the Arrow kNN build is entirely
-    behind the checkpoint (no Python stage in the final plan)."""
+def test_reciprocal_knn_cell_local_zero_joins(spark):
+    """Reciprocal kNN (r14): mutuality, both ranks and the shared
+    cosine are all cell-local facts (both directions of a reciprocal
+    pair live in the one LSH cell both endpoints hash to), so the
+    WHOLE query is the per-cell Arrow kernel — zero joins, zero
+    checkpoints, and the only Exchange is the bucket co-location
+    shuffle feeding FlatMapGroupsInPandas (the r11 form checkpointed
+    the N*k edge list and self-joined it on the reversed key)."""
     df = _df(spark, "sim_reciprocal_nearest_neighbors")
     plan = formatted_plan(df)
     joins = (
@@ -1852,11 +1857,11 @@ def test_reciprocal_knn_single_self_join(spark):
         + count_nodes(df, "SortMergeJoin")
         + count_nodes(df, "ShuffledHashJoin")
     )
-    assert joins == 1, f"expected exactly one self-join:\n{plan}"
+    assert joins == 0, f"expected zero joins:\n{plan}"
     assert count_nodes(df, "CartesianProduct") == 0
     assert count_nodes(df, "Generate") == 0
-    assert plan.count("localCheckpoint") >= 1
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert count_nodes(df, "Exchange") == 1, plan  # bucket co-location only
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_calibration_ece_single_aggregation_pass(spark):
@@ -1931,17 +1936,18 @@ def test_interval_union_windows_no_join_no_python(spark):
 
 
 def test_label_disagreement_cell_local_knn_no_cartesian(spark):
-    """Label kNN disagreement (r12): the only Python stage is the
-    cell-local Arrow kNN gram (FlatMapGroupsInPandas); labels attach
-    by equi-join; votes are hash aggregates; never corpus x corpus."""
+    """Label kNN disagreement (r14): the vote pipeline — counts,
+    disagreement and the (votes DESC, label ASC) majority — is
+    entirely cell-local (_knn_cell_label_votes, one
+    FlatMapGroupsInPandas), so the plan has zero joins, zero windows,
+    zero checkpoints and a single Exchange (bucket co-location)."""
     df = _df(spark, "sim_label_knn_disagreement")
     plan = formatted_plan(df)
-    # the Arrow kNN gram is materialized ONCE behind the pair-bounded
-    # checkpoint — the final plan contains no Python stage at all
-    assert count_nodes(df, "FlatMapGroupsInPandas") == 0
-    assert plan.count("localCheckpoint") >= 1
+    assert count_nodes(df, "FlatMapGroupsInPandas") == 1
+    assert count_nodes(df, "Exchange") == 1
+    assert "Join" not in plan and "Window" not in plan
     assert count_nodes(df, "CartesianProduct") == 0
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_heavy_hitters_broadcast_rescore_no_gram_shuffle(spark):

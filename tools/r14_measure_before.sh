@@ -17,7 +17,7 @@ echo "run2 done: $(cat /proc/loadavg)"
 
 # x100 isolates, 2 passes each (min-of-2 inside the child already; the
 # outer repeat catches the JVM/page-cache cold tail the r13 ledger saw)
-KEYS="dedup_lsh_components dedup_connected_components graph_triangle_count contamination_ngram_overlap text_kneser_ney_bigram corpus_ngram_duplication_rate corpus_quality_calibration_ece dedup_threshold_sweep sim_knn_graph_lsh sim_label_knn_disagreement graph_kcore graph_link_prediction_ra sim_reciprocal_nearest_neighbors graph_label_propagation graph_pagerank_knn"
+KEYS="dedup_lsh_components dedup_connected_components graph_triangle_count contamination_ngram_overlap text_kneser_ney_bigram corpus_ngram_duplication_rate corpus_quality_calibration_ece dedup_threshold_sweep sim_knn_graph_lsh sim_label_knn_disagreement graph_kcore graph_link_prediction_ra sim_reciprocal_nearest_neighbors graph_label_propagation graph_pagerank_knn dedup_containment_pairs sim_query_expansion_prf sim_ivf_nprobe_recall_curve"
 for pass in 1 2; do
   python tools/stress.py 100 32 $KEYS --isolate \
     > tools/stress_x100_r14_before_p$pass.json 2> tools/stress_x100_r14_before_p$pass.err
